@@ -1,0 +1,260 @@
+"""Backpack language model (ACL 2023), TPU-native.
+
+Re-design of the reference's BackpackLMHeadModel
+(reference: training/src/models/backpack.py:94-351). Core equation:
+
+    o_t = sum_{k=1..nv} sum_{j<=t} alpha[k, t, j] * C(x_j)[k],
+    logits_t = E @ o_t  (E = tied word embedding)
+
+Components:
+  * contextualization network: a full GPT stack (backpack.py:291,303) — models/gpt.py
+  * ContextSelfAttn: alpha in (b, nv, s, s) from a d->2d projection reshaped to
+    nv heads of dim d/nv, causal softmax (backpack.py:94-122)
+  * sense (content) network: word embeddings WITHOUT positions (backpack.py:258),
+    one MLP-only "no-mix" block (backpack.py:130-143), then a final MLP
+    expanding d -> nv*d (backpack.py:53-57,240-242). Purely per-token, so sense
+    vectors are a function of the token id alone — sense_table() materializes
+    the equivalent (vocab, nv, d) lookup table.
+  * decode: the reference re-runs the full forward over the whole prefix every
+    step (training/src/utils/generation.py — O(t^2) per token). Here decode is
+    incremental: GPT KV cache + a cached contextualization K + cached per-token
+    senses, computing only the new alpha row each step. Token-for-token parity
+    with the full recompute is enforced by tests/models/test_backpack_decode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BackpackConfig
+from ..ops import dense, norms
+from ..ops.attention import MASK_VALUE
+from . import gpt as gpt_lib
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------- init
+
+def init_backpack(cfg: BackpackConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    kg, kc, kb, kf = jax.random.split(key, 4)
+    d = cfg.n_embd
+    std = cfg.initializer_range
+    # The reference applies the full-model _init_weights last
+    # (backpack.py:333-334), so residual-out projections use the GPT depth.
+    out_std = std / (2 * cfg.n_layer) ** 0.5
+    inner = d if cfg.shrink_final_inner else cfg.inner_dim
+
+    def init_nomix_block(k):
+        return {
+            "norm1": norms.init_layer_norm(d, dtype),
+            "mlp": dense.init_mlp(k, d, cfg.inner_dim, std=std, out_std=out_std,
+                                  dtype=dtype),
+            "norm2": norms.init_layer_norm(d, dtype),
+        }
+
+    block_keys = jax.random.split(kb, cfg.content_n_layer)
+    blocks = [init_nomix_block(k) for k in block_keys]
+    return {
+        "gpt": gpt_lib.init_gpt(cfg, kg, dtype),
+        "ctx_attn": {"Wqkv": dense.init_linear(kc, d, 2 * d, std=std, dtype=dtype)},
+        "content": {
+            "ln_0": norms.init_layer_norm(d, dtype),
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+            "final_mlp": dense.init_mlp(kf, d, inner, cfg.num_senses * d,
+                                        std=std, out_std=out_std, dtype=dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------- pieces
+
+def context_qk(params: Params, cfg: BackpackConfig,
+               hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Project contextualization hidden states to the nv-headed q, k
+    (reference: ContextSelfAttn, backpack.py:107-117).
+    Returns q, k each (b, s, nv, d/nv)."""
+    b, s, d = hidden.shape
+    qk = dense.linear(hidden, params["ctx_attn"]["Wqkv"])
+    qk = qk.reshape(b, s, 2, cfg.num_senses, cfg.sense_head_dim)
+    return qk[:, :, 0], qk[:, :, 1]
+
+
+def contextualization(params: Params, cfg: BackpackConfig,
+                      hidden: jax.Array) -> jax.Array:
+    """alpha = causal softmax over nv-headed scores, materialized (b, nv, s, s)
+    (reference: backpack.py:117-122). The fused Pallas path in
+    ops/backpack_kernels.py avoids materializing this for the combined
+    alpha @ content contraction."""
+    q, k = context_qk(params, cfg, hidden)
+    scale = cfg.sense_head_dim ** -0.5
+    scores = jnp.einsum("bthd,bshd->bhts", q, k * scale,
+                        preferred_element_type=jnp.float32)
+    s = scores.shape[-1]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    scores = scores + jnp.where(kpos <= qpos, 0.0, MASK_VALUE)[None, None]
+    return jax.nn.softmax(scores, axis=-1).astype(hidden.dtype)
+
+
+def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
+                    *, train: bool = False,
+                    rng: Optional[jax.Array] = None) -> jax.Array:
+    """Sense network C(x): (b, s) -> (b, s, nv, d). Strictly per-token — no
+    position embeddings, no mixing (reference: backpack.py:251-276)."""
+    b, s = input_ids.shape
+    cp = params["content"]
+    hidden = jnp.take(params["gpt"]["wte"], input_ids, axis=0)  # shared table
+    r_emb, r_blk = (jax.random.split(rng) if rng is not None else (None, None))
+    hidden, residual = norms.dropout_add_layer_norm(
+        hidden, None, cp["ln_0"]["weight"], cp["ln_0"]["bias"],
+        cfg.embd_pdrop, cfg.layer_norm_epsilon, rng=r_emb,
+        deterministic=not train)
+
+    def scan_body(carry, blk):
+        hidden, residual = carry
+        # No-mix block: the Identity mixer still feeds `hidden` into the
+        # residual stream (reference Block.forward with mixer=Identity,
+        # modules/block.py:70-106 + backpack.py:125-135).
+        hidden, residual = norms.dropout_add_layer_norm(
+            hidden, residual, blk["norm1"]["weight"], blk["norm1"]["bias"],
+            cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r_blk,
+            deterministic=not train)
+        mlp_out = dense.mlp(hidden, blk["mlp"], cfg.activation)
+        hidden, residual = norms.dropout_add_layer_norm(
+            mlp_out, residual, blk["norm2"]["weight"], blk["norm2"]["bias"],
+            cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r_blk,
+            deterministic=not train)
+        return (hidden, residual), None
+
+    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), cp["blocks"])
+    senses = dense.mlp(hidden, cp["final_mlp"], cfg.activation)
+    return senses.reshape(b, s, cfg.num_senses, cfg.n_embd)
+
+
+def sense_table(params: Params, cfg: BackpackConfig,
+                chunk: int = 4096) -> jax.Array:
+    """Materialize the (vocab, nv, d) sense lookup table. Valid because the
+    content network is position- and context-independent (the property the
+    reference exploits in modulate_generate.py:66-71, visualize_vocab.py:135)."""
+    v = cfg.padded_vocab_size
+    ids = jnp.arange(v)
+
+    def one_chunk(c):
+        return content_forward(params, cfg, c[None, :])[0]
+
+    n_chunks = -(-v // chunk)
+    pad = n_chunks * chunk - v
+    ids = jnp.pad(ids, (0, pad))
+    out = jax.lax.map(one_chunk, ids.reshape(n_chunks, chunk))
+    return out.reshape(n_chunks * chunk, cfg.num_senses, cfg.n_embd)[:v]
+
+
+# ---------------------------------------------------------------- forward
+
+def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
+                     *, train: bool = False, rng: Optional[jax.Array] = None,
+                     use_flash: bool = True,
+                     sense_weights: Optional[jax.Array] = None,
+                     return_parts: bool = False):
+    """Training-shape forward -> logits (b, s, vocab)
+    (reference: BackpackLMHeadModel.forward, backpack.py:297-351).
+
+    sense_weights: optional (b, s, nv) or (nv,) multiplicative reweighting of
+    sense vectors — the hook for the intervention API (models/interventions.py).
+    return_parts: also return dict with alpha / content / contextual hidden for
+    the control & visualization machinery (reference §2.4).
+    """
+    r_gpt, r_content = (jax.random.split(rng) if rng is not None else (None, None))
+    contextl = gpt_lib.gpt_forward(params["gpt"], cfg, input_ids, train=train,
+                                   rng=r_gpt, use_flash=use_flash)
+    alpha = contextualization(params, cfg, contextl)          # (b, nv, s, s)
+    content = content_forward(params, cfg, input_ids, train=train,
+                              rng=r_content)                  # (b, s, nv, d)
+    if sense_weights is not None:
+        if sense_weights.ndim == 1:
+            content = content * sense_weights[None, None, :, None].astype(content.dtype)
+        else:
+            content = content * sense_weights[..., None].astype(content.dtype)
+    # out[b,t,d] = sum_k alpha[b,k,t,j] content[b,j,k,d]  (backpack.py:313)
+    outputs = jnp.einsum("bkts,bskd->btd", alpha, content,
+                         preferred_element_type=jnp.float32).astype(contextl.dtype)
+    logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
+    if return_parts:
+        return logits, {"alpha": alpha, "content": content,
+                        "contextual": contextl, "outputs": outputs}
+    return logits
+
+
+# ---------------------------------------------------------------- decode
+
+class BackpackCache(NamedTuple):
+    """Incremental-decode state: GPT KV cache + contextualization K cache +
+    per-token sense cache. All static shapes."""
+    gpt: gpt_lib.KVCache
+    ctx_k: jax.Array    # (b, max_s, nv, d/nv)
+    content: jax.Array  # (b, max_s, nv, d)
+    length: jax.Array   # scalar int32
+
+
+def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
+                        dtype=jnp.bfloat16) -> BackpackCache:
+    return BackpackCache(
+        gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype),
+        ctx_k=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.sense_head_dim),
+                        dtype),
+        content=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.n_embd), dtype),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def backpack_forward_with_cache(
+    params: Params, cfg: BackpackConfig, input_ids: jax.Array,
+    cache: BackpackCache, *, use_flash: bool = True,
+    sense_weights: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, BackpackCache]:
+    """Run `input_ids` (prefill s>1 at length 0, or decode s==1) through the
+    incremental path. Returns logits (b, s, vocab) for the new tokens and the
+    updated cache. This replaces the reference's full-prefix recompute decode
+    (training/src/utils/generation.py) — per-step cost O(t) instead of O(t^2).
+    """
+    b, s = input_ids.shape
+    offset = cache.length
+    new_len = offset + s
+
+    contextl, gpt_cache = gpt_lib.gpt_forward_with_cache(
+        params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash)
+    q, k_new = context_qk(params, cfg, contextl)  # (b, s, nv, dnv)
+    ctx_k = jax.lax.dynamic_update_slice(
+        cache.ctx_k, k_new.astype(cache.ctx_k.dtype), (0, offset, 0, 0))
+
+    senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
+    content = jax.lax.dynamic_update_slice(
+        cache.content, senses_new.astype(cache.content.dtype), (0, offset, 0, 0))
+
+    # alpha rows for the s new queries over all cached keys.
+    scale = cfg.sense_head_dim ** -0.5
+    scores = jnp.einsum("bthd,bshd->bhts", q,
+                        ctx_k.astype(q.dtype) * scale,
+                        preferred_element_type=jnp.float32)  # (b, nv, s, max_s)
+    max_s = ctx_k.shape[1]
+    qpos = offset + jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 1)
+    scores = jnp.where((kpos <= qpos)[None, None], scores, MASK_VALUE)
+    alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
+
+    content_w = content.astype(contextl.dtype)
+    if sense_weights is not None:
+        if sense_weights.ndim == 1:
+            content_w = content_w * sense_weights[None, None, :, None].astype(content_w.dtype)
+        else:
+            content_w = content_w * sense_weights[..., None].astype(content_w.dtype)
+    outputs = jnp.einsum("bkts,bskd->btd", alpha, content_w,
+                         preferred_element_type=jnp.float32).astype(contextl.dtype)
+    logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
+    return logits, BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
+                                 length=new_len)

@@ -1,0 +1,248 @@
+"""GPT-2/GPT-3 style decoder, TPU-native.
+
+Re-design of the reference's GPTModel/GPTLMHeadModel
+(reference: flash_attn/models/gpt.py:175-282) as pure functions over a dict
+pytree of parameters:
+
+  * Layers are stored stacked on a leading (n_layer, ...) axis and executed
+    with lax.scan — one trace/compile for all layers, and sharding annotations
+    apply uniformly per-leaf (the pjit analogue of the reference's per-layer
+    Parallel* module variants).
+  * The reference's reordered residual ("Attn/MLP -> Dropout -> Add -> LN",
+    gpt.py:197-206) is kept exactly: the final ln_f lives as the last layer's
+    norm2 and the first ln_1 is hoisted to ln_0, so checkpoint import
+    (remap_state_dict_gpt2, gpt.py:285-340) is a pure key remap.
+  * Residual stream is carried in fp32 (gpt.py:231-240) with bf16 activations.
+  * Decode uses a static-shape KV cache updated via dynamic_update_slice —
+    the XLA-friendly analogue of MHA._update_kv_cache (modules/mha.py:356-380).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GPTConfig
+from ..ops import dense, norms
+from ..ops.attention import decode_attention, mha
+
+Params = Dict[str, Any]
+
+
+def _softmax_scales(cfg: GPTConfig) -> jnp.ndarray:
+    """Per-layer softmax scale; reference: flash_attn/models/gpt.py:46-50."""
+    scale = cfg.head_dim ** -0.5
+    layer_idx = jnp.arange(cfg.n_layer, dtype=jnp.float32)
+    if cfg.scale_attn_by_inverse_layer_idx:
+        return scale / (layer_idx + 1.0)
+    return jnp.full((cfg.n_layer,), scale, jnp.float32)
+
+
+# ---------------------------------------------------------------- init
+
+def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """GPT-2-paper init with 1/sqrt(2*n_layer) residual-out rescale
+    (reference: flash_attn/models/gpt.py:154-172)."""
+    d, v = cfg.n_embd, cfg.padded_vocab_size
+    keys = jax.random.split(key, 4 + cfg.n_layer)
+    std = cfg.initializer_range
+    out_std = std / (2 * cfg.n_layer) ** 0.5
+
+    params: Params = {
+        "wte": (jax.random.normal(keys[0], (v, d)) * std).astype(dtype),
+        "ln_0": norms.init_layer_norm(d, dtype),
+    }
+    if cfg.n_positions > 0:
+        params["wpe"] = (jax.random.normal(keys[1], (cfg.n_positions, d)) * std
+                         ).astype(dtype)
+
+    def init_layer(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "Wqkv": dense.init_linear(k1, d, 3 * d, std=std, dtype=dtype),
+            "out_proj": dense.init_linear(k2, d, d, std=out_std, dtype=dtype),
+            "norm1": norms.init_layer_norm(d, dtype),
+            "mlp": dense.init_mlp(k3, d, cfg.inner_dim, std=std, out_std=out_std,
+                                  dtype=dtype),
+            "norm2": norms.init_layer_norm(d, dtype),
+        }
+
+    layers = [init_layer(k) for k in keys[4:]]
+    params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return params
+
+
+# ---------------------------------------------------------------- KV cache
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache, stacked over layers.
+
+    k, v: (n_layer, batch, max_seqlen, n_head, head_dim). `length` is the
+    number of valid positions (shared across the batch; the continuous-batching
+    server tracks per-slot lengths separately).
+    """
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # scalar int32
+
+
+def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.n_layer, batch, max_seqlen, cfg.n_head, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------- forward
+
+def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
+           train: bool, rngs, use_flash: bool, key_padding_mask):
+    """One pre-norm block with reordered residual
+    (reference: flash_attn/modules/block.py:62-106)."""
+    qkv = dense.linear(hidden, layer_params["Wqkv"])
+    b, s, _ = qkv.shape
+    qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    r_attn, r_d1, r_d2 = (jax.random.split(rngs, 3) if rngs is not None
+                          else (None, None, None))
+    ctx = mha(q, k, v, causal=True, softmax_scale=scale,
+              key_padding_mask=key_padding_mask,
+              dropout_p=cfg.attn_pdrop, dropout_rng=r_attn,
+              deterministic=not train, use_flash=use_flash)
+    mixer_out = dense.linear(ctx.reshape(b, s, cfg.n_embd),
+                             layer_params["out_proj"])
+    hidden, residual = norms.dropout_add_layer_norm(
+        mixer_out, residual, layer_params["norm1"]["weight"],
+        layer_params["norm1"]["bias"], cfg.resid_pdrop, cfg.layer_norm_epsilon,
+        rng=r_d1, deterministic=not train)
+    mlp_out = dense.mlp(hidden, layer_params["mlp"], cfg.activation)
+    hidden, residual = norms.dropout_add_layer_norm(
+        mlp_out, residual, layer_params["norm2"]["weight"],
+        layer_params["norm2"]["bias"], cfg.resid_pdrop, cfg.layer_norm_epsilon,
+        rng=r_d2, deterministic=not train)
+    return hidden, residual
+
+
+def embed(params: Params, cfg: GPTConfig, input_ids: jax.Array,
+          position_ids: Optional[jax.Array] = None,
+          dtype=None) -> jax.Array:
+    """Word + learned-position embeddings (reference: modules/embedding.py:11-39)."""
+    hidden = jnp.take(params["wte"], input_ids, axis=0)
+    if cfg.n_positions > 0:
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[1])[None, :]
+        hidden = hidden + jnp.take(params["wpe"], position_ids, axis=0)
+    return hidden.astype(dtype) if dtype is not None else hidden
+
+
+def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
+                position_ids: Optional[jax.Array] = None,
+                train: bool = False, rng: Optional[jax.Array] = None,
+                use_flash: bool = True,
+                key_padding_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Full forward; returns post-final-LN hidden states (b, s, d)
+    (the analogue of GPTModel.forward, reference gpt.py:224-246)."""
+    hidden = embed(params, cfg, input_ids, position_ids)
+    r_emb, r_layers = (jax.random.split(rng) if rng is not None else (None, None))
+    hidden, residual = norms.dropout_add_layer_norm(
+        hidden, None, params["ln_0"]["weight"], params["ln_0"]["bias"],
+        cfg.embd_pdrop, cfg.layer_norm_epsilon, rng=r_emb,
+        deterministic=not train)
+
+    scales = _softmax_scales(cfg)
+    layer_rngs = (jax.random.split(r_layers, cfg.n_layer)
+                  if r_layers is not None else None)
+
+    def scan_body(carry, xs):
+        hidden, residual = carry
+        if layer_rngs is not None:
+            layer_params, scale, lrng = xs
+        else:
+            (layer_params, scale), lrng = xs, None
+        hidden, residual = _block(hidden, residual, layer_params, scale, cfg,
+                                  train=train, rngs=lrng, use_flash=use_flash,
+                                  key_padding_mask=key_padding_mask)
+        return (hidden, residual), None
+
+    xs = ((params["layers"], scales, layer_rngs) if layer_rngs is not None
+          else (params["layers"], scales))
+    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs)
+    return hidden
+
+
+def gpt_forward_with_cache(
+    params: Params, cfg: GPTConfig, input_ids: jax.Array, cache: KVCache, *,
+    use_flash: bool = True,
+) -> Tuple[jax.Array, KVCache]:
+    """Forward over `input_ids` starting at position cache.length, updating the
+    KV cache. Handles both prefill (s > 1, length == 0) and incremental decode
+    (s == 1). Replaces the reference decode protocol of mha.py:425-440.
+    """
+    b, s = input_ids.shape
+    offset = cache.length
+    position_ids = offset + jnp.arange(s)[None, :]
+    hidden = embed(params, cfg, input_ids, position_ids)
+    hidden, residual = norms.dropout_add_layer_norm(
+        hidden, None, params["ln_0"]["weight"], params["ln_0"]["bias"],
+        0.0, cfg.layer_norm_epsilon)
+
+    scales = _softmax_scales(cfg)
+    new_len = offset + s
+
+    def scan_body(carry, xs):
+        hidden, residual = carry
+        layer_params, scale, k_cache, v_cache = xs
+        qkv = dense.linear(hidden, layer_params["Wqkv"])
+        qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
+        if s == 1:
+            ctx = decode_attention(q, k_cache, v_cache, new_len,
+                                   softmax_scale=scale)
+        else:
+            # Prefill: attend over the cache with a causal offset. When
+            # offset == 0 this is plain causal self-attention on fresh K/V.
+            ctx = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                      causal=True, softmax_scale=scale,
+                      seq_lengths=jnp.full((b,), new_len, jnp.int32),
+                      use_flash=use_flash)
+        mixer_out = dense.linear(ctx.reshape(b, s, cfg.n_embd),
+                                 layer_params["out_proj"])
+        hidden, residual = norms.dropout_add_layer_norm(
+            mixer_out, residual, layer_params["norm1"]["weight"],
+            layer_params["norm1"]["bias"], 0.0, cfg.layer_norm_epsilon)
+        mlp_out = dense.mlp(hidden, layer_params["mlp"], cfg.activation)
+        hidden, residual = norms.dropout_add_layer_norm(
+            mlp_out, residual, layer_params["norm2"]["weight"],
+            layer_params["norm2"]["bias"], 0.0, cfg.layer_norm_epsilon)
+        return (hidden, residual), (k_cache, v_cache)
+
+    (hidden, _), (new_k, new_v) = jax.lax.scan(
+        scan_body, (hidden, residual),
+        (params["layers"], scales, cache.k, cache.v))
+    return hidden, KVCache(k=new_k, v=new_v, length=new_len)
+
+
+# ---------------------------------------------------------------- LM head
+
+def init_gpt_lm(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """GPTLMHeadModel: lm_head is weight-tied to wte (reference gpt.py:270-271),
+    so the param tree is identical to the base model's."""
+    return init_gpt(cfg, key, dtype)
+
+
+def lm_logits(params: Params, cfg: GPTConfig, hidden: jax.Array) -> jax.Array:
+    """Tied lm_head: hidden @ wte^T (reference gpt.py:270-280)."""
+    return jnp.dot(hidden, params["wte"].T,
+                   preferred_element_type=jnp.float32)
+
+
+def gpt_lm_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array,
+                   **kw) -> jax.Array:
+    return lm_logits(params, cfg, gpt_forward(params, cfg, input_ids, **kw))

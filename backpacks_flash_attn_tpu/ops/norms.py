@@ -1,0 +1,79 @@
+"""LayerNorm and dropout+add+LayerNorm.
+
+TPU-native equivalent of the reference's csrc/layer_norm fused CUDA extension
+(reference: csrc/layer_norm/ln_api.cpp:83,454-457 and flash_attn/ops/layer_norm.py:207-216).
+On TPU, XLA fuses the dropout + residual-add + normalization chain into a single
+HBM pass on its own, so this is plain jnp written so the fusion is possible:
+one expression tree, fp32 statistics, no intermediate host round-trips.
+
+Semantics preserved from the reference:
+  * prenorm mode returns (normalized, residual) where residual = dropout(x) + prev_residual
+  * residual is carried in fp32 ("residual_in_fp32", reference gpt.py:231-240)
+  * rowscale (stochastic depth) supported via an optional per-row multiplier
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
+               eps: float = 1e-5, out_dtype=None) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of input dtype."""
+    out_dtype = out_dtype if out_dtype is not None else x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
+            deterministic: bool) -> jax.Array:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def dropout_add_layer_norm(
+    x: jax.Array,
+    residual: Optional[jax.Array],
+    weight: jax.Array,
+    bias: jax.Array,
+    dropout_p: float = 0.0,
+    eps: float = 1e-5,
+    *,
+    rowscale: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    prenorm: bool = True,
+    residual_in_fp32: bool = True,
+    out_dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """dropout(x) [*rowscale] + residual -> LayerNorm.
+
+    Matches flash_attn/ops/layer_norm.py:207-216 semantics. Returns
+    (normalized, new_residual) when prenorm else just normalized.
+    """
+    out_dtype = out_dtype if out_dtype is not None else x.dtype
+    y = dropout(x, dropout_p, rng, deterministic)
+    if rowscale is not None:
+        y = y * rowscale[..., None].astype(y.dtype)
+    res_dtype = jnp.float32 if residual_in_fp32 else y.dtype
+    new_residual = y.astype(res_dtype)
+    if residual is not None:
+        new_residual = new_residual + residual.astype(res_dtype)
+    normed = layer_norm(new_residual, weight, bias, eps, out_dtype=out_dtype)
+    if prenorm:
+        return normed, new_residual
+    return normed
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32) -> dict:
+    return {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}

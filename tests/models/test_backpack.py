@@ -1,0 +1,117 @@
+"""Backpack model tests: shapes, causality, sense-table equivalence, and the
+incremental-decode-vs-full-recompute oracle (the reference has no Backpack unit
+tests at all — SURVEY.md §4.4; these close that gap)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.config import backpack_test
+from backpacks_flash_attn_tpu.models import backpack as bp
+from backpacks_flash_attn_tpu.utils import generation
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 20), 0, cfg.vocab_size)
+    return cfg, params, ids
+
+
+def test_forward_shapes(setup):
+    cfg, params, ids = setup
+    logits, parts = bp.backpack_forward(params, cfg, ids, use_flash=False,
+                                        return_parts=True)
+    b, s = ids.shape
+    assert logits.shape == (b, s, cfg.padded_vocab_size)
+    assert parts["alpha"].shape == (b, cfg.num_senses, s, s)
+    assert parts["content"].shape == (b, s, cfg.num_senses, cfg.n_embd)
+    # alpha rows are a causal softmax: rows sum to 1, strictly-upper = 0
+    alpha = np.asarray(parts["alpha"], np.float64)
+    np.testing.assert_allclose(alpha.sum(-1), 1.0, atol=1e-3)
+    triu = np.triu(np.ones((s, s)), k=1).astype(bool)
+    assert np.abs(alpha[..., triu]).max() < 1e-6
+
+
+def test_causality(setup):
+    cfg, params, ids = setup
+    logits = bp.backpack_forward(params, cfg, ids, use_flash=False)
+    ids2 = ids.at[:, 9].set((ids[:, 9] + 1) % cfg.vocab_size)
+    logits2 = bp.backpack_forward(params, cfg, ids2, use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits[:, :9]),
+                               np.asarray(logits2[:, :9]), atol=1e-5)
+    assert np.abs(np.asarray(logits[:, 9:]) -
+                  np.asarray(logits2[:, 9:])).max() > 1e-3
+
+
+def test_content_is_per_token(setup):
+    """Sense vectors depend only on the token id (reference exploits this in
+    modulate_generate.py:66-71): same token in different positions/contexts
+    must produce identical senses."""
+    cfg, params, _ = setup
+    tok = jnp.array([[7, 3, 7], [7, 7, 7]])
+    content = bp.content_forward(params, cfg, tok)
+    np.testing.assert_allclose(np.asarray(content[0, 0]),
+                               np.asarray(content[0, 2]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(content[0, 0]),
+                               np.asarray(content[1, 1]), atol=1e-6)
+
+
+def test_sense_table_matches_content(setup):
+    cfg, params, ids = setup
+    table = bp.sense_table(params, cfg, chunk=256)
+    assert table.shape == (cfg.padded_vocab_size, cfg.num_senses, cfg.n_embd)
+    content = bp.content_forward(params, cfg, ids)
+    gathered = np.asarray(table)[np.asarray(ids)]
+    np.testing.assert_allclose(np.asarray(content), gathered, atol=1e-5)
+
+
+def test_cached_forward_matches_full(setup):
+    cfg, params, ids = setup
+    full_logits = bp.backpack_forward(params, cfg, ids, use_flash=False)
+    cache = bp.init_backpack_cache(cfg, 2, 24, dtype=jnp.float32)
+    pre_logits, cache = bp.backpack_forward_with_cache(
+        params, cfg, ids[:, :16], cache, use_flash=False)
+    np.testing.assert_allclose(np.asarray(pre_logits),
+                               np.asarray(full_logits[:, :16]),
+                               atol=2e-4, rtol=1e-4)
+    for t in range(16, 20):
+        step_logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache, use_flash=False)
+        np.testing.assert_allclose(np.asarray(step_logits[:, 0]),
+                                   np.asarray(full_logits[:, t]),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_generate_matches_recompute_oracle(setup):
+    """Token-for-token parity of the incremental decode vs the reference-style
+    full-prefix recompute (the pattern of reference tests/models/
+    test_gpt_generation.py:21-70, applied to Backpack)."""
+    cfg, params, ids = setup
+    prompt = ids[:, :8]
+    max_length = 20
+    oracle = generation.generate_backpack_recompute(params, cfg, prompt,
+                                                    max_length)
+    out = generation.generate_backpack(params, cfg, prompt, max_length,
+                                       use_flash=False,
+                                       cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(oracle), np.asarray(out.sequences))
+
+
+def test_sense_weights_hook(setup):
+    """Zeroing all senses must zero the output head's input -> uniform-ish
+    logits shift; doubling weights must change logits."""
+    cfg, params, ids = setup
+    base = bp.backpack_forward(params, cfg, ids, use_flash=False)
+    w = jnp.ones((cfg.num_senses,))
+    same = bp.backpack_forward(params, cfg, ids, use_flash=False,
+                               sense_weights=w)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=1e-5)
+    w2 = w.at[0].set(0.0)
+    changed = bp.backpack_forward(params, cfg, ids, use_flash=False,
+                                  sense_weights=w2)
+    assert np.abs(np.asarray(base) - np.asarray(changed)).max() > 1e-4

@@ -1,0 +1,79 @@
+"""GPT model tests: shapes, causality, decode parity.
+
+Mirrors the reference's test strategy (SURVEY.md §4): causality is the
+architecture-level invariant (reference: training/src/callbacks/
+causality_monitor.py:8-59) and KV-cached decode must match the full forward
+token-for-token (reference: tests/models/test_gpt_generation.py:21-70).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.config import gpt2_test
+from backpacks_flash_attn_tpu.models import gpt as gpt_lib
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = gpt2_test()
+    params = gpt_lib.init_gpt(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, cfg.vocab_size)
+    return cfg, params, ids
+
+
+def test_forward_shapes(setup):
+    cfg, params, ids = setup
+    hidden = gpt_lib.gpt_forward(params, cfg, ids, use_flash=False)
+    assert hidden.shape == (2, 24, cfg.n_embd)
+    logits = gpt_lib.gpt_lm_forward(params, cfg, ids, use_flash=False)
+    assert logits.shape == (2, 24, cfg.padded_vocab_size)
+    assert not np.any(np.isnan(np.asarray(logits)))
+
+
+def test_causality(setup):
+    """Changing token t must not affect logits at positions < t."""
+    cfg, params, ids = setup
+    logits = gpt_lib.gpt_lm_forward(params, cfg, ids, use_flash=False)
+    ids2 = ids.at[:, 10].set((ids[:, 10] + 1) % cfg.vocab_size)
+    logits2 = gpt_lib.gpt_lm_forward(params, cfg, ids2, use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits[:, :10]),
+                               np.asarray(logits2[:, :10]), atol=1e-5)
+    assert np.abs(np.asarray(logits[:, 10:]) -
+                  np.asarray(logits2[:, 10:])).max() > 1e-3
+
+
+def test_cached_forward_matches_full(setup):
+    """Prefill-then-step logits == full forward logits (the invariant behind
+    reference tests/models/test_gpt_generation.py)."""
+    cfg, params, ids = setup
+    full_hidden = gpt_lib.gpt_forward(params, cfg, ids, use_flash=False)
+
+    cache = gpt_lib.init_kv_cache(cfg, 2, 32, dtype=jnp.float32)
+    prefill_hidden, cache = gpt_lib.gpt_forward_with_cache(
+        params, cfg, ids[:, :20], cache, use_flash=False)
+    np.testing.assert_allclose(np.asarray(prefill_hidden),
+                               np.asarray(full_hidden[:, :20]),
+                               atol=1e-4, rtol=1e-4)
+    # 4 incremental steps
+    for t in range(20, 24):
+        step_hidden, cache = gpt_lib.gpt_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache, use_flash=False)
+        np.testing.assert_allclose(np.asarray(step_hidden[:, 0]),
+                                   np.asarray(full_hidden[:, t]),
+                                   atol=1e-4, rtol=1e-4)
+    assert int(cache.length) == 24
+
+
+def test_dropout_train_vs_eval(setup):
+    cfg, params, ids = setup
+    out1 = gpt_lib.gpt_forward(params, cfg, ids, train=True,
+                               rng=jax.random.PRNGKey(3), use_flash=False)
+    out2 = gpt_lib.gpt_forward(params, cfg, ids, train=True,
+                               rng=jax.random.PRNGKey(4), use_flash=False)
+    out_eval = gpt_lib.gpt_forward(params, cfg, ids, use_flash=False)
+    # Different rngs give different outputs; eval is deterministic.
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-4
+    out_eval2 = gpt_lib.gpt_forward(params, cfg, ids, use_flash=False)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
