@@ -50,7 +50,7 @@ def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                       block_q: int):
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (block_q, d)
-    seq_len = lens_ref[0]
+    seq_len = lens_ref[pl.program_id(0)]
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
     if causal:
@@ -89,7 +89,7 @@ def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l_safe)
+    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, None]
 
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
@@ -119,23 +119,22 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, hi, qi: (bi,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (b,) lengths
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(seq_lengths, qp, kp, vp)
-    return out[:, :, :sq, :d], lse[:, :, :sq]
+    return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
