@@ -46,8 +46,11 @@ def install_reference_shims():
     import types
 
     if "torchvision" not in sys.modules:
+        import importlib.machinery
         tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tv_ops = types.ModuleType("torchvision.ops")
+        tv_ops.__spec__ = importlib.machinery.ModuleSpec("torchvision.ops", None)
 
         import torch
 
