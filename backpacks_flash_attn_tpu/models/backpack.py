@@ -108,7 +108,18 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     position embeddings, no mixing (reference: backpack.py:251-276)."""
     b, s = input_ids.shape
     cp = params["content"]
-    hidden = jnp.take(params["gpt"]["wte"], input_ids, axis=0)  # shared table
+    if "table" in cp:
+        # Quantized precomputed sense table: a pure gather replaces the MLP
+        # (valid by the per-token property; see sense_table()). Layout:
+        # q (V, nv, d[/2]) int8, scale (V, nv, 1) — per-token-per-sense scales.
+        from ..ops import quant
+        t = cp["table"]
+        rows = jnp.take(t.q, input_ids, axis=0)
+        if t.bits == 4:
+            rows = quant.unpack_int4_last(rows)
+        scales = jnp.take(t.scale, input_ids, axis=0)
+        return (rows.astype(jnp.float32) * scales).astype(jnp.bfloat16)
+    hidden = gpt_lib.take_embedding(params["gpt"]["wte"], input_ids)
     r_emb, r_blk = (jax.random.split(rng) if rng is not None else (None, None))
     hidden, residual = norms.dropout_add_layer_norm(
         hidden, None, cp["ln_0"]["weight"], cp["ln_0"]["bias"],
@@ -194,21 +205,32 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
 
 class BackpackCache(NamedTuple):
     """Incremental-decode state: GPT KV cache + contextualization K cache +
-    per-token sense cache. All static shapes."""
+    per-token sense cache. All static shapes. An int8 content cache carries
+    per-(pos, sense) dequant scales (content_scale)."""
     gpt: gpt_lib.KVCache
     ctx_k: jax.Array    # (b, max_s, nv, d/nv)
     content: jax.Array  # (b, max_s, nv, d)
     length: jax.Array   # scalar int32
+    content_scale: Optional[jax.Array] = None  # (b, max_s, nv, 1)
+
+    @property
+    def quantized(self) -> bool:
+        return self.content.dtype == jnp.int8
 
 
 def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
                         dtype=jnp.bfloat16) -> BackpackCache:
+    content_dtype = dtype
+    ctx_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
     return BackpackCache(
         gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype),
         ctx_k=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.sense_head_dim),
-                        dtype),
-        content=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.n_embd), dtype),
+                        ctx_dtype),
+        content=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.n_embd),
+                          content_dtype),
         length=jnp.zeros((), jnp.int32),
+        content_scale=(jnp.ones((batch, max_seqlen, cfg.num_senses, 1),
+                                jnp.float32) if dtype == jnp.int8 else None),
     )
 
 
@@ -233,8 +255,18 @@ def backpack_forward_with_cache(
         cache.ctx_k, k_new.astype(cache.ctx_k.dtype), (0, offset, 0, 0))
 
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
-    content = jax.lax.dynamic_update_slice(
-        cache.content, senses_new.astype(cache.content.dtype), (0, offset, 0, 0))
+    content_scale = cache.content_scale
+    if cache.quantized:
+        from ..ops import quant
+        s8, ssc = quant.quantize_activations_int8(senses_new)
+        content = jax.lax.dynamic_update_slice(cache.content, s8,
+                                               (0, offset, 0, 0))
+        content_scale = jax.lax.dynamic_update_slice(content_scale, ssc,
+                                                     (0, offset, 0, 0))
+    else:
+        content = jax.lax.dynamic_update_slice(
+            cache.content, senses_new.astype(cache.content.dtype),
+            (0, offset, 0, 0))
 
     # alpha rows for the s new queries over all cached keys.
     scale = cfg.sense_head_dim ** -0.5
@@ -247,14 +279,21 @@ def backpack_forward_with_cache(
     scores = jnp.where((kpos <= qpos)[None, None], scores, MASK_VALUE)
     alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
 
+    if cache.quantized:
+        # fold per-(pos, sense) dequant scales into alpha:
+        # out = sum_k alpha[b,k,t,s] * (c8[b,s,k,d] * cs[b,s,k])
+        alpha = alpha * jnp.transpose(content_scale[..., 0], (0, 2, 1)
+                                      )[:, :, None, :].astype(alpha.dtype)
     content_w = content.astype(contextl.dtype)
     if sense_weights is not None:
         if sense_weights.ndim == 1:
-            content_w = content_w * sense_weights[None, None, :, None].astype(content_w.dtype)
+            alpha = alpha * sense_weights[None, :, None, None].astype(alpha.dtype)
         else:
-            content_w = content_w * sense_weights[..., None].astype(content_w.dtype)
+            # (b, max_s, nv) per-position weights fold into alpha's key axis
+            alpha = alpha * jnp.transpose(sense_weights, (0, 2, 1)
+                                          )[:, :, None, :].astype(alpha.dtype)
     outputs = jnp.einsum("bkts,bskd->btd", alpha, content_w,
                          preferred_element_type=jnp.float32).astype(contextl.dtype)
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
     return logits, BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
-                                 length=new_len)
+                                 length=new_len, content_scale=content_scale)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import GPTConfig
 from ..ops import dense, norms
-from ..ops.attention import decode_attention, mha
+from ..ops.attention import decode_attention, decode_attention_quant, mha
 
 Params = Dict[str, Any]
 
@@ -80,20 +80,32 @@ def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
 class KVCache(NamedTuple):
     """Static-shape per-layer KV cache, stacked over layers.
 
-    k, v: (n_layer, batch, max_seqlen, n_head, head_dim). `length` is the
-    number of valid positions (shared across the batch; the continuous-batching
-    server tracks per-slot lengths separately).
+    k, v: (n_layer, batch, max_seqlen, n_head, head_dim). When dtype is int8
+    (the BASELINE.md INT8 KV cache), k_scale/v_scale hold per-(pos, head)
+    dequant scales of shape (n_layer, batch, max_seqlen, n_head, 1).
+    `length` is the number of valid positions (shared across the batch; the
+    continuous-batching server tracks per-slot lengths separately).
     """
     k: jax.Array
     v: jax.Array
     length: jax.Array  # scalar int32
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
 
 def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
                   dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.n_layer, batch, max_seqlen, cfg.n_head, cfg.head_dim)
+    scales = None
+    if dtype == jnp.int8:
+        scales = jnp.ones(shape[:-1] + (1,), jnp.float32)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((), jnp.int32))
+                   length=jnp.zeros((), jnp.int32),
+                   k_scale=scales, v_scale=scales)
 
 
 # ---------------------------------------------------------------- forward
@@ -126,15 +138,26 @@ def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
     return hidden, residual
 
 
+def take_embedding(wte, input_ids: jax.Array) -> jax.Array:
+    """Embedding gather; wte may be a plain (V, d) array or an INT8 row-quantized
+    dict {'q': (V, d) int8, 'row_scale': (V, 1)}."""
+    if isinstance(wte, dict):
+        rows = jnp.take(wte["q"], input_ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(wte["row_scale"], input_ids, axis=0)
+        return (rows * scales).astype(jnp.bfloat16)
+    return jnp.take(wte, input_ids, axis=0)
+
+
 def embed(params: Params, cfg: GPTConfig, input_ids: jax.Array,
           position_ids: Optional[jax.Array] = None,
           dtype=None) -> jax.Array:
     """Word + learned-position embeddings (reference: modules/embedding.py:11-39)."""
-    hidden = jnp.take(params["wte"], input_ids, axis=0)
+    hidden = take_embedding(params["wte"], input_ids)
     if cfg.n_positions > 0:
         if position_ids is None:
             position_ids = jnp.arange(input_ids.shape[1])[None, :]
-        hidden = hidden + jnp.take(params["wpe"], position_ids, axis=0)
+        hidden = hidden + jnp.take(params["wpe"], position_ids, axis=0
+                                   ).astype(hidden.dtype)
     return hidden.astype(dtype) if dtype is not None else hidden
 
 
@@ -191,25 +214,43 @@ def gpt_forward_with_cache(
 
     scales = _softmax_scales(cfg)
     new_len = offset + s
+    quantized = cache.quantized
 
     def scan_body(carry, xs):
         hidden, residual = carry
-        layer_params, scale, k_cache, v_cache = xs
+        layer_params, scale, k_cache, v_cache, k_sc, v_sc = xs
         qkv = dense.linear(hidden, layer_params["Wqkv"])
         qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
-        if s == 1:
+        if quantized:
+            from ..ops import quant
+            k8, ks = quant.quantize_activations_int8(k)
+            v8, vs = quant.quantize_activations_int8(v)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k8, (0, offset, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v8, (0, offset, 0, 0))
+            k_sc = jax.lax.dynamic_update_slice(k_sc, ks, (0, offset, 0, 0))
+            v_sc = jax.lax.dynamic_update_slice(v_sc, vs, (0, offset, 0, 0))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
+        if s == 1 and quantized:
+            ctx = decode_attention_quant(q, k_cache, k_sc, v_cache, v_sc,
+                                         new_len, softmax_scale=scale)
+        elif s == 1:
             ctx = decode_attention(q, k_cache, v_cache, new_len,
                                    softmax_scale=scale)
         else:
             # Prefill: attend over the cache with a causal offset. When
             # offset == 0 this is plain causal self-attention on fresh K/V.
-            ctx = mha(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                      causal=True, softmax_scale=scale,
+            # (Quantized prefill dequantizes once — prefill is compute-bound.)
+            if quantized:
+                kd = (k_cache.astype(jnp.float32) * k_sc).astype(q.dtype)
+                vd = (v_cache.astype(jnp.float32) * v_sc).astype(q.dtype)
+            else:
+                kd, vd = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
+            ctx = mha(q, kd, vd, causal=True, softmax_scale=scale,
                       seq_lengths=jnp.full((b,), new_len, jnp.int32),
                       use_flash=use_flash)
         mixer_out = dense.linear(ctx.reshape(b, s, cfg.n_embd),
@@ -221,12 +262,17 @@ def gpt_forward_with_cache(
         hidden, residual = norms.dropout_add_layer_norm(
             mlp_out, residual, layer_params["norm2"]["weight"],
             layer_params["norm2"]["bias"], 0.0, cfg.layer_norm_epsilon)
-        return (hidden, residual), (k_cache, v_cache)
+        return (hidden, residual), (k_cache, v_cache, k_sc, v_sc)
 
-    (hidden, _), (new_k, new_v) = jax.lax.scan(
-        scan_body, (hidden, residual),
-        (params["layers"], scales, cache.k, cache.v))
-    return hidden, KVCache(k=new_k, v=new_v, length=new_len)
+    dummy = jnp.zeros((cfg.n_layer, 1))  # placeholder scan input when fp cache
+    xs = (params["layers"], scales, cache.k, cache.v,
+          cache.k_scale if quantized else dummy,
+          cache.v_scale if quantized else dummy)
+    (hidden, _), (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        scan_body, (hidden, residual), xs)
+    return hidden, KVCache(k=new_k, v=new_v, length=new_len,
+                           k_scale=new_ks if quantized else None,
+                           v_scale=new_vs if quantized else None)
 
 
 # ---------------------------------------------------------------- LM head
@@ -238,7 +284,12 @@ def init_gpt_lm(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
 
 
 def lm_logits(params: Params, cfg: GPTConfig, hidden: jax.Array) -> jax.Array:
-    """Tied lm_head: hidden @ wte^T (reference gpt.py:270-280)."""
+    """Tied lm_head: hidden @ wte^T (reference gpt.py:270-280). Quantized
+    param trees carry an explicit 'lm_head' quantized (d, V) kernel."""
+    if "lm_head" in params:
+        from ..ops import quant
+        return quant.quant_linear(hidden, params["lm_head"],
+                                  ).astype(jnp.float32)
     return jnp.dot(hidden, params["wte"].T,
                    preferred_element_type=jnp.float32)
 

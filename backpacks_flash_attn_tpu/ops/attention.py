@@ -115,3 +115,33 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     attn = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
     return jnp.einsum("bhts,bshd->bthd", attn, v_cache,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def decode_attention_quant(q: jax.Array, k_cache: jax.Array,
+                           k_scale: jax.Array, v_cache: jax.Array,
+                           v_scale: jax.Array, cache_len: jax.Array, *,
+                           softmax_scale: Optional[float] = None) -> jax.Array:
+    """Single-step attention over an INT8 KV cache with dequant scales folded
+    into the score/probability tensors (no dequantized cache is ever
+    materialized in HBM — the reference has no quantized-cache analogue; this
+    is the BASELINE.md INT8-KV-cache requirement).
+
+    q: (b, 1, h, dh) bf16; k_cache/v_cache: (b, S, h, dh) int8;
+    k_scale/v_scale: (b, S, h, 1) f32.
+    """
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    # scores[b,h,t,s] = (q . k8) * k_scale[b,s,h]
+    scores = jnp.einsum("bthd,bshd->bhts", q * scale,
+                        k_cache.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
+    s = k_cache.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (s,), 0)
+    valid = pos[None, :] < jnp.asarray(cache_len, jnp.int32).reshape(-1, 1)
+    scores = jnp.where(valid[:, None, None, :], scores, MASK_VALUE)
+    attn = jax.nn.softmax(scores, axis=-1)
+    # fold v_scale into the probabilities, then contract with int8 V
+    attn = attn * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
+    attn = attn.astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", attn, v_cache.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -36,8 +36,13 @@ ACTIVATIONS = {
 def linear(x: jax.Array, params: dict, *, accum_dtype=jnp.float32) -> jax.Array:
     """x @ kernel + bias with fp32 accumulation on the MXU.
 
-    params: {'kernel': (in, out), 'bias': (out,) optional}
+    params: {'kernel': (in, out), 'bias': (out,) optional}, or a quantized
+    param dict from ops/quant.py (dispatched transparently so every model
+    runs unchanged on INT8/INT4 weights).
     """
+    from . import quant
+    if quant.is_quantized(params):
+        return quant.quant_linear(x, params)
     kernel = params["kernel"]
     y = jnp.dot(x, kernel, preferred_element_type=accum_dtype)
     bias = params.get("bias")
