@@ -216,9 +216,12 @@ def gpt_forward_with_cache(
     new_len = offset + s
     quantized = cache.quantized
 
+    # The stacked caches ride the scan CARRY (not xs/ys): dynamic-update-slice
+    # on a carried buffer compiles to an in-place write, whereas xs/ys would
+    # copy the full (n_layer, b, S, h, dh) cache every decode step.
     def scan_body(carry, xs):
-        hidden, residual = carry
-        layer_params, scale, k_cache, v_cache, k_sc, v_sc = xs
+        hidden, residual, k_all, v_all, ks_all, vs_all = carry
+        layer_params, scale, li = xs
         qkv = dense.linear(hidden, layer_params["Wqkv"])
         qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -226,15 +229,26 @@ def gpt_forward_with_cache(
             from ..ops import quant
             k8, ks = quant.quantize_activations_int8(k)
             v8, vs = quant.quantize_activations_int8(v)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k8, (0, offset, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v8, (0, offset, 0, 0))
-            k_sc = jax.lax.dynamic_update_slice(k_sc, ks, (0, offset, 0, 0))
-            v_sc = jax.lax.dynamic_update_slice(v_sc, vs, (0, offset, 0, 0))
+            k_all = jax.lax.dynamic_update_slice(k_all, k8[None],
+                                                 (li, 0, offset, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, v8[None],
+                                                 (li, 0, offset, 0, 0))
+            ks_all = jax.lax.dynamic_update_slice(ks_all, ks[None],
+                                                  (li, 0, offset, 0, 0))
+            vs_all = jax.lax.dynamic_update_slice(vs_all, vs[None],
+                                                  (li, 0, offset, 0, 0))
         else:
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], (li, 0, offset, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], (li, 0, offset, 0, 0))
+        shape = (1,) + k_all.shape[1:]
+        k_cache = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), shape)[0]
+        v_cache = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), shape)[0]
+        if quantized:
+            sshape = (1,) + ks_all.shape[1:]
+            k_sc = jax.lax.dynamic_slice(ks_all, (li, 0, 0, 0, 0), sshape)[0]
+            v_sc = jax.lax.dynamic_slice(vs_all, (li, 0, 0, 0, 0), sshape)[0]
         if s == 1 and quantized:
             ctx = decode_attention_quant(q, k_cache, k_sc, v_cache, v_sc,
                                          new_len, softmax_scale=scale)
@@ -262,14 +276,15 @@ def gpt_forward_with_cache(
         hidden, residual = norms.dropout_add_layer_norm(
             mlp_out, residual, layer_params["norm2"]["weight"],
             layer_params["norm2"]["bias"], 0.0, cfg.layer_norm_epsilon)
-        return (hidden, residual), (k_cache, v_cache, k_sc, v_sc)
+        return (hidden, residual, k_all, v_all, ks_all, vs_all), None
 
-    dummy = jnp.zeros((cfg.n_layer, 1))  # placeholder scan input when fp cache
-    xs = (params["layers"], scales, cache.k, cache.v,
-          cache.k_scale if quantized else dummy,
-          cache.v_scale if quantized else dummy)
-    (hidden, _), (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-        scan_body, (hidden, residual), xs)
+    dummy = jnp.zeros((1,))  # placeholder carry when the cache is fp
+    carry0 = (hidden, residual, cache.k, cache.v,
+              cache.k_scale if quantized else dummy,
+              cache.v_scale if quantized else dummy)
+    xs = (params["layers"], scales, jnp.arange(cfg.n_layer))
+    (hidden, _, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        scan_body, carry0, xs)
     return hidden, KVCache(k=new_k, v=new_v, length=new_len,
                            k_scale=new_ks if quantized else None,
                            v_scale=new_vs if quantized else None)

@@ -46,10 +46,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      scale: float, block_k: int, kv_len: int, causal: bool,
+                      block_k: int, kv_len: int, causal: bool,
                       block_q: int):
+    # q arrives pre-scaled (softmax scale may be a traced per-layer value,
+    # which a Pallas kernel cannot close over).
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (block_q, d)
+    q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
     seq_len = lens_ref[pl.program_id(0)]
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
@@ -93,7 +95,10 @@ def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
-    """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse)."""
+    """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
+    `scale` may be traced; it is folded into q before the kernel launch."""
+    if not (isinstance(scale, float) and scale == 1.0):
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
@@ -113,7 +118,7 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
 
     grid = (b, h, sq_pad // block_q)
     kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, block_k=block_k, kv_len=sk,
+        _flash_fwd_kernel, block_k=block_k, kv_len=sk,
         causal=causal, block_q=block_q)
     out, lse = pl.pallas_call(
         kernel,
@@ -187,15 +192,18 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     (reference: flash_attn/flash_attn_interface.py:242-334).
     """
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    # Fold the (possibly traced, e.g. per-layer) scale into q here: the
+    # custom_vjp's static args and the Pallas kernel must not capture tracers.
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     if seq_lengths is None:
-        out = _flash_attention_bhsd(qt, kt, vt, None, scale, causal,
+        out = _flash_attention_bhsd(qt, kt, vt, None, 1.0, causal,
                                     block_q, block_k)
     else:
         # padded/ragged path is inference-only for now: no vjp needed.
-        out, _ = _flash_fwd(qt, kt, vt, seq_lengths, scale, causal,
+        out, _ = _flash_fwd(qt, kt, vt, seq_lengths, 1.0, causal,
                             block_q, block_k)
     return jnp.swapaxes(out, 1, 2)
 
@@ -205,7 +213,8 @@ def flash_attention_with_lse(q, k, v, *, causal=True, softmax_scale=None,
     """Forward-only variant that also returns the log-sum-exp per row, the
     analogue of the reference fwd's softmax_lse output (fmha_api.cpp:277)."""
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     out, lse = _flash_fwd(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                          jnp.swapaxes(v, 1, 2), seq_lengths, scale, causal,
+                          jnp.swapaxes(v, 1, 2), seq_lengths, 1.0, causal,
                           block_q, block_k)
     return jnp.swapaxes(out, 1, 2), lse

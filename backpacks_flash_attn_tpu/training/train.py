@@ -1,0 +1,133 @@
+"""Training step: AdamW + linear warmup, DP/TP-sharded via pjit.
+
+Replaces the reference's Lightning + apex FusedAdam harness
+(reference: training/src/tasks/seq.py:20-192, configs/optimizer/adamw-apex.yaml,
+configs/scheduler/linear-warmup.yaml, src/optim/param_grouping.py:15-60):
+
+  * param grouping: no weight decay for biases, norms, embeddings
+    (reference param_grouping.py:15-60) via an optax mask
+  * linear warmup then constant/linear-decay schedule
+  * the loss is the fused cross-entropy (ops/cross_entropy.py); the full
+    train step jits over a Mesh with DP batch sharding + TP param sharding,
+    which subsumes the reference's DDP allreduce + Megatron TP machinery
+  * gradient accumulation by optax.MultiSteps when micro-batching is needed
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import BackpackConfig, GPTConfig
+from ..models import backpack as bp
+from ..models import gpt as gpt_lib
+from ..ops.cross_entropy import cross_entropy_loss
+
+
+def _decay_mask(params) -> Any:
+    """True where weight decay applies: kernels only — biases, norms and
+    embeddings excluded (reference src/optim/param_grouping.py:15-60)."""
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        name = path[-1] if path else ""
+        in_norm = any(p in ("norm1", "norm2", "ln_0") for p in path)
+        is_embedding = name in ("wte", "wpe")
+        return name == "kernel" and not in_norm and not is_embedding
+
+    return walk(params)
+
+
+def make_optimizer(params, *, lr: float = 6e-4, weight_decay: float = 0.1,
+                   warmup_steps: int = 1000, total_steps: int = 100_000,
+                   b1: float = 0.9, b2: float = 0.95, eps: float = 1e-8,
+                   grad_clip: float = 1.0,
+                   final_lr_fraction: float = 0.1,
+                   accum_steps: int = 1):
+    """Linear warmup -> linear decay to final_lr_fraction*lr (the reference's
+    linear-warmup schedule, configs/scheduler/linear-warmup.yaml)."""
+    schedule = optax.join_schedules([
+        optax.linear_schedule(0.0, lr, warmup_steps),
+        optax.linear_schedule(lr, lr * final_lr_fraction,
+                              max(total_steps - warmup_steps, 1)),
+    ], [warmup_steps])
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay, mask=_decay_mask(params)),
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
+                 label_smoothing: float = 0.0) -> Callable:
+    """batch: {'input_ids': (b, s+1)} — the LM splits x=ids[:, :-1],
+    y=ids[:, 1:] (the reference's chunked LM dataset contract,
+    training/src/datamodules/datasets/lm_dataset.py:10-32)."""
+    fwd = (bp.backpack_forward if model == "backpack"
+           else functools.partial(gpt_lib.gpt_lm_forward))
+
+    def loss_fn(params, batch, rng):
+        ids = batch["input_ids"]
+        x, y = ids[:, :-1], ids[:, 1:]
+        logits = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash)
+        return cross_entropy_loss(logits, y, label_smoothing=label_smoothing)
+
+    return loss_fn
+
+
+def make_train_step(cfg, tx, *, model: str = "backpack",
+                    use_flash: bool = True,
+                    donate: bool = True) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics); jit it with
+    the desired shardings (see make_sharded_train_step)."""
+    loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "grad_norm": gnorm,
+                 "ppl": jnp.exp(loss)})
+
+    return train_step
+
+
+def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
+                            use_flash: bool = True):
+    """jit the train step over the mesh: batch sharded on 'data', params TP-
+    sharded per parallel/mesh.py rules, optimizer state sharded like params."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import param_shardings
+
+    step_fn = make_train_step(cfg, tx, model=model, use_flash=use_flash)
+    batch_sharding = {"input_ids": NamedSharding(mesh, P("data", None))}
+
+    def sharded_init(params):
+        p_shard = param_shardings(params, cfg, mesh)
+        params = jax.device_put(params, p_shard)
+        # optimizer moments inherit param shardings via propagation from the
+        # committed param arrays (XLA keeps them aligned with the params).
+        opt_state = jax.jit(tx.init)(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    jit_step = jax.jit(step_fn, in_shardings=(None, batch_sharding, None),
+                       donate_argnums=(0,))
+    return jit_step, sharded_init

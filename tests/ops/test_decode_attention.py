@@ -1,0 +1,45 @@
+"""Fused decode-attention kernel vs its jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.ops.decode_attention import (
+    decode_attention_fused, decode_attention_ref)
+
+
+@pytest.mark.parametrize("quant", [True, False])
+@pytest.mark.parametrize("e,s,dk,dv", [(24, 128, 64, 64), (16, 96, 48, 256)])
+def test_fused_vs_ref(quant, e, s, dk, dv):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (e, dk), jnp.float32) * 0.1
+    if quant:
+        k = jax.random.randint(key, (e, dk, s), -127, 127, jnp.int8)
+        v = jax.random.randint(key, (e, s, dv), -127, 127, jnp.int8)
+        ks = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (e, s))) * 0.01
+        vs = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (e, s))) * 0.01
+    else:
+        k = jax.random.normal(key, (e, dk, s), jnp.float32)
+        v = jax.random.normal(jax.random.PRNGKey(1), (e, s, dv), jnp.float32)
+        ks = vs = None
+    length = jnp.asarray(s - 17, jnp.int32)
+    out = decode_attention_fused(q, k, ks, v, vs, length)
+    ref = decode_attention_ref(q, k, ks, v, vs, length)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_masking_excludes_tail():
+    """Positions >= length must not affect the output."""
+    key = jax.random.PRNGKey(3)
+    e, s, d = 8, 64, 32
+    q = jax.random.normal(key, (e, d))
+    k = jax.random.normal(jax.random.PRNGKey(4), (e, d, s))
+    v = jax.random.normal(jax.random.PRNGKey(5), (e, s, d))
+    out1 = decode_attention_fused(q, k, None, v, None, jnp.asarray(40))
+    k2 = k.at[:, :, 40:].set(999.0)
+    v2 = v.at[:, 40:].set(-999.0)
+    out2 = decode_attention_fused(q, k2, None, v2, None, jnp.asarray(40))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
