@@ -167,16 +167,32 @@ def sense_table(params: Params, cfg: BackpackConfig,
 
 # ---------------------------------------------------------------- forward
 
+def apply_sense_edit(content: jax.Array, input_ids: jax.Array,
+                     sense_edit: Tuple[jax.Array, jax.Array]) -> jax.Array:
+    """Replace sense vectors of edited tokens: content (b, s, nv, d),
+    sense_edit = (edited_ids (m,), edited_senses (m, nv, d)). Vectorized form
+    of the reference's per-position dict loop (intervened_models.py:175-181)."""
+    edited_ids, edited_senses = sense_edit
+    match = input_ids[..., None] == edited_ids[None, None, :]   # (b, s, m)
+    hit = match.any(-1)
+    idx = match.argmax(-1)
+    repl = jnp.take(edited_senses, idx, axis=0)                 # (b, s, nv, d)
+    return jnp.where(hit[..., None, None], repl.astype(content.dtype), content)
+
+
 def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                      *, train: bool = False, rng: Optional[jax.Array] = None,
                      use_flash: bool = True,
                      sense_weights: Optional[jax.Array] = None,
+                     sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
                      return_parts: bool = False):
     """Training-shape forward -> logits (b, s, vocab)
     (reference: BackpackLMHeadModel.forward, backpack.py:297-351).
 
     sense_weights: optional (b, s, nv) or (nv,) multiplicative reweighting of
     sense vectors — the hook for the intervention API (models/interventions.py).
+    sense_edit: optional (edited_ids (m,), edited_senses (m, nv, d)) sense
+    replacement (reference ReplacedWordLMHeadModel, intervened_models.py:168).
     return_parts: also return dict with alpha / content / contextual hidden for
     the control & visualization machinery (reference §2.4).
     """
@@ -186,6 +202,8 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     alpha = contextualization(params, cfg, contextl)          # (b, nv, s, s)
     content = content_forward(params, cfg, input_ids, train=train,
                               rng=r_content)                  # (b, s, nv, d)
+    if sense_edit is not None:
+        content = apply_sense_edit(content, input_ids, sense_edit)
     if sense_weights is not None:
         if sense_weights.ndim == 1:
             content = content * sense_weights[None, None, :, None].astype(content.dtype)
@@ -238,6 +256,7 @@ def backpack_forward_with_cache(
     params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     cache: BackpackCache, *, use_flash: bool = True,
     sense_weights: Optional[jax.Array] = None,
+    sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, BackpackCache]:
     """Run `input_ids` (prefill s>1 at length 0, or decode s==1) through the
     incremental path. Returns logits (b, s, vocab) for the new tokens and the
@@ -255,6 +274,8 @@ def backpack_forward_with_cache(
         cache.ctx_k, k_new.astype(cache.ctx_k.dtype), (0, offset, 0, 0))
 
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
+    if sense_edit is not None:
+        senses_new = apply_sense_edit(senses_new, input_ids, sense_edit)
     content_scale = cache.content_scale
     if cache.quantized:
         from ..ops import quant
