@@ -54,6 +54,12 @@ class GPTConfig:
         return self.n_inner if self.n_inner is not None else 4 * self.n_embd
 
     @property
+    def rotary_emb_dim(self) -> int:
+        """Rotated channels per head (reference mha.py:320:
+        int(rotary_emb_fraction * head_dim)), rounded down to even."""
+        return (int(self.rotary_emb_fraction * self.head_dim) // 2) * 2
+
+    @property
     def padded_vocab_size(self) -> int:
         """Vocab padded for MXU-friendly logits GEMM (reference: gpt.py:182-185)."""
         return _round_up(self.vocab_size, self.pad_vocab_size_multiple)

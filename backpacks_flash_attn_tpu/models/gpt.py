@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GPTConfig
-from ..ops import dense, norms
+from ..ops import dense, norms, rotary
 from ..ops.attention import decode_attention, decode_attention_quant, mha
 
 Params = Dict[str, Any]
@@ -118,6 +118,9 @@ def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
     b, s, _ = qkv.shape
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if cfg.rotary_emb_dim > 0:
+        q, k = rotary.apply_rotary_qk(q, k, cfg.rotary_emb_dim,
+                                      scale_base=cfg.rotary_emb_scale_base)
     r_attn, r_d1, r_d2 = (jax.random.split(rngs, 3) if rngs is not None
                           else (None, None, None))
     ctx = mha(q, k, v, causal=True, softmax_scale=scale,
@@ -225,6 +228,12 @@ def gpt_forward_with_cache(
         qkv = dense.linear(hidden, layer_params["Wqkv"])
         qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cfg.rotary_emb_dim > 0:
+            # rotary applied BEFORE the cache update, so cached keys are
+            # already rotated (reference mha.py:426-431)
+            q, k = rotary.apply_rotary_qk(q, k, cfg.rotary_emb_dim,
+                                          seqlen_offset=offset,
+                                          scale_base=cfg.rotary_emb_scale_base)
         if quantized:
             from ..ops import quant
             k8, ks = quant.quantize_activations_int8(k)
