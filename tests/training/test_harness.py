@@ -1,0 +1,171 @@
+"""Training-harness tests: EMA, checkpointing (periodic / crash auto-save /
+resume), callbacks, and the end-to-end train CLI (smoke + resume).
+
+Reference equivalents these mirror: src/utils/ema.py + callbacks/ema.py,
+src/callbacks/model_checkpoint.py:8-17, src/train.py:70-93,
+src/callbacks/{speed_monitor,norm_monitor,causality_monitor,flop_count}.py.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.config import backpack_test
+from backpacks_flash_attn_tpu.models import backpack as bp
+from backpacks_flash_attn_tpu.training import callbacks as cb
+from backpacks_flash_attn_tpu.training import checkpoint as ckpt
+from backpacks_flash_attn_tpu.training import ema as ema_lib
+
+
+# ------------------------------------------------------------------ EMA
+
+def test_ema_warmup_and_convergence():
+    params = {"w": jnp.zeros((3,)), "step_count": jnp.asarray(0, jnp.int32)}
+    state = ema_lib.init_ema(params)
+    target = {"w": jnp.ones((3,)), "step_count": jnp.asarray(5, jnp.int32)}
+    # first update: d = min(0.999, 2/11) -> shadow moves most of the way
+    state = ema_lib.ema_update(state, target, 0.999)
+    np.testing.assert_allclose(np.asarray(state.shadow["w"]),
+                               np.full(3, 1 - 2 / 11), rtol=1e-6)
+    # integer leaves are copied, not averaged
+    assert int(state.shadow["step_count"]) == 5
+    for _ in range(200):
+        state = ema_lib.ema_update(state, target, 0.9)
+    np.testing.assert_allclose(np.asarray(state.shadow["w"]), 1.0, atol=1e-5)
+
+
+# ------------------------------------------------------------- checkpoint
+
+def _tiny_state():
+    return {"params": {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}},
+            "step": jnp.asarray(7, jnp.int32)}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _tiny_state()
+    path = ckpt.save(str(tmp_path), state, step=7)
+    restored, step, meta = ckpt.restore(path, state)
+    assert step == 7
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                          np.asarray(b)),
+                 state, restored)
+
+
+def test_keep_last_pruning(tmp_path):
+    state = _tiny_state()
+    for s in range(5):
+        ckpt.save(str(tmp_path), state, step=s, keep_last=2)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".ckpt.npz")]
+    assert sorted(files) == ["step_00000003.ckpt.npz",
+                             "step_00000004.ckpt.npz"]
+
+
+def test_latest_prefers_newest_auto_save(tmp_path):
+    state = _tiny_state()
+    ckpt.save(str(tmp_path), state, step=10)
+    # crash auto-save written AFTER the periodic one must win (reference
+    # src/train.py:70-93)
+    os.utime(ckpt.latest_checkpoint(str(tmp_path)), (0, 0))
+    ckpt.save(str(tmp_path), state, step=11, name=ckpt.AUTO_SAVE)
+    assert ckpt.latest_checkpoint(str(tmp_path)).endswith(ckpt.AUTO_SAVE)
+
+
+def test_auto_save_on_exception(tmp_path):
+    state = _tiny_state()
+    with pytest.raises(RuntimeError):
+        with ckpt.auto_save_on_exception(str(tmp_path), lambda: state,
+                                         lambda: 3):
+            raise RuntimeError("boom")
+    path = os.path.join(str(tmp_path), ckpt.AUTO_SAVE)
+    assert os.path.exists(path)
+    _, step, _ = ckpt.restore(path, state)
+    assert step == 3
+
+
+# ------------------------------------------------------------- callbacks
+
+def test_speed_monitor():
+    m = cb.SpeedMonitor()
+    m.on_step_start()
+    out = m.on_step_end(tokens_in_batch=100)
+    assert out["time/intra_step_ms"] >= 0
+    assert out["throughput/tokens_per_s"] > 0
+    pre = m.on_step_start()
+    assert "time/inter_step_ms" in pre
+
+
+def test_norm_stats():
+    tree = {"a": jnp.ones((2, 2)), "b": {"c": jnp.zeros((3,))},
+            "n": jnp.asarray(1, jnp.int32)}
+    out = cb.norm_stats(tree, "w")
+    assert out["w/a"] == pytest.approx(2.0)
+    assert out["w/b/c"] == 0.0
+    assert out["w/total"] == pytest.approx(2.0)
+    assert "w/n" not in out  # integer leaves skipped
+
+
+def test_causality_monitor_on_backpack():
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 10), 0, cfg.vocab_size)
+    fwd = lambda x: bp.backpack_forward(params, cfg, x, use_flash=False)
+    assert cb.causality_check(fwd, ids, probe_pos=5) < 1e-5
+
+
+def test_flop_count():
+    f = cb.flop_count(lambda x: x @ x, jnp.ones((64, 64)))
+    if f is not None:  # cost analysis availability is backend-dependent
+        assert f >= 2 * 64 ** 3 * 0.9
+
+
+# ------------------------------------------------------------- train CLI
+
+def test_train_cli_smoke_and_resume(tmp_path):
+    from backpacks_flash_attn_tpu.data import lm_dataset as lmd
+    from backpacks_flash_attn_tpu.training import train_cli
+
+    tokens = np.random.default_rng(0).integers(0, 500, 6000).astype(np.uint16)
+    corpus = lmd.save_corpus(tokens, str(tmp_path), "t")
+
+    rc = train_cli.RunConfig(
+        corpus=corpus, workdir=str(tmp_path / "run"), model="backpack-test",
+        mode="train", steps=4, batch_size=2, seqlen=32, warmup_steps=2,
+        ckpt_every=2, log_every=1, use_flash=False, ema_decay=0.99,
+        val_fraction=0.05)
+    out = train_cli.run(rc)
+    assert out["steps"] == 4
+    assert np.isfinite(out["final_metrics"]["loss"])
+    assert np.isfinite(out["val"]["ppl"])
+    # metrics got logged
+    lines = [json.loads(l) for l in
+             open(tmp_path / "run" / "metrics.jsonl")]
+    assert any("loss" in l for l in lines)
+
+    # resume: bump steps, run again — must pick up from the final checkpoint
+    rc2 = train_cli.RunConfig(**{**rc.__dict__, "steps": 6})
+    out2 = train_cli.run(rc2)
+    assert out2["steps"] == 6
+    steps_logged = [l["step"] for l in
+                    open(tmp_path / "run" / "metrics.jsonl").readlines()
+                    for l in [json.loads(l)]]
+    assert 5 in steps_logged  # continued past the first run's last step
+
+
+def test_train_cli_smoke_mode(tmp_path):
+    from backpacks_flash_attn_tpu.data import lm_dataset as lmd
+    from backpacks_flash_attn_tpu.training import train_cli
+
+    tokens = np.random.default_rng(1).integers(0, 500, 4000).astype(np.uint16)
+    corpus = lmd.save_corpus(tokens, str(tmp_path), "s")
+    rc = train_cli.RunConfig(corpus=corpus, workdir=str(tmp_path / "smoke"),
+                             model="backpack-test", mode="smoke",
+                             batch_size=2, seqlen=16, use_flash=False)
+    out = train_cli.run(rc)
+    assert out["steps"] == 3
+    # smoke mode writes no periodic checkpoints
+    assert not [f for f in os.listdir(tmp_path / "smoke")
+                if f.startswith("step_")]
