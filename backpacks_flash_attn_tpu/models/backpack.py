@@ -221,6 +221,40 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
 
 # ---------------------------------------------------------------- decode
 
+def insert_cache_slot(big, small, slot) -> "BackpackCache":
+    """Insert a batch-1 cache (a freshly prefilled request) into row `slot` of
+    a per-slot batch cache — the continuous-batching admission primitive.
+    Shapes must match except batch; `slot` may be a traced scalar."""
+    g_big, g_small = big.gpt, small.gpt
+
+    def put(buf, new, axis):
+        start = [0] * buf.ndim
+        idx = jnp.asarray(slot, jnp.int32)
+        start[axis] = idx
+        return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                            tuple(start))
+
+    gpt_cache = g_big._replace(
+        k=put(g_big.k, g_small.k, 1),
+        v=put(g_big.v, g_small.v, 1),
+        length=g_big.length.at[slot].set(
+            jnp.asarray(g_small.length).reshape(-1)[0]),
+        k_scale=(put(g_big.k_scale, g_small.k_scale, 1)
+                 if g_big.k_scale is not None else None),
+        v_scale=(put(g_big.v_scale, g_small.v_scale, 1)
+                 if g_big.v_scale is not None else None),
+    )
+    return big._replace(
+        gpt=gpt_cache,
+        ctx_k=put(big.ctx_k, small.ctx_k, 0),
+        content=put(big.content, small.content, 0),
+        length=big.length.at[slot].set(
+            jnp.asarray(small.length).reshape(-1)[0]),
+        content_scale=(put(big.content_scale, small.content_scale, 0)
+                       if big.content_scale is not None else None),
+    )
+
+
 class BackpackCache(NamedTuple):
     """Incremental-decode state: GPT KV cache + contextualization K cache +
     per-token sense cache. All static shapes. An int8 content cache carries
@@ -237,16 +271,21 @@ class BackpackCache(NamedTuple):
 
 
 def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
-                        dtype=jnp.bfloat16) -> BackpackCache:
+                        dtype=jnp.bfloat16,
+                        per_slot: bool = False) -> BackpackCache:
+    """per_slot=True gives each batch row its own length counter (continuous-
+    batching serving slots); False is the uniform-batch scalar counter."""
     content_dtype = dtype
     ctx_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
+    len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
     return BackpackCache(
-        gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype),
+        gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype,
+                                  per_slot=per_slot),
         ctx_k=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.sense_head_dim),
                         ctx_dtype),
         content=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.n_embd),
                           content_dtype),
-        length=jnp.zeros((), jnp.int32),
+        length=len0,
         content_scale=(jnp.ones((batch, max_seqlen, cfg.num_senses, 1),
                                 jnp.float32) if dtype == jnp.int8 else None),
     )
@@ -265,13 +304,19 @@ def backpack_forward_with_cache(
     """
     b, s = input_ids.shape
     offset = cache.length
+    vec = jnp.asarray(offset).ndim == 1   # per-row serving-slot lengths
     new_len = offset + s
+
+    def store(buf, new):
+        if vec:
+            return gpt_lib._update_rows(buf, new, offset)
+        return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                            (0, offset, 0, 0))
 
     contextl, gpt_cache = gpt_lib.gpt_forward_with_cache(
         params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash)
     q, k_new = context_qk(params, cfg, contextl)  # (b, s, nv, dnv)
-    ctx_k = jax.lax.dynamic_update_slice(
-        cache.ctx_k, k_new.astype(cache.ctx_k.dtype), (0, offset, 0, 0))
+    ctx_k = store(cache.ctx_k, k_new)
 
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
     if sense_edit is not None:
@@ -280,14 +325,10 @@ def backpack_forward_with_cache(
     if cache.quantized:
         from ..ops import quant
         s8, ssc = quant.quantize_activations_int8(senses_new)
-        content = jax.lax.dynamic_update_slice(cache.content, s8,
-                                               (0, offset, 0, 0))
-        content_scale = jax.lax.dynamic_update_slice(content_scale, ssc,
-                                                     (0, offset, 0, 0))
+        content = store(cache.content, s8)
+        content_scale = store(content_scale, ssc)
     else:
-        content = jax.lax.dynamic_update_slice(
-            cache.content, senses_new.astype(cache.content.dtype),
-            (0, offset, 0, 0))
+        content = store(cache.content, senses_new)
 
     # alpha rows for the s new queries over all cached keys.
     scale = cfg.sense_head_dim ** -0.5
@@ -295,9 +336,14 @@ def backpack_forward_with_cache(
                         ctx_k.astype(q.dtype) * scale,
                         preferred_element_type=jnp.float32)  # (b, nv, s, max_s)
     max_s = ctx_k.shape[1]
-    qpos = offset + jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 1)
-    scores = jnp.where((kpos <= qpos)[None, None], scores, MASK_VALUE)
+    if vec:
+        causal = kpos[None] <= (qpos[None] + offset[:, None, None])
+        scores = jnp.where(causal[:, None], scores, MASK_VALUE)
+    else:
+        scores = jnp.where((kpos <= qpos + offset)[None, None], scores,
+                           MASK_VALUE)
     alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
 
     if cache.quantized:

@@ -98,13 +98,14 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, per_slot: bool = False) -> KVCache:
+    """per_slot=True: (b,) per-row length counters for serving slots."""
     shape = (cfg.n_layer, batch, max_seqlen, cfg.n_head, cfg.head_dim)
     scales = None
     if dtype == jnp.int8:
         scales = jnp.ones(shape[:-1] + (1,), jnp.float32)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((), jnp.int32),
+                   length=jnp.zeros((batch,) if per_slot else (), jnp.int32),
                    k_scale=scales, v_scale=scales)
 
 
@@ -199,6 +200,14 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
     return hidden
 
 
+def _update_rows(buf: jax.Array, new: jax.Array,
+                 offsets: jax.Array) -> jax.Array:
+    """buf (b, S, ...) <- new (b, s, ...) written at per-row offsets (b,) —
+    the serving-slot cache write (each slot is at its own decode position)."""
+    return jax.vmap(lambda c, n, o: jax.lax.dynamic_update_slice(
+        c, n.astype(c.dtype), (o,) + (0,) * (c.ndim - 1)))(buf, new, offsets)
+
+
 def gpt_forward_with_cache(
     params: Params, cfg: GPTConfig, input_ids: jax.Array, cache: KVCache, *,
     use_flash: bool = True,
@@ -206,10 +215,19 @@ def gpt_forward_with_cache(
     """Forward over `input_ids` starting at position cache.length, updating the
     KV cache. Handles both prefill (s > 1, length == 0) and incremental decode
     (s == 1). Replaces the reference decode protocol of mha.py:425-440.
+
+    cache.length may be a scalar (uniform batch) or a (b,) vector of per-row
+    lengths (continuous-batching serving slots). With vector lengths and
+    s > 1, each row's new tokens must start at ITS offset with no gaps —
+    the serving engine prefills fresh slots (offset 0) batch-1 and scatters.
     """
     b, s = input_ids.shape
     offset = cache.length
-    position_ids = offset + jnp.arange(s)[None, :]
+    vec = jnp.asarray(offset).ndim == 1
+    if vec:
+        position_ids = offset[:, None] + jnp.arange(s)[None, :]
+    else:
+        position_ids = offset + jnp.arange(s)[None, :]
     hidden = embed(params, cfg, input_ids, position_ids)
     hidden, residual = norms.dropout_add_layer_norm(
         hidden, None, params["ln_0"]["weight"], params["ln_0"]["bias"],
@@ -222,6 +240,18 @@ def gpt_forward_with_cache(
     # The stacked caches ride the scan CARRY (not xs/ys): dynamic-update-slice
     # on a carried buffer compiles to an in-place write, whereas xs/ys would
     # copy the full (n_layer, b, S, h, dh) cache every decode step.
+    def _store(all_buf, li, new):
+        """Write `new` (b, s, h, dh) into layer li of the stacked cache at the
+        (scalar or per-row) offset."""
+        if vec:
+            shape = (1,) + all_buf.shape[1:]
+            layer = jax.lax.dynamic_slice(all_buf, (li, 0, 0, 0, 0), shape)[0]
+            layer = _update_rows(layer, new, offset)
+            return jax.lax.dynamic_update_slice(all_buf, layer[None],
+                                                (li, 0, 0, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            all_buf, new.astype(all_buf.dtype)[None], (li, 0, offset, 0, 0))
+
     def scan_body(carry, xs):
         hidden, residual, k_all, v_all, ks_all, vs_all = carry
         layer_params, scale, li = xs
@@ -238,19 +268,13 @@ def gpt_forward_with_cache(
             from ..ops import quant
             k8, ks = quant.quantize_activations_int8(k)
             v8, vs = quant.quantize_activations_int8(v)
-            k_all = jax.lax.dynamic_update_slice(k_all, k8[None],
-                                                 (li, 0, offset, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(v_all, v8[None],
-                                                 (li, 0, offset, 0, 0))
-            ks_all = jax.lax.dynamic_update_slice(ks_all, ks[None],
-                                                  (li, 0, offset, 0, 0))
-            vs_all = jax.lax.dynamic_update_slice(vs_all, vs[None],
-                                                  (li, 0, offset, 0, 0))
+            k_all = _store(k_all, li, k8)
+            v_all = _store(v_all, li, v8)
+            ks_all = _store(ks_all, li, ks)
+            vs_all = _store(vs_all, li, vs)
         else:
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k.astype(k_all.dtype)[None], (li, 0, offset, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v.astype(v_all.dtype)[None], (li, 0, offset, 0, 0))
+            k_all = _store(k_all, li, k)
+            v_all = _store(v_all, li, v)
         shape = (1,) + k_all.shape[1:]
         k_cache = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), shape)[0]
         v_cache = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), shape)[0]
@@ -273,9 +297,10 @@ def gpt_forward_with_cache(
                 vd = (v_cache.astype(jnp.float32) * v_sc).astype(q.dtype)
             else:
                 kd, vd = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
+            lens = (new_len.astype(jnp.int32) if vec
+                    else jnp.full((b,), new_len, jnp.int32))
             ctx = mha(q, kd, vd, causal=True, softmax_scale=scale,
-                      seq_lengths=jnp.full((b,), new_len, jnp.int32),
-                      use_flash=use_flash)
+                      seq_lengths=lens, use_flash=use_flash)
         mixer_out = dense.linear(ctx.reshape(b, s, cfg.n_embd),
                                  layer_params["out_proj"])
         hidden, residual = norms.dropout_add_layer_norm(

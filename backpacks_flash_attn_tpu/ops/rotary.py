@@ -41,32 +41,35 @@ def rotary_cos_sin(positions: jax.Array, rotary_dim: int,
                    center: int = 0,
                    ) -> Tuple[jax.Array, jax.Array,
                               Optional[jax.Array], Optional[jax.Array]]:
-    """cos/sin tables for the given (s,) positions. Returns
-    (cos_q, sin_q, cos_k, sin_k); the k pair is None unless XPos is on
-    (reference rotary.py:154-180)."""
+    """cos/sin tables for the given (s,) or per-row (b, s) positions. Returns
+    (cos_q, sin_q, cos_k, sin_k) of shape positions.shape + (rot/2,); the k
+    pair is None unless XPos is on (reference rotary.py:154-180)."""
     inv_freq = rotary_inv_freq(rotary_dim, base)
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     cos, sin = jnp.cos(freqs), jnp.sin(freqs)
     if scale_base <= 0:
         return cos, sin, None, None
     scale = ((jnp.arange(0, rotary_dim, 2, dtype=jnp.float32)
               + 0.4 * rotary_dim) / (1.4 * rotary_dim))
     power = (positions.astype(jnp.float32) - center) / scale_base
-    scale = scale[None, :] ** power[:, None]
+    scale = scale ** power[..., None]
     return cos * scale, sin * scale, cos / scale, sin / scale
 
 
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Rotate the first 2*cos.shape[-1] channels of x (b, s, h, d)
     (reference apply_rotary_emb_torch, rotary.py:18-28; kernel
-    csrc/rotary/rotary_cuda.cu)."""
+    csrc/rotary/rotary_cuda.cu). cos/sin: (s, rot/2) shared across the batch
+    or (b, s, rot/2) per-row (serving: per-slot position offsets)."""
     rotary_dim = cos.shape[-1] * 2
     dtype = x.dtype
     x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
     half = rotary_dim // 2
     x1, x2 = x_rot[..., :half], x_rot[..., half:]
-    c = cos[None, :, None, :].astype(jnp.float32)
-    s = sin[None, :, None, :].astype(jnp.float32)
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
     x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
     o1 = x1f * c - x2f * s
     o2 = x2f * c + x1f * s
@@ -82,10 +85,15 @@ def apply_rotary_qk(q: jax.Array, k: jax.Array, rotary_dim: int, *,
                     ) -> Tuple[jax.Array, jax.Array]:
     """Apply rotary (or XPos) to q and k (b, s, h, d) at positions
     seqlen_offset + [0, s) — the decode-aware entry point (reference
-    RotaryEmbedding.forward, rotary.py:184-201, called from mha.py:426)."""
+    RotaryEmbedding.forward, rotary.py:184-201, called from mha.py:426).
+    seqlen_offset: scalar, or (b,) per-row offsets for serving slots."""
     if rotary_dim <= 0:
         return q, k
-    positions = seqlen_offset + jnp.arange(q.shape[1])
+    offs = jnp.asarray(seqlen_offset)
+    if offs.ndim == 1:
+        positions = offs[:, None] + jnp.arange(q.shape[1])[None, :]
+    else:
+        positions = offs + jnp.arange(q.shape[1])
     cos_q, sin_q, cos_k, sin_k = rotary_cos_sin(positions, rotary_dim,
                                                 base=base,
                                                 scale_base=scale_base)
