@@ -355,6 +355,9 @@ def backpack_forward_with_cache(
     if sense_weights is not None:
         if sense_weights.ndim == 1:
             alpha = alpha * sense_weights[None, :, None, None].astype(alpha.dtype)
+        elif sense_weights.ndim == 2:
+            # (b, nv) per-request weights (serving: one control vector per slot)
+            alpha = alpha * sense_weights[:, :, None, None].astype(alpha.dtype)
         else:
             # (b, max_s, nv) per-position weights fold into alpha's key axis
             alpha = alpha * jnp.transpose(sense_weights, (0, 2, 1)

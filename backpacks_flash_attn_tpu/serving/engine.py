@@ -1,0 +1,210 @@
+"""Continuous-batching serving engine for Backpack LMs.
+
+The reference has no serving runtime: every control/eval script decodes a
+uniform batch with a Python loop that re-runs the full forward per token
+(training/src/utils/generation.py). This engine is the TPU-native redesign
+(SURVEY.md §7 phase 6):
+
+  * a fixed (max_slots, max_seqlen) per-slot cache — static shapes, so the
+    decode step compiles ONCE and every request shape-shares it
+  * admission: prompts prefill batch-1 into length buckets (power-of-two
+    padding => one compile per bucket) and scatter into a free slot
+  * one jitted decode step advances ALL active slots; finished requests
+    retire and their slots are immediately reusable
+  * scheduling (queue, slots, budgets, EOS) lives in the native C++
+    scheduler (csrc/scheduler.cpp) via ctypes, off the device-dispatch path
+  * per-request sampling (temperature/top-k via a (b,) temperature vector)
+    and per-request sense-weight interventions ((b, nv) control vectors —
+    the §2.4 capability, served)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BackpackConfig
+from ..models import backpack as bp
+from .scheduler import make_scheduler
+
+
+@dataclasses.dataclass
+class RequestResult:
+    request_id: int
+    tokens: List[int]
+    finished: bool
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ServingEngine:
+    def __init__(self, params, cfg: BackpackConfig, *, max_slots: int = 8,
+                 max_seqlen: int = 512, cache_dtype=jnp.bfloat16,
+                 eos_id: int = 50256, use_flash: bool = True, seed: int = 0,
+                 num_senses: Optional[int] = None,
+                 prefer_native_scheduler: bool = True):
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_seqlen = max_seqlen
+        self.use_flash = use_flash
+        self.eos_id = eos_id
+        self.sched = make_scheduler(max_slots, max_seqlen, eos_id,
+                                    prefer_native=prefer_native_scheduler)
+        self.cache_dtype = cache_dtype
+        self.cache = bp.init_backpack_cache(cfg, max_slots, max_seqlen,
+                                            dtype=cache_dtype, per_slot=True)
+        self.tokens = jnp.zeros((max_slots, 1), jnp.int32)
+        self.temps = np.zeros((max_slots,), np.float32)   # 0 = greedy
+        self.sense_weights = np.ones((max_slots, cfg.num_senses), np.float32)
+        self._uses_weights = False
+        self._rng = jax.random.PRNGKey(seed)
+        self._next_id = 0
+        self._meta: Dict[int, tuple] = {}
+        self._prompts: Dict[int, np.ndarray] = {}
+        self._results: Dict[int, RequestResult] = {}
+        self._jit_prefill = {}
+        self._jit_step = None
+        self._jit_step_weighted = None
+
+    # ------------------------------------------------------------ submit
+
+    def submit(self, prompt, *, max_new_tokens: int = 64,
+               temperature: float = 0.0,
+               sense_weights: Optional[np.ndarray] = None) -> int:
+        """Queue a request. Returns its id, or raises if the prompt can never
+        fit the cache."""
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        rid = self._next_id
+        self._next_id += 1
+        if not self.sched.submit(rid, len(prompt), max_new_tokens):
+            raise ValueError(
+                f"prompt of {len(prompt)} tokens cannot fit max_seqlen="
+                f"{self.max_seqlen}")
+        self._prompts[rid] = prompt
+        self._meta[rid] = (temperature, sense_weights)
+        return rid
+
+    # ------------------------------------------------------------ internals
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._jit_prefill:
+            cfg, use_flash = self.cfg, self.use_flash
+
+            def prefill(params, ids, true_len, weights):
+                small = bp.init_backpack_cache(cfg, 1, self.max_seqlen,
+                                               dtype=self.cache_dtype)
+                logits, small = bp.backpack_forward_with_cache(
+                    params, cfg, ids, small, use_flash=use_flash,
+                    sense_weights=weights)  # (1, nv) per-request control
+                # ids are right-padded to the bucket; the causal mask keeps
+                # pads invisible to real tokens, so the logits at true_len-1
+                # and the first true_len cache rows are exact. Overwrite the
+                # (scalar) length with the true length.
+                last = logits[0, true_len - 1]
+                return last, small._replace(length=true_len.astype(jnp.int32))
+
+            self._jit_prefill[bucket] = jax.jit(prefill)
+        return self._jit_prefill[bucket]
+
+    def _step_fn(self, weighted: bool):
+        attr = "_jit_step_weighted" if weighted else "_jit_step"
+        if getattr(self, attr) is None:
+            cfg, use_flash = self.cfg, self.use_flash
+
+            def step(params, toks, cache, temps, rng, weights):
+                kw = {"sense_weights": weights} if weighted else {}
+                logits, cache = bp.backpack_forward_with_cache(
+                    params, cfg, toks, cache, use_flash=use_flash, **kw)
+                last = logits[:, -1]
+                greedy = jnp.argmax(last, -1)
+                sampled = jax.random.categorical(
+                    rng, last / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
+                nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+                return nxt[:, None], cache
+
+            setattr(self, attr, jax.jit(step, donate_argnums=(2,)))
+        return getattr(self, attr)
+
+    def _admit_all(self) -> List[int]:
+        admitted = []
+        while True:
+            got = self.sched.admit()
+            if got is None:
+                break
+            slot, rid, plen = got
+            prompt = self._prompts[rid]
+            bucket = min(_bucket(plen), self.max_seqlen)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :plen] = prompt
+            temp, sw = self._meta[rid]
+            w = (np.ones(self.cfg.num_senses, np.float32) if sw is None
+                 else np.asarray(sw, np.float32))
+            last_logits, small = self._prefill_fn(bucket)(
+                self.params, jnp.asarray(padded), jnp.asarray(plen),
+                jnp.asarray(w[None]))
+            self.cache = bp.insert_cache_slot(self.cache, small, slot)
+            self.temps[slot] = temp
+            self.sense_weights[slot] = w
+            if sw is not None:
+                self._uses_weights = True
+            # first token comes from the prefill logits
+            if temp > 0:
+                self._rng, sub = jax.random.split(self._rng)
+                tok = int(jax.random.categorical(sub, last_logits / temp))
+            else:
+                tok = int(jnp.argmax(last_logits))
+            self.tokens = self.tokens.at[slot, 0].set(tok)
+            finished = self.sched.on_token(slot, tok)
+            if finished:
+                self._finish(slot)
+            admitted.append(rid)
+        return admitted
+
+    def _finish(self, slot: int) -> None:
+        rid = self.sched.slot_request(slot)
+        self._results[rid] = RequestResult(
+            request_id=rid, tokens=self.sched.slot_tokens(slot),
+            finished=True)
+        self.sched.release(slot)
+
+    # ------------------------------------------------------------ stepping
+
+    def step(self) -> List[Tuple[int, int, bool]]:
+        """Admit whatever fits, then run ONE decode step for all active slots.
+        Returns [(request_id, token, finished)] for this step's emissions."""
+        self._admit_all()
+        if self.sched.num_active == 0:
+            return []
+        self._rng, sub = jax.random.split(self._rng)
+        step = self._step_fn(self._uses_weights)
+        self.tokens, self.cache = step(
+            self.params, self.tokens, self.cache,
+            jnp.asarray(self.temps), sub, jnp.asarray(self.sense_weights))
+        toks = np.asarray(self.tokens[:, 0])
+        out = []
+        for slot in range(self.max_slots):
+            if not self.sched.slot_active(slot):
+                continue
+            rid = self.sched.slot_request(slot)
+            finished = self.sched.on_token(slot, int(toks[slot]))
+            out.append((rid, int(toks[slot]), finished))
+            if finished:
+                self._finish(slot)
+        return out
+
+    def run(self) -> Dict[int, RequestResult]:
+        """Drive until every submitted request completes."""
+        while (self.sched.num_pending or self.sched.num_active):
+            self.step()
+        out, self._results = self._results, {}
+        return out

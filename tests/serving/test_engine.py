@@ -1,0 +1,136 @@
+"""Serving-engine tests: continuous-batching output must match direct
+per-request greedy decode; interventions and sampling are served per-request."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.config import backpack_test
+from backpacks_flash_attn_tpu.models import backpack as bp
+from backpacks_flash_attn_tpu.serving.engine import ServingEngine
+from backpacks_flash_attn_tpu.utils import generation
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def _direct_greedy(cfg, params, prompt, n):
+    cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+    logits, cache = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompt, jnp.int32)[None], cache,
+        use_flash=False)
+    out = []
+    tok = int(jnp.argmax(logits[0, -1]))
+    for _ in range(n):
+        out.append(tok)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+            use_flash=False)
+        tok = int(jnp.argmax(logits[0, -1]))
+    return out
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_engine_matches_direct_decode(setup, prefer_native):
+    """Continuous-batching outputs vs a direct per-request oracle. Random-init
+    logits have near-ties (gaps ~1e-5) that flip argmax under different GEMM
+    tilings (bucketed prefill, batch-3 decode), so instead of exact token
+    equality we teacher-force the engine's tokens through the oracle and
+    require every engine pick to score within eps of the oracle's max logit —
+    any real cache/position bug shifts logits by orders of magnitude more."""
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (3, 9, 5, 12, 4)]
+    n_new = 6
+    eng = ServingEngine(params, cfg, max_slots=3, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False,
+                        eos_id=-1, prefer_native_scheduler=prefer_native)
+    rids = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, p in zip(rids, prompts):
+        got = results[rid].tokens
+        assert len(got) == n_new
+        cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray(p, jnp.int32)[None], cache,
+            use_flash=False)
+        for t, tok in enumerate(got):
+            row = np.asarray(logits[0, -1], np.float64)
+            assert row[tok] >= row.max() - 1e-4, (rid, t, tok, row.max(),
+                                                  row[tok])
+            logits, cache = bp.backpack_forward_with_cache(
+                params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+                use_flash=False)
+
+
+def test_engine_eos_stops_early(setup):
+    cfg, params = setup
+    prompt = [3, 1, 4]
+    want = _direct_greedy(cfg, params, prompt, 8)
+    # pick an eos whose FIRST occurrence is not at index 0
+    idx = next(i for i in range(1, 8) if want[i] not in want[:i])
+    eos = want[idx]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=eos)
+    rid = eng.submit(prompt, max_new_tokens=8)
+    res = eng.run()[rid]
+    assert res.tokens == want[:idx + 1]   # stops AT the eos token
+
+
+def test_engine_per_request_sense_weights(setup):
+    cfg, params = setup
+    prompt = [5, 17, 42, 99]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    # non-uniform weights: uniform scaling is argmax-invariant (tied softmax)
+    w = np.ones(cfg.num_senses, np.float32)
+    w[1] = 6.0
+    w[2] = 0.1
+    r_plain = eng.submit(prompt, max_new_tokens=5)
+    r_ctl = eng.submit(prompt, max_new_tokens=5, sense_weights=w)
+    results = eng.run()
+    assert results[r_plain].tokens != results[r_ctl].tokens
+
+    # the weighted request must match a direct weighted decode
+    b_cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+    logits, b_cache = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompt, jnp.int32)[None], b_cache,
+        use_flash=False, sense_weights=jnp.asarray(w[None]))
+    want, tok = [], int(jnp.argmax(logits[0, -1]))
+    for _ in range(5):
+        want.append(tok)
+        logits, b_cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), b_cache,
+            use_flash=False, sense_weights=jnp.asarray(w[None]))
+        tok = int(jnp.argmax(logits[0, -1]))
+    assert results[r_ctl].tokens == want
+
+
+def test_engine_sampling_reproducible(setup):
+    cfg, params = setup
+    prompt = [1, 2, 3]
+
+    def run(seed):
+        eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=32,
+                            cache_dtype=jnp.float32, use_flash=False,
+                            eos_id=-1, seed=seed)
+        rid = eng.submit(prompt, max_new_tokens=6, temperature=1.0)
+        return eng.run()[rid].tokens
+
+    assert run(0) == run(0)
+    assert run(0) != run(1)
+
+
+def test_engine_rejects_oversized_prompt(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=16,
+                        cache_dtype=jnp.float32, use_flash=False)
+    with pytest.raises(ValueError):
+        eng.submit(list(range(16)), max_new_tokens=4)
