@@ -224,46 +224,56 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
 def insert_cache_slot(big, small, slot) -> "BackpackCache":
     """Insert a batch-1 cache (a freshly prefilled request) into row `slot` of
     a per-slot batch cache — the continuous-batching admission primitive.
-    Shapes must match except batch; `slot` may be a traced scalar."""
+    The flat-E layouts put slot b's rows at [b*rows_per_slot, (b+1)*rows);
+    `slot` may be a traced scalar."""
     g_big, g_small = big.gpt, small.gpt
 
-    def put(buf, new, axis):
+    def put(buf, new, axis, rows_per_slot):
         start = [0] * buf.ndim
-        idx = jnp.asarray(slot, jnp.int32)
-        start[axis] = idx
+        start[axis] = jnp.asarray(slot, jnp.int32) * rows_per_slot
         return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
                                             tuple(start))
 
+    h = g_small.k.shape[1]        # rows per slot in the gpt cache (= n_head)
+    nv = small.ctx_k.shape[0]     # rows per slot in the backpack caches
     gpt_cache = g_big._replace(
-        k=put(g_big.k, g_small.k, 1),
-        v=put(g_big.v, g_small.v, 1),
+        k=put(g_big.k, g_small.k, 1, h),
+        v=put(g_big.v, g_small.v, 1, h),
         length=g_big.length.at[slot].set(
             jnp.asarray(g_small.length).reshape(-1)[0]),
-        k_scale=(put(g_big.k_scale, g_small.k_scale, 1)
+        k_scale=(put(g_big.k_scale, g_small.k_scale, 1, h)
                  if g_big.k_scale is not None else None),
-        v_scale=(put(g_big.v_scale, g_small.v_scale, 1)
+        v_scale=(put(g_big.v_scale, g_small.v_scale, 1, h)
                  if g_big.v_scale is not None else None),
     )
     return big._replace(
         gpt=gpt_cache,
-        ctx_k=put(big.ctx_k, small.ctx_k, 0),
-        content=put(big.content, small.content, 0),
+        ctx_k=put(big.ctx_k, small.ctx_k, 0, nv),
+        content=put(big.content, small.content, 0, nv),
         length=big.length.at[slot].set(
             jnp.asarray(small.length).reshape(-1)[0]),
-        content_scale=(put(big.content_scale, small.content_scale, 0)
+        content_scale=(put(big.content_scale, small.content_scale, 0, nv)
                        if big.content_scale is not None else None),
     )
 
 
 class BackpackCache(NamedTuple):
     """Incremental-decode state: GPT KV cache + contextualization K cache +
-    per-token sense cache. All static shapes. An int8 content cache carries
-    per-(pos, sense) dequant scales (content_scale)."""
+    per-token sense cache, pre-flattened to decode-contraction operand shapes
+    (E = batch * nv; see gpt.KVCache for why flat layouts are load-bearing):
+
+      ctx_k:          (E, d/nv, S)  — transposed contextualization keys
+      content:        (E, S, d)    — per-token sense vectors
+      content_scale:  (E, S) f32   — int8 dequant scales (int8 cache only)
+
+    `length` is scalar or (b,) per-slot. The decode step then runs the entire
+    alpha = causal-softmax(q k^T); out = sum_k alpha @ content contraction as
+    one pass over the stored-precision caches."""
     gpt: gpt_lib.KVCache
-    ctx_k: jax.Array    # (b, max_s, nv, d/nv)
-    content: jax.Array  # (b, max_s, nv, d)
-    length: jax.Array   # scalar int32
-    content_scale: Optional[jax.Array] = None  # (b, max_s, nv, 1)
+    ctx_k: jax.Array
+    content: jax.Array
+    length: jax.Array
+    content_scale: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
@@ -278,16 +288,15 @@ def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
     content_dtype = dtype
     ctx_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
     len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
+    e = batch * cfg.num_senses
     return BackpackCache(
         gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype,
                                   per_slot=per_slot),
-        ctx_k=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.sense_head_dim),
-                        ctx_dtype),
-        content=jnp.zeros((batch, max_seqlen, cfg.num_senses, cfg.n_embd),
-                          content_dtype),
+        ctx_k=jnp.zeros((e, cfg.sense_head_dim, max_seqlen), ctx_dtype),
+        content=jnp.zeros((e, max_seqlen, cfg.n_embd), content_dtype),
         length=len0,
-        content_scale=(jnp.ones((batch, max_seqlen, cfg.num_senses, 1),
-                                jnp.float32) if dtype == jnp.int8 else None),
+        content_scale=(jnp.ones((e, max_seqlen), jnp.float32)
+                       if dtype == jnp.int8 else None),
     )
 
 
@@ -306,64 +315,95 @@ def backpack_forward_with_cache(
     offset = cache.length
     vec = jnp.asarray(offset).ndim == 1   # per-row serving-slot lengths
     new_len = offset + s
-
-    def store(buf, new):
-        if vec:
-            return gpt_lib._update_rows(buf, new, offset)
-        return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
-                                            (0, offset, 0, 0))
+    nv, d = cfg.num_senses, cfg.n_embd
+    dnv = cfg.sense_head_dim
+    e = b * nv
+    max_s = cache.ctx_k.shape[-1]
+    row_off = jnp.repeat(offset, nv) if vec else offset
 
     contextl, gpt_cache = gpt_lib.gpt_forward_with_cache(
         params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash)
     q, k_new = context_qk(params, cfg, contextl)  # (b, s, nv, dnv)
-    ctx_k = store(cache.ctx_k, k_new)
+    # flat layouts: ctx_k (E, dnv, S) / content (E, S, d) / scale (E, S)
+    ctx_k = gpt_lib.update_rows_axis(
+        cache.ctx_k, k_new.transpose(0, 2, 3, 1).reshape(e, dnv, s),
+        row_off, axis=2)
 
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
     if sense_edit is not None:
         senses_new = apply_sense_edit(senses_new, input_ids, sense_edit)
+    senses_t = senses_new.transpose(0, 2, 1, 3).reshape(e, s, d)
     content_scale = cache.content_scale
     if cache.quantized:
         from ..ops import quant
-        s8, ssc = quant.quantize_activations_int8(senses_new)
-        content = store(cache.content, s8)
-        content_scale = store(content_scale, ssc)
+        s8, ssc = quant.quantize_activations_int8(senses_t, axis=2)
+        content = gpt_lib.update_rows_axis(cache.content, s8, row_off, axis=1)
+        content_scale = gpt_lib.update_rows_axis(content_scale, ssc[..., 0],
+                                                 row_off, axis=1)
     else:
-        content = store(cache.content, senses_new)
+        content = gpt_lib.update_rows_axis(cache.content, senses_t, row_off,
+                                           axis=1)
 
-    # alpha rows for the s new queries over all cached keys.
     scale = cfg.sense_head_dim ** -0.5
-    scores = jnp.einsum("bthd,bshd->bhts", q,
-                        ctx_k.astype(q.dtype) * scale,
-                        preferred_element_type=jnp.float32)  # (b, nv, s, max_s)
-    max_s = ctx_k.shape[1]
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 1)
-    if vec:
-        causal = kpos[None] <= (qpos[None] + offset[:, None, None])
-        scores = jnp.where(causal[:, None], scores, MASK_VALUE)
-    else:
-        scores = jnp.where((kpos <= qpos + offset)[None, None], scores,
-                           MASK_VALUE)
-    alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
 
-    if cache.quantized:
-        # fold per-(pos, sense) dequant scales into alpha:
-        # out = sum_k alpha[b,k,t,s] * (c8[b,s,k,d] * cs[b,s,k])
-        alpha = alpha * jnp.transpose(content_scale[..., 0], (0, 2, 1)
-                                      )[:, :, None, :].astype(alpha.dtype)
-    content_w = content.astype(contextl.dtype)
-    if sense_weights is not None:
-        if sense_weights.ndim == 1:
-            alpha = alpha * sense_weights[None, :, None, None].astype(alpha.dtype)
-        elif sense_weights.ndim == 2:
-            # (b, nv) per-request weights (serving: one control vector per slot)
-            alpha = alpha * sense_weights[:, :, None, None].astype(alpha.dtype)
+    def _weights_es() -> Optional[jax.Array]:
+        """Resolve sense_weights to (E, S) multiplicative key weights."""
+        if sense_weights is None:
+            return None
+        w = sense_weights.astype(jnp.float32)
+        if w.ndim == 1:                     # (nv,)
+            w = jnp.broadcast_to(w[None, :, None], (b, nv, max_s))
+        elif w.ndim == 2:                   # (b, nv) per-request control
+            w = jnp.broadcast_to(w[:, :, None], (b, nv, max_s))
+        else:                               # (b, S, nv) per-position
+            w = jnp.transpose(w, (0, 2, 1))
+        return w.reshape(e, max_s)
+
+    if s == 1:
+        # ONE pass: per-sense softmax over cached keys + the weighted content
+        # contraction, reading the caches at stored precision (replaces the
+        # reference's full O(t^2) alpha recompute, backpack.py:107-122,313).
+        from ..ops.decode_attention import decode_attention
+        vs = content_scale                  # (E, S) or None
+        w = _weights_es()
+        if w is not None:
+            vs = w if vs is None else vs * w
+        lens = jnp.repeat(new_len, nv) if vec else new_len
+        out = decode_attention(
+            (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
+                                                         ).reshape(e, dnv),
+            ctx_k, None, content, vs, lens)
+        outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
+                                            ).astype(contextl.dtype)
+    else:
+        # prefill: materialize the alpha rows for the s new queries.
+        # (E,)->(b,nv,...) relayouts happen once per prefill, not per step.
+        ctx_k4 = ctx_k.reshape(b, nv, dnv, max_s)
+        content4 = content.reshape(b, nv, max_s, d)
+        scores = jnp.einsum("bthd,bhds->bhts", q,
+                            ctx_k4.astype(q.dtype) * scale,
+                            preferred_element_type=jnp.float32)
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 1)
+        if vec:
+            causal = kpos[None] <= (qpos[None] + offset[:, None, None])
+            scores = jnp.where(causal[:, None], scores, MASK_VALUE)
         else:
-            # (b, max_s, nv) per-position weights fold into alpha's key axis
-            alpha = alpha * jnp.transpose(sense_weights, (0, 2, 1)
-                                          )[:, :, None, :].astype(alpha.dtype)
-    outputs = jnp.einsum("bkts,bskd->btd", alpha, content_w,
-                         preferred_element_type=jnp.float32).astype(contextl.dtype)
+            scores = jnp.where((kpos <= qpos + offset)[None, None], scores,
+                               MASK_VALUE)
+        alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
+        if cache.quantized:
+            # fold per-(sense, pos) dequant scales into alpha's key axis
+            alpha = alpha * content_scale.reshape(b, nv, max_s)[:, :, None, :
+                                                                ].astype(alpha.dtype)
+        w = _weights_es()
+        if w is not None:
+            alpha = alpha * w.reshape(b, nv, max_s)[:, :, None, :
+                                                    ].astype(alpha.dtype)
+        outputs = jnp.einsum("bkts,bksd->btd", alpha,
+                             content4.astype(contextl.dtype),
+                             preferred_element_type=jnp.float32
+                             ).astype(contextl.dtype)
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
     return logits, BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
                                  length=new_len, content_scale=content_scale)

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..config import GPTConfig
 from ..ops import dense, norms, rotary
-from ..ops.attention import decode_attention, decode_attention_quant, mha
+from ..ops.attention import mha
+from ..ops.decode_attention import decode_attention
 
 Params = Dict[str, Any]
 
@@ -78,17 +79,25 @@ def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------- KV cache
 
 class KVCache(NamedTuple):
-    """Static-shape per-layer KV cache, stacked over layers.
+    """Static-shape per-layer KV cache, stacked over layers, pre-flattened to
+    the exact operand shapes of the decode contraction (E = batch * n_head):
 
-    k, v: (n_layer, batch, max_seqlen, n_head, head_dim). When dtype is int8
-    (the BASELINE.md INT8 KV cache), k_scale/v_scale hold per-(pos, head)
-    dequant scales of shape (n_layer, batch, max_seqlen, n_head, 1).
-    `length` is the number of valid positions (shared across the batch; the
-    continuous-batching server tracks per-slot lengths separately).
+      k:       (n_layer, E, head_dim, max_seqlen)  — TRANSPOSED key cache:
+               the per-step score is a batched (1, dk) @ (dk, S) matvec with
+               no relayout of the cache
+      v:       (n_layer, E, max_seqlen, head_dim)
+      k_scale/v_scale: (n_layer, E, max_seqlen) f32 dequant scales (int8 only)
+
+    The flattened-E layout is load-bearing for performance: reshaping a 4D
+    (b, h, ...) carried cache to (E, ...) inside the decode scan makes XLA
+    relayout-copy the whole cache EVERY step (~2.5ms/step for backpack-small
+    on v5e, measured); storing it flat keeps the step at the memory roofline.
+
+    `length` is scalar (uniform batch) or (batch,) per-slot (serving).
     """
     k: jax.Array
     v: jax.Array
-    length: jax.Array  # scalar int32
+    length: jax.Array
     k_scale: Optional[jax.Array] = None
     v_scale: Optional[jax.Array] = None
 
@@ -100,11 +109,12 @@ class KVCache(NamedTuple):
 def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
                   dtype=jnp.bfloat16, per_slot: bool = False) -> KVCache:
     """per_slot=True: (b,) per-row length counters for serving slots."""
-    shape = (cfg.n_layer, batch, max_seqlen, cfg.n_head, cfg.head_dim)
+    e, dh, S = batch * cfg.n_head, cfg.head_dim, max_seqlen
     scales = None
     if dtype == jnp.int8:
-        scales = jnp.ones(shape[:-1] + (1,), jnp.float32)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        scales = jnp.ones((cfg.n_layer, e, S), jnp.float32)
+    return KVCache(k=jnp.zeros((cfg.n_layer, e, dh, S), dtype),
+                   v=jnp.zeros((cfg.n_layer, e, S, dh), dtype),
                    length=jnp.zeros((batch,) if per_slot else (), jnp.int32),
                    k_scale=scales, v_scale=scales)
 
@@ -208,6 +218,23 @@ def _update_rows(buf: jax.Array, new: jax.Array,
         c, n.astype(c.dtype), (o,) + (0,) * (c.ndim - 1)))(buf, new, offsets)
 
 
+def update_rows_axis(buf: jax.Array, new: jax.Array, offsets,
+                     axis: int) -> jax.Array:
+    """buf (b, ...) <- new (b, ...) written along `axis` (absolute, counting
+    the batch axis) at a scalar or per-row (b,) offset."""
+    if jnp.asarray(offsets).ndim == 1:
+        def one(c, n, o):
+            idx = [0] * c.ndim
+            idx[axis - 1] = o
+            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype),
+                                                tuple(idx))
+        return jax.vmap(one)(buf, new, offsets)
+    idx = [0] * buf.ndim
+    idx[axis] = offsets
+    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                        tuple(idx))
+
+
 def gpt_forward_with_cache(
     params: Params, cfg: GPTConfig, input_ids: jax.Array, cache: KVCache, *,
     use_flash: bool = True,
@@ -240,17 +267,32 @@ def gpt_forward_with_cache(
     # The stacked caches ride the scan CARRY (not xs/ys): dynamic-update-slice
     # on a carried buffer compiles to an in-place write, whereas xs/ys would
     # copy the full (n_layer, b, S, h, dh) cache every decode step.
-    def _store(all_buf, li, new):
-        """Write `new` (b, s, h, dh) into layer li of the stacked cache at the
-        (scalar or per-row) offset."""
-        if vec:
-            shape = (1,) + all_buf.shape[1:]
-            layer = jax.lax.dynamic_slice(all_buf, (li, 0, 0, 0, 0), shape)[0]
-            layer = _update_rows(layer, new, offset)
-            return jax.lax.dynamic_update_slice(all_buf, layer[None],
-                                                (li, 0, 0, 0, 0))
-        return jax.lax.dynamic_update_slice(
-            all_buf, new.astype(all_buf.dtype)[None], (li, 0, offset, 0, 0))
+    h, dk = cfg.n_head, cfg.head_dim
+    e = b * h
+
+    def _layer(all_buf, li):
+        shape = (1,) + all_buf.shape[1:]
+        zeros = (0,) * (all_buf.ndim - 1)
+        return jax.lax.dynamic_slice(all_buf, (li,) + zeros, shape)[0]
+
+    def _store(all_buf, li, new, axis):
+        """Write `new` (E, ...) into layer li at the (scalar or per-row)
+        offset along `axis` of the per-layer (E, ...) view.
+
+        Scalar offsets write the small block straight into the stacked buffer
+        (an in-place dynamic_update_slice on the scan carry — no layer copy);
+        per-row offsets (serving) go through the vmapped row write."""
+        if not vec:
+            idx = [0] * all_buf.ndim
+            idx[0] = li
+            idx[axis + 1] = offset
+            return jax.lax.dynamic_update_slice(
+                all_buf, new.astype(all_buf.dtype)[None], tuple(idx))
+        layer = update_rows_axis(_layer(all_buf, li), new,
+                                 jnp.repeat(offset, h), axis)
+        zeros = (0,) * (all_buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(all_buf, layer[None],
+                                            (li,) + zeros)
 
     def scan_body(carry, xs):
         hidden, residual, k_all, v_all, ks_all, vs_all = carry
@@ -264,39 +306,47 @@ def gpt_forward_with_cache(
             q, k = rotary.apply_rotary_qk(q, k, cfg.rotary_emb_dim,
                                           seqlen_offset=offset,
                                           scale_base=cfg.rotary_emb_scale_base)
+        # cache layouts: kt (E, dk, S) / v (E, S, dv) / scales (E, S)
+        kt_new = k.transpose(0, 2, 3, 1).reshape(e, dk, s)
+        v_new = v.transpose(0, 2, 1, 3).reshape(e, s, dk)
         if quantized:
             from ..ops import quant
-            k8, ks = quant.quantize_activations_int8(k)
-            v8, vs = quant.quantize_activations_int8(v)
-            k_all = _store(k_all, li, k8)
-            v_all = _store(v_all, li, v8)
-            ks_all = _store(ks_all, li, ks)
-            vs_all = _store(vs_all, li, vs)
+            k8, ks = quant.quantize_activations_int8(kt_new, axis=1)
+            v8, vs = quant.quantize_activations_int8(v_new, axis=2)
+            k_all = _store(k_all, li, k8, axis=2)
+            v_all = _store(v_all, li, v8, axis=1)
+            ks_all = _store(ks_all, li, ks[:, 0, :], axis=1)
+            vs_all = _store(vs_all, li, vs[..., 0], axis=1)
         else:
-            k_all = _store(k_all, li, k)
-            v_all = _store(v_all, li, v)
-        shape = (1,) + k_all.shape[1:]
-        k_cache = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), shape)[0]
-        v_cache = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), shape)[0]
-        if quantized:
-            sshape = (1,) + ks_all.shape[1:]
-            k_sc = jax.lax.dynamic_slice(ks_all, (li, 0, 0, 0, 0), sshape)[0]
-            v_sc = jax.lax.dynamic_slice(vs_all, (li, 0, 0, 0, 0), sshape)[0]
-        if s == 1 and quantized:
-            ctx = decode_attention_quant(q, k_cache, k_sc, v_cache, v_sc,
-                                         new_len, softmax_scale=scale)
-        elif s == 1:
-            ctx = decode_attention(q, k_cache, v_cache, new_len,
-                                   softmax_scale=scale)
+            k_all = _store(k_all, li, kt_new, axis=2)
+            v_all = _store(v_all, li, v_new, axis=1)
+        kt_cache = _layer(k_all, li)              # (E, dk, S)
+        v_cache = _layer(v_all, li)               # (E, S, dv)
+        k_sc = _layer(ks_all, li) if quantized else None   # (E, S)
+        v_sc = _layer(vs_all, li) if quantized else None
+        S = kt_cache.shape[-1]
+        if s == 1:
+            # single-pass decode over the stored-precision flat cache
+            lens = jnp.repeat(new_len, h) if vec else new_len
+            ctx = decode_attention(
+                (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
+                                                             ).reshape(e, dk),
+                kt_cache, k_sc, v_cache, v_sc, lens)
+            ctx = ctx.reshape(b, 1, h, dk)
         else:
             # Prefill: attend over the cache with a causal offset. When
             # offset == 0 this is plain causal self-attention on fresh K/V.
-            # (Quantized prefill dequantizes once — prefill is compute-bound.)
+            # The (E,)->(b,S,h,d) relayout of the cache happens once per
+            # prefill (compute-bound), never in the decode loop.
             if quantized:
-                kd = (k_cache.astype(jnp.float32) * k_sc).astype(q.dtype)
-                vd = (v_cache.astype(jnp.float32) * v_sc).astype(q.dtype)
+                kd = (kt_cache.astype(jnp.float32)
+                      * k_sc[:, None, :]).astype(q.dtype)
+                vd = (v_cache.astype(jnp.float32)
+                      * v_sc[..., None]).astype(q.dtype)
             else:
-                kd, vd = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
+                kd, vd = kt_cache.astype(q.dtype), v_cache.astype(q.dtype)
+            kd = kd.reshape(b, h, dk, S).transpose(0, 3, 1, 2)  # (b, S, h, dk)
+            vd = vd.reshape(b, h, S, dk).transpose(0, 2, 1, 3)  # (b, S, h, dv)
             lens = (new_len.astype(jnp.int32) if vec
                     else jnp.full((b,), new_len, jnp.int32))
             ctx = mha(q, kd, vd, causal=True, softmax_scale=scale,

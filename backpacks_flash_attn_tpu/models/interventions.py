@@ -322,9 +322,10 @@ def init_weighted_decode_state(cfg: BackpackConfig, batch: int,
 
 
 def _dequant_content_cache(cache: bp.BackpackCache) -> jax.Array:
+    """-> (E, S, d) in a float dtype (flat cache layout per BackpackCache)."""
     if cache.quantized:
         return (cache.content.astype(jnp.float32)
-                * cache.content_scale).astype(jnp.bfloat16)
+                * cache.content_scale[..., None]).astype(jnp.bfloat16)
     return cache.content
 
 
@@ -357,8 +358,10 @@ def weighted_decode_step(params: Params, cfg: BackpackConfig,
     if anneal:
         # (1) new columns: every cached position j < offset gains
         #     relu(C(x_j) . E[x_t]) for each new token t.
-        content_all = _dequant_content_cache(cache)          # (b, max_s, nv, d)
-        col = jnp.einsum("bjkd,btd->bjkt", content_all.astype(jnp.float32),
+        content_all = _dequant_content_cache(cache)          # (E, S, d)
+        nv = cfg.num_senses
+        content_all = content_all.reshape(b, nv, max_s, -1)
+        col = jnp.einsum("bkjd,btd->bjkt", content_all.astype(jnp.float32),
                          e_new.astype(jnp.float32))
         col = jnp.maximum(col, 0.0).sum(-1)                  # (b, max_s, nv)
         jpos = jnp.arange(max_s)

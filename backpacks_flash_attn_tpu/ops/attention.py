@@ -54,7 +54,11 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, *,
     additive -10000 masks, softmax in fp32.
     """
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    scores = jnp.einsum("bthd,bshd->bhts", q, k * scale,
+    # fp32 operands: this is the oracle/CPU path (flash is the TPU path), and
+    # XLA:CPU's thunk runtime has no bf16 x bf16 dot kernel for the fused
+    # transpose layouts the cached decode produces.
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                        k.astype(jnp.float32) * scale,
                         preferred_element_type=jnp.float32)
     scores = _apply_masks(scores, causal=causal,
                           key_padding_mask=key_padding_mask, q_offset=q_offset)
@@ -62,9 +66,8 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if dropout_p > 0.0 and not deterministic and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - dropout_p), 0.0)
-    attn = attn.astype(v.dtype)
-    return jnp.einsum("bhts,bshd->bthd", attn, v, preferred_element_type=jnp.float32
-                      ).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", attn, v.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def mha(q: jax.Array, k: jax.Array, v: jax.Array, *,

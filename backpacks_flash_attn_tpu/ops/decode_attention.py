@@ -40,18 +40,23 @@ def _interpret() -> bool:
 
 
 def _kernel(len_ref, q_ref, kt_ref, ks_ref, v_ref, vs_ref, o_ref, *,
-            rows: int, quant_k: bool, quant_v: bool):
+            rows: int, quant_k: bool, quant_v: bool, force_f32: bool):
     """kt is the TRANSPOSED key cache (rows, dk, S): scores become MXU matvecs
     (1, dk) @ (dk, S) instead of lane-axis reductions, which the VPU hates."""
-    length = len_ref[0]
     S = kt_ref.shape[2]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    valid = pos < length
+    base = pl.program_id(0) * rows
+    # fp32 inputs keep fp32 math (exactness oracles); bf16/int8 run bf16 MXU.
+    # force_f32 covers interpret mode: XLA:CPU has no bf16 x bf16 dot thunk.
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
     # Mosaic has no batched dot_general and `rows` is a small static constant:
     # unroll the per-row pipeline (2 MXU dots + one lane-wise softmax each).
     for j in range(rows):
-        q_j = q_ref[j:j + 1].astype(jnp.bfloat16)          # (1, dk)
-        kt_j = kt_ref[j].astype(jnp.bfloat16)              # (dk, S)
+        # per-row valid length (serving slots decode at different positions)
+        valid = pos < len_ref[base + j]
+        q_j = q_ref[j:j + 1].astype(cdt)                   # (1, dk)
+        kt_j = kt_ref[j].astype(cdt)                       # (dk, S)
         s = jax.lax.dot_general(q_j, kt_j, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (1, S)
         if quant_k:
@@ -63,7 +68,7 @@ def _kernel(len_ref, q_ref, kt_ref, ks_ref, v_ref, vs_ref, o_ref, *,
         if quant_v:
             p = p * vs_ref[j:j + 1]
         out_j = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[j].astype(jnp.bfloat16),
+            p.astype(cdt), v_ref[j].astype(cdt),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         o_ref[j:j + 1] = out_j.astype(o_ref.dtype)
 
@@ -86,11 +91,12 @@ def decode_attention_fused(q: jax.Array, kt: jax.Array,
         ks = jnp.ones((e, 1), jnp.float32)  # placeholder (never read)
     if vs is None:
         vs = jnp.ones((e, 1), jnp.float32)
-    length = jnp.asarray(length, jnp.int32).reshape(-1)[:1]
+    # scalar length -> broadcast to all rows; (E,) vector -> per-row lengths
+    length = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (e,))
 
     out = pl.pallas_call(
         functools.partial(_kernel, rows=rows, quant_k=quant_k,
-                          quant_v=quant_v),
+                          quant_v=quant_v, force_f32=_interpret()),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # length
@@ -108,15 +114,51 @@ def decode_attention_fused(q: jax.Array, kt: jax.Array,
 
 
 def decode_attention_ref(q, kt, ks, v, vs, length):
-    """jnp reference for the fused kernel (tests + fallback).
+    """fp32 jnp reference for the fused kernel (tests).
     kt: (E, dk, S) transposed key cache."""
     qf = q.astype(jnp.float32)
     s = jnp.einsum("ed,eds->es", qf, kt.astype(jnp.float32))
     if ks is not None:
         s = s * ks
     pos = jnp.arange(v.shape[1])[None, :]
-    s = jnp.where(pos < jnp.asarray(length).reshape(-1)[:1], s, NEG)
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                               (q.shape[0],))
+    s = jnp.where(pos < lengths[:, None], s, NEG)
     p = jax.nn.softmax(s, axis=-1)
     if vs is not None:
         p = p * vs
     return jnp.einsum("es,esd->ed", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def decode_attention_flat(q, kt, ks, v, vs, length):
+    """XLA flat-layout decode attention — the production decode path.
+
+    Same contract as decode_attention_fused. Measured on v5e (backpack-small
+    shapes, E=384, dk=64, S=512): 42us int8 / 71us bf16 per layer, vs 105us+
+    for the per-row-matvec Pallas kernel and a 17/31us cache-read roofline —
+    XLA's batched-matvec schedule pipelines the HBM streams better than the
+    hand kernel, so it wins; the Pallas kernel is kept for future Mosaic
+    work. int8 caches are consumed via bf16 casts that XLA fuses into the
+    contractions (never an fp32 materialization of the cache)."""
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    s = jnp.einsum("ed,eds->es", q.astype(compute), kt.astype(compute),
+                   preferred_element_type=jnp.float32)
+    if ks is not None:
+        s = s * ks
+    pos = jnp.arange(v.shape[1])[None, :]
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                               (q.shape[0],))
+    s = jnp.where(pos < lengths[:, None], s, NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    if vs is not None:
+        p = p * vs
+    return jnp.einsum("es,esd->ed", p.astype(compute), v.astype(compute),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def decode_attention(q, kt, ks, v, vs, length, *, use_pallas: bool = False):
+    """Dispatching entry point for the single-step cache attention (see
+    module docstring for shapes)."""
+    if use_pallas:
+        return decode_attention_fused(q, kt, ks, v, vs, length)
+    return decode_attention_flat(q, kt, ks, v, vs, length)

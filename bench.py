@@ -21,7 +21,7 @@ from backpacks_flash_attn_tpu.models import quantized as qz
 
 BATCH = 32
 PROMPT = 32
-STEPS = 128
+STEPS = 512
 MAX_LEN = 512
 
 
@@ -48,14 +48,16 @@ def measure(cfg, params, cache_dtype) -> float:
 
     run = jax.jit(lambda p, c, t: decode_loop(cfg, p, c, t, STEPS)[0])
     # Force a device->host fetch each rep: block_until_ready through the
-    # remote-TPU tunnel can ACK before execution completes.
+    # remote-TPU tunnel can ACK before execution completes. Take the BEST of
+    # several reps — the tunnel adds 30-60ms RTT spikes that would otherwise
+    # pollute the mean — and enough steps per rep to amortize the RTT.
     _ = np.asarray(run(params, cache, token))   # compile + warm
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
         _ = np.asarray(run(params, cache, token))
-    dt = (time.time() - t0) / reps
-    return BATCH * STEPS / dt
+        best = min(best, time.time() - t0)
+    return BATCH * STEPS / best
 
 
 def main():

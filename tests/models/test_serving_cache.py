@@ -110,14 +110,16 @@ def test_vector_length_gpt_rotary(setup):
 
     big = gpt_lib.init_kv_cache(cfg, 2, MAX_LEN, jnp.float32, per_slot=True)
     toks = []
+    nh = cfg.n_head
     for i, p in enumerate(prompts):
         small = gpt_lib.init_kv_cache(cfg, 1, MAX_LEN, jnp.float32)
         h, small = gpt_lib.gpt_forward_with_cache(params, cfg, p[None], small,
                                                   use_flash=False)
         toks.append(int(jnp.argmax(gpt_lib.lm_logits(params, cfg, h)[0, -1])))
+        # flat-E layout: slot i's rows live at [i*n_head, (i+1)*n_head)
         big = big._replace(
-            k=jax.lax.dynamic_update_slice(big.k, small.k, (0, i, 0, 0, 0)),
-            v=jax.lax.dynamic_update_slice(big.v, small.v, (0, i, 0, 0, 0)),
+            k=jax.lax.dynamic_update_slice(big.k, small.k, (0, i * nh, 0, 0)),
+            v=jax.lax.dynamic_update_slice(big.v, small.v, (0, i * nh, 0, 0)),
             length=big.length.at[i].set(small.length))
     h, big = gpt_lib.gpt_forward_with_cache(
         params, cfg, jnp.asarray(toks, jnp.int32)[:, None], big,
