@@ -21,7 +21,7 @@ from backpacks_flash_attn_tpu.models import quantized as qz
 
 BATCH = 32
 PROMPT = 32
-STEPS = 512
+STEPS = 448
 MAX_LEN = 512
 
 
