@@ -45,9 +45,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      block_k: int, kv_len: int, causal: bool,
-                      block_q: int):
+def _flash_fwd_kernel(lens_ref, bmask_ref, q_ref, k_ref, v_ref, o_ref,
+                      lse_ref, *, block_k: int, kv_len: int, causal: bool,
+                      block_q: int, blocksparse: bool):
     # q arrives pre-scaled (softmax scale may be a traced per-layer value,
     # which a Pallas kernel cannot close over).
     qi = pl.program_id(2)
@@ -59,10 +59,11 @@ def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         # K tiles strictly above the causal diagonal contribute nothing.
         max_k = jnp.minimum((qi + 1) * block_q, kv_len)
         num_k_blocks = pl.cdiv(max_k, block_k)
+    n_kb_total = pl.cdiv(kv_len, block_k)
 
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
-    def body(j, carry):
+    def compute(j, carry):
         o_acc, m_prev, l_prev = carry
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
         v = v_ref[0, 0, pl.ds(j * block_k, block_k)]
@@ -84,6 +85,18 @@ def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         o_new = o_acc * correction[:, None] + pv
         return o_new, m_new, l_new
 
+    if blocksparse:
+        # blocksparse FMHA (reference fwd_block, csrc/flash_attn/
+        # src/fmha_block_fprop_kernel_1xN.h): tiles with a 0 blockmask entry
+        # skip BOTH MXU dots — exact sparse attention, compute scales with
+        # the active-block count. (K/V still stream whole per program; a
+        # scalar-prefetch gather of active blocks is the DMA upgrade path.)
+        def body(j, carry):
+            return jax.lax.cond(bmask_ref[qi * n_kb_total + j] != 0,
+                                lambda c: compute(j, c), lambda c: c, carry)
+    else:
+        body = compute
+
     o_acc = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
@@ -94,9 +107,11 @@ def _flash_fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, None]
 
 
-def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
+def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
+               blockmask=None):
     """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
-    `scale` may be traced; it is folded into q before the kernel launch."""
+    `scale` may be traced; it is folded into q before the kernel launch.
+    blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask."""
     if not (isinstance(scale, float) and scale == 1.0):
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     b, h, sq, d = q.shape
@@ -115,16 +130,24 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
     if seq_lengths is None:
         seq_lengths = jnp.full((b,), sk, jnp.int32)
     seq_lengths = seq_lengths.astype(jnp.int32)
+    blocksparse = blockmask is not None
+    if blocksparse:
+        n_qb, n_kb = sq_pad // block_q, pl.cdiv(sk, block_k)
+        assert blockmask.shape == (n_qb, n_kb), (blockmask.shape, (n_qb, n_kb))
+        bm = blockmask.astype(jnp.int32).reshape(-1)
+    else:
+        bm = jnp.zeros((1,), jnp.int32)
 
     grid = (b, h, sq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel, block_k=block_k, kv_len=sk,
-        causal=causal, block_q=block_q)
+        causal=causal, block_q=block_q, blocksparse=blocksparse)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (b,) lengths
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flat blockmask
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
@@ -138,7 +161,7 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k):
             jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seq_lengths, qp, kp, vp)
+    )(seq_lengths, bm, qp, kp, vp)
     return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
@@ -205,6 +228,30 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         # padded/ragged path is inference-only for now: no vjp needed.
         out, _ = _flash_fwd(qt, kt, vt, seq_lengths, 1.0, causal,
                             block_q, block_k)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                                blockmask: jax.Array, *,
+                                causal: bool = True,
+                                softmax_scale: Optional[float] = None,
+                                seq_lengths: Optional[jax.Array] = None,
+                                block_q: int = 256,
+                                block_k: int = 256) -> jax.Array:
+    """Block-sparse FlashAttention (reference: fwd_block/bwd_block,
+    csrc/flash_attn/fmha_api.cpp:507,631 + flash_blocksparse_attention.py:14).
+
+    q: (b, sq, h, dh); blockmask: (ceil(sq/block_q), ceil(sk/block_k)) with 1
+    for attended tiles. Semantics are exact: masked tiles contribute nothing
+    (as if their scores were -inf), matching the reference's converted
+    blockmask (flash_blocksparse_attn_interface.py:8). Masked tiles skip both
+    MXU contractions."""
+    scale = (softmax_scale if softmax_scale is not None
+             else 1.0 / math.sqrt(q.shape[-1]))
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    out, _ = _flash_fwd(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                        jnp.swapaxes(v, 1, 2), seq_lengths, 1.0, causal,
+                        block_q, block_k, blockmask=blockmask)
     return jnp.swapaxes(out, 1, 2)
 
 
