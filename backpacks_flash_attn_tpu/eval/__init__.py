@@ -1,1 +1,1 @@
-from . import perplexity, similarity
+from . import control, perplexity, similarity
