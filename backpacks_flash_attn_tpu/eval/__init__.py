@@ -1,1 +1,1 @@
-from . import control, perplexity, similarity
+from . import control, genderbias, perplexity, pplm, similarity

@@ -73,19 +73,27 @@ def _decode_loop(step_fn: Callable, cache, first_logits, input_ids, max_length,
     "use_flash", "cache_dtype"))
 def generate_backpack(params, cfg: BackpackConfig, input_ids: jax.Array,
                       max_length: int, *, rng: Optional[jax.Array] = None,
-                      greedy: bool = True, temperature: float = 1.0,
+                      greedy: Optional[bool] = None, temperature: float = 1.0,
                       top_k: int = 0, output_scores: bool = False,
                       use_flash: bool = True,
+                      sense_weights: Optional[jax.Array] = None,
+                      sense_edit=None,
                       cache_dtype=jnp.bfloat16) -> GenerationOutput:
-    """Incremental Backpack generation (the engine's flagship decode path)."""
+    """Incremental Backpack generation (the engine's flagship decode path).
+    sense_weights / sense_edit thread the intervention hooks (§2.4) through
+    every prefill/decode step."""
+    if greedy is None:
+        greedy = rng is None or temperature <= 0
+    if temperature <= 0:
+        temperature = 1.0
     b, prompt_len = input_ids.shape
     cache = bp.init_backpack_cache(cfg, b, max_length, cache_dtype)
-    logits, cache = bp.backpack_forward_with_cache(
-        params, cfg, input_ids, cache, use_flash=use_flash)
     step_fn = functools.partial(bp.backpack_forward_with_cache, params, cfg,
-                                use_flash=use_flash)
-    step = lambda ids, c: step_fn(ids, c)
-    return _decode_loop(step, cache, logits[:, -1], input_ids, max_length,
+                                use_flash=use_flash,
+                                sense_weights=sense_weights,
+                                sense_edit=sense_edit)
+    logits, cache = step_fn(input_ids, cache)
+    return _decode_loop(step_fn, cache, logits[:, -1], input_ids, max_length,
                         None if greedy else rng, temperature, top_k,
                         output_scores)
 
