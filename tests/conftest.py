@@ -23,7 +23,18 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: XLA compiles are the dominant test cost here.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Key the directory by CPU feature set — XLA:CPU AOT executables compiled on
+# a machine with different vector extensions SIGSEGV/SIGILL when loaded
+# (observed: stale cache entries from an avx512-variant host crashed the
+# suite mid-run).
+import hashlib  # noqa: E402
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((l for l in _f if l.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_tag = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
