@@ -19,7 +19,7 @@ from backpacks_flash_attn_tpu.config import backpack_small
 from backpacks_flash_attn_tpu.models import backpack as bp
 from backpacks_flash_attn_tpu.models import quantized as qz
 
-BATCH = 32
+BATCH = 128
 PROMPT = 32
 STEPS = 448
 MAX_LEN = 512
