@@ -1,1 +1,1 @@
-from . import control, genderbias, perplexity, pplm, similarity
+from . import control, genderbias, perplexity, pplm, similarity, visualize

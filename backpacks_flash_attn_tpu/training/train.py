@@ -108,10 +108,33 @@ def make_train_step(cfg, tx, *, model: str = "backpack",
     return train_step
 
 
+def zero1_opt_shardings(opt_state, mesh):
+    """ZeRO-1: shard every optimizer-moment leaf over the 'data' axis on its
+    first divisible dimension (the pjit analogue of the reference's apex
+    DistributedFusedAdam optimizer-state sharding, utils/ddp_zero1.py:19-91
+    — XLA inserts the reduce-scatter/all-gather the reference issues by
+    hand)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_size = mesh.shape["data"]
+
+    def spec_for(leaf):
+        if not hasattr(leaf, "shape") or data_size <= 1:
+            return NamedSharding(mesh, P())
+        for axis, dim in enumerate(leaf.shape):
+            if dim >= data_size and dim % data_size == 0:
+                return NamedSharding(mesh,
+                                     P(*(None,) * axis + ("data",)))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, opt_state)
+
+
 def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
-                            use_flash: bool = True):
+                            use_flash: bool = True, zero1: bool = False):
     """jit the train step over the mesh: batch sharded on 'data', params TP-
-    sharded per parallel/mesh.py rules, optimizer state sharded like params."""
+    sharded per parallel/mesh.py rules; optimizer state sharded like params,
+    or additionally over 'data' with zero1=True (ZeRO-1)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import param_shardings
@@ -123,8 +146,15 @@ def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
         p_shard = param_shardings(params, cfg, mesh)
         params = jax.device_put(params, p_shard)
         # optimizer moments inherit param shardings via propagation from the
-        # committed param arrays (XLA keeps them aligned with the params).
-        opt_state = jax.jit(tx.init)(params)
+        # committed param arrays (XLA keeps them aligned with the params);
+        # zero1 overrides them with data-axis shards.
+        if zero1:
+            shapes = jax.eval_shape(tx.init, params)
+            opt_state = jax.jit(
+                tx.init, out_shardings=zero1_opt_shardings(shapes, mesh)
+            )(params)
+        else:
+            opt_state = jax.jit(tx.init)(params)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))
 

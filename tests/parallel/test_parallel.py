@@ -159,3 +159,37 @@ def test_dp_sharded_ragged_decode_matches_single(tp_params):
             logits, cache = step(sp, toks, cache)
             toks = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
             np.testing.assert_array_equal(np.asarray(toks[:, 0]), want[t])
+
+
+def test_zero1_optimizer_sharding_matches_single():
+    """ZeRO-1 (optimizer moments sharded over 'data') must train identically
+    to the unsharded step, with the moments actually sharded (reference
+    utils/ddp_zero1.py's apex DistributedFusedAdam equivalence)."""
+    cfg = _tp_cfg()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    tx = train_lib.make_optimizer(params, warmup_steps=2, total_steps=10)
+    batch = {"input_ids": jax.random.randint(jax.random.PRNGKey(2), (4, 17),
+                                             0, cfg.vocab_size)}
+    rng = jax.random.PRNGKey(3)
+
+    plain_step = train_lib.make_train_step(cfg, tx, use_flash=False)
+    state0 = train_lib.TrainState(params, tx.init(params),
+                                  jnp.zeros((), jnp.int32))
+    plain_state, want = plain_step(state0, batch, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    step_fn, sharded_init = train_lib.make_sharded_train_step(
+        cfg, tx, mesh, use_flash=False, zero1=True)
+    with mesh:
+        state = sharded_init(params)
+        # the big moments ARE sharded over data
+        mu_wte = state.opt_state[1][0].mu["gpt"]["wte"]
+        assert "data" in jax.tree.leaves(
+            [ax for ax in mu_wte.sharding.spec if ax is not None])
+        state, got = step_fn(state, batch, rng)
+    np.testing.assert_allclose(float(got["loss"]), float(want["loss"]),
+                               rtol=1e-5)
+    # updated params match the unsharded run
+    np.testing.assert_allclose(
+        np.asarray(state.params["gpt"]["wte"]),
+        np.asarray(plain_state.params["gpt"]["wte"]), rtol=1e-4, atol=1e-6)
