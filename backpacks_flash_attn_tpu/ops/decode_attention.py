@@ -130,30 +130,54 @@ def decode_attention_ref(q, kt, ks, v, vs, length):
     return jnp.einsum("es,esd->ed", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-def decode_attention_flat(q, kt, ks, v, vs, length):
+def decode_attention_flat(q, kt, ks, v, vs, length, *,
+                          length_buckets: bool = False):
     """XLA flat-layout decode attention — the production decode path.
 
     Same contract as decode_attention_fused. Measured on v5e (backpack-small
-    shapes, E=384, dk=64, S=512): 42us int8 / 71us bf16 per layer, vs 105us+
-    for the per-row-matvec Pallas kernel and a 17/31us cache-read roofline —
-    XLA's batched-matvec schedule pipelines the HBM streams better than the
-    hand kernel, so it wins; the Pallas kernel is kept for future Mosaic
-    work. int8 caches are consumed via bf16 casts that XLA fuses into the
-    contractions (never an fp32 materialization of the cache)."""
+    shapes, E=384, dk=64, S=512): 42us int8 / 71us bf16 per layer for the
+    full-window contraction, vs 105us+ for the per-row-matvec Pallas kernel
+    and a 17/31us cache-read roofline — XLA's batched-matvec schedule
+    pipelines the HBM streams better than the hand kernel, so it wins; the
+    Pallas kernel is kept for future Mosaic work. int8 caches are consumed
+    via bf16 casts that XLA fuses into the contractions (never an fp32
+    materialization of the cache).
+
+    length_buckets: pick the smallest of {S/4, S/2, S} covering max(length)
+    with nested lax.cond, so early decode steps read only a prefix of the
+    cache. In ISOLATION this wins big (26us at length<=S/4 vs 42us full) —
+    but OFF by default: when the cache is a scan-carried buffer that the
+    step also updates (the real decode loop), the cond branches force XLA
+    into defensive full-cache copies and throughput drops 5x (measured
+    30.2k -> 6.0k tok/s). Safe to enable when kt/v are loop-invariant
+    (e.g. scoring a fixed prefix many times)."""
     compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
-    s = jnp.einsum("ed,eds->es", q.astype(compute), kt.astype(compute),
-                   preferred_element_type=jnp.float32)
-    if ks is not None:
-        s = s * ks
-    pos = jnp.arange(v.shape[1])[None, :]
+    S = v.shape[1]
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
                                (q.shape[0],))
-    s = jnp.where(pos < lengths[:, None], s, NEG)
-    p = jax.nn.softmax(s, axis=-1)
-    if vs is not None:
-        p = p * vs
-    return jnp.einsum("es,esd->ed", p.astype(compute), v.astype(compute),
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+    def run(s_eff):
+        s = jnp.einsum("ed,eds->es", q.astype(compute),
+                       kt[:, :, :s_eff].astype(compute),
+                       preferred_element_type=jnp.float32)
+        if ks is not None:
+            s = s * ks[:, :s_eff]
+        pos = jnp.arange(s_eff)[None, :]
+        s = jnp.where(pos < lengths[:, None], s, NEG)
+        p = jax.nn.softmax(s, axis=-1)
+        if vs is not None:
+            p = p * vs[:, :s_eff]
+        return jnp.einsum("es,esd->ed", p.astype(compute),
+                          v[:, :s_eff].astype(compute),
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    if not length_buckets or S < 256 or S % 4 != 0:
+        return run(S)
+    lmax = jnp.max(lengths)
+    return jax.lax.cond(
+        lmax <= S // 4, lambda: run(S // 4),
+        lambda: jax.lax.cond(lmax <= S // 2, lambda: run(S // 2),
+                             lambda: run(S)))
 
 
 def decode_attention(q, kt, ks, v, vs, length, *, use_pallas: bool = False):

@@ -43,3 +43,32 @@ def test_masking_excludes_tail():
     v2 = v.at[:, 40:].set(-999.0)
     out2 = decode_attention_fused(q, k2, None, v2, None, jnp.asarray(40))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_length_buckets_match_full():
+    """Bucketed decode (prefix reads under lax.cond) must equal the
+    full-window computation at every bucket boundary."""
+    import numpy as np
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_flat)
+    rng = np.random.default_rng(0)
+    E, dk, S = 8, 16, 512
+    q = jnp.asarray(rng.normal(size=(E, dk)).astype(np.float32))
+    kt = jnp.asarray(rng.normal(size=(E, dk, S)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(E, S, dk)).astype(np.float32))
+    vs = jnp.asarray(rng.uniform(0.5, 1.5, (E, S)).astype(np.float32))
+    for L in (1, 100, 128, 129, 256, 257, 400, 512):
+        want = decode_attention_flat(q, kt, None, v, vs, jnp.asarray(L),
+                                     length_buckets=False)
+        got = jax.jit(lambda l: decode_attention_flat(
+            q, kt, None, v, vs, l, length_buckets=True))(jnp.asarray(L))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5), L
+    # per-row lengths: bucket picked by the max
+    lens = jnp.asarray([5, 100, 300, 12, 1, 7, 2, 99], jnp.int32)
+    want = decode_attention_flat(q, kt, None, v, vs, lens,
+                                 length_buckets=False)
+    got = decode_attention_flat(q, kt, None, v, vs, lens,
+                                length_buckets=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
