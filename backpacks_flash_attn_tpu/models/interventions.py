@@ -321,12 +321,87 @@ def init_weighted_decode_state(cfg: BackpackConfig, batch: int,
     )
 
 
+def insert_state_slot(big: WeightedDecodeState, small: WeightedDecodeState,
+                      slot) -> WeightedDecodeState:
+    """Admission: copy a batch-1 annealing state into row `slot` (the
+    intervention analogue of bp.insert_cache_slot)."""
+    def put(b, s):
+        start = (jnp.asarray(slot, jnp.int32),) + (0,) * (b.ndim - 1)
+        return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), start)
+    return WeightedDecodeState(sums=put(big.sums, small.sums),
+                               tok_emb=put(big.tok_emb, small.tok_emb),
+                               token_ids=put(big.token_ids, small.token_ids))
+
+
 def _dequant_content_cache(cache: bp.BackpackCache) -> jax.Array:
     """-> (E, S, d) in a float dtype (flat cache layout per BackpackCache)."""
     if cache.quantized:
         return (cache.content.astype(jnp.float32)
                 * cache.content_scale[..., None]).astype(jnp.bfloat16)
     return cache.content
+
+
+def advance_weighted_state(params: Params, cfg: BackpackConfig,
+                           input_ids: jax.Array, cache: bp.BackpackCache,
+                           state: WeightedDecodeState,
+                           content_weights: jax.Array, *,
+                           anneal: bool = True, annealing_scale: float = 0.1,
+                           upweight_nearby: bool = True,
+                           token_mask: Optional[jax.Array] = None
+                           ) -> Tuple[WeightedDecodeState, jax.Array]:
+    """Advance the annealing statistics for the incoming tokens and return
+    (state', weights (b, max_s, nv)) — the state update half of
+    weighted_decode_step, exposed so the serving engine can mask weights
+    per slot before the forward. Supports scalar or per-slot (b,) cache
+    lengths. token_mask (b, s): False marks padding tokens (bucketed
+    prefill) whose embeddings must not contribute to the annealing sums."""
+    b, s = input_ids.shape
+    offset = cache.length                       # scalar or (b,) per-slot
+    vec = jnp.asarray(offset).ndim == 1
+    off_col = offset[:, None] if vec else offset  # broadcast helper
+    max_s = state.sums.shape[1]
+    E = embedding_matrix(params["gpt"])
+
+    from ..models.gpt import update_rows_axis
+    c_new = bp.content_forward(params, cfg, input_ids)       # (b, s, nv, d)
+    e_new = jnp.take(E, input_ids, axis=0)                   # (b, s, d)
+    if token_mask is not None:
+        # zeroed pad embeddings contribute relu(c . 0) = 0 everywhere
+        e_new = e_new * token_mask[..., None].astype(e_new.dtype)
+    token_ids = update_rows_axis(state.token_ids, input_ids, offset, axis=1)
+    tok_emb = update_rows_axis(state.tok_emb,
+                               e_new.astype(state.tok_emb.dtype), offset,
+                               axis=1)
+
+    if anneal:
+        # (1) new columns: every cached position j < offset gains
+        #     relu(C(x_j) . E[x_t]) for each new token t.
+        content_all = _dequant_content_cache(cache)          # (E, S, d)
+        nv = cfg.num_senses
+        content_all = content_all.reshape(b, nv, max_s, -1)
+        col = jnp.einsum("bkjd,btd->bjkt", content_all.astype(jnp.float32),
+                         e_new.astype(jnp.float32))
+        col = jnp.maximum(col, 0.0).sum(-1)                  # (b, max_s, nv)
+        jpos = jnp.arange(max_s)[None, :]                    # (1, max_s)
+        sums = state.sums + jnp.where((jpos < off_col)[..., None], col, 0.0)
+        # (2) new rows: position t sums relu(C(x_t) . E[x_{j'}]) over all
+        #     j' <= offset + s - 1 (incl. the other new tokens).
+        row = jnp.einsum("btkd,bjd->btkj", c_new.astype(jnp.float32),
+                         tok_emb.astype(jnp.float32))
+        row = jnp.maximum(row, 0.0)
+        valid = (jnp.arange(max_s)[None, :] < off_col + s)[:, None, None, :]
+        row = jnp.where(valid, row, 0.0).sum(-1)             # (b, s, nv)
+        sums = update_rows_axis(sums, row, offset, axis=1)
+        scores = jax.nn.sigmoid(-annealing_scale * sums + 6.0)
+        if upweight_nearby:
+            scores = scores * (1.0 + jnp.arange(max_s) / 100.0)[None, :, None]
+    else:
+        sums = state.sums
+        scores = jnp.ones((b, max_s, cfg.num_senses), jnp.float32)
+
+    weights = soft_sense_mask(content_weights, token_ids, scores)
+    return WeightedDecodeState(sums=sums, tok_emb=tok_emb,
+                               token_ids=token_ids), weights
 
 
 def weighted_decode_step(params: Params, cfg: BackpackConfig,
@@ -343,47 +418,11 @@ def weighted_decode_step(params: Params, cfg: BackpackConfig,
     Matches weighted_forward token-for-token (tests/models/
     test_interventions.py) at O(t) per step instead of the reference's O(t^2)
     full-prefix recompute."""
-    b, s = input_ids.shape
-    offset = cache.length
-    max_s = state.sums.shape[1]
-    E = embedding_matrix(params["gpt"])
-
-    c_new = bp.content_forward(params, cfg, input_ids)       # (b, s, nv, d)
-    e_new = jnp.take(E, input_ids, axis=0)                   # (b, s, d)
-    token_ids = jax.lax.dynamic_update_slice(state.token_ids, input_ids,
-                                             (0, offset))
-    tok_emb = jax.lax.dynamic_update_slice(
-        state.tok_emb, e_new.astype(state.tok_emb.dtype), (0, offset, 0))
-
-    if anneal:
-        # (1) new columns: every cached position j < offset gains
-        #     relu(C(x_j) . E[x_t]) for each new token t.
-        content_all = _dequant_content_cache(cache)          # (E, S, d)
-        nv = cfg.num_senses
-        content_all = content_all.reshape(b, nv, max_s, -1)
-        col = jnp.einsum("bkjd,btd->bjkt", content_all.astype(jnp.float32),
-                         e_new.astype(jnp.float32))
-        col = jnp.maximum(col, 0.0).sum(-1)                  # (b, max_s, nv)
-        jpos = jnp.arange(max_s)
-        sums = state.sums + jnp.where((jpos < offset)[None, :, None], col, 0.0)
-        # (2) new rows: position t sums relu(C(x_t) . E[x_{j'}]) over all
-        #     j' <= offset + s - 1 (incl. the other new tokens).
-        row = jnp.einsum("btkd,bjd->btkj", c_new.astype(jnp.float32),
-                         tok_emb.astype(jnp.float32))
-        row = jnp.maximum(row, 0.0)
-        valid = (jnp.arange(max_s) < offset + s)[None, None, None, :]
-        row = jnp.where(valid, row, 0.0).sum(-1)             # (b, s, nv)
-        sums = jax.lax.dynamic_update_slice(sums, row, (0, offset, 0))
-        scores = jax.nn.sigmoid(-annealing_scale * sums + 6.0)
-        if upweight_nearby:
-            scores = scores * (1.0 + jnp.arange(max_s) / 100.0)[None, :, None]
-    else:
-        sums = state.sums
-        scores = jnp.ones((b, max_s, cfg.num_senses), jnp.float32)
-
-    weights = soft_sense_mask(content_weights, token_ids, scores)
+    state, weights = advance_weighted_state(
+        params, cfg, input_ids, cache, state, content_weights,
+        anneal=anneal, annealing_scale=annealing_scale,
+        upweight_nearby=upweight_nearby)
     logits, cache = bp.backpack_forward_with_cache(
         params, cfg, input_ids, cache, use_flash=use_flash,
         sense_weights=weights)
-    return logits, cache, WeightedDecodeState(sums=sums, tok_emb=tok_emb,
-                                              token_ids=token_ids)
+    return logits, cache, state

@@ -51,7 +51,14 @@ class ServingEngine:
                  max_seqlen: int = 512, cache_dtype=jnp.bfloat16,
                  eos_id: int = 50256, use_flash: bool = True, seed: int = 0,
                  num_senses: Optional[int] = None,
+                 control_table: Optional[np.ndarray] = None,
+                 annealing_scale: float = 0.2,
                  prefer_native_scheduler: bool = True):
+        """control_table: optional (vocab, nv) multiplicative weight table
+        (eval/control.control_weights). Requests submitted with control=True
+        decode with the full annealed topic-control intervention while
+        sharing slots with uncontrolled requests — the reference can only
+        run the WeightedBackpackLMHeadModel on a uniform batch."""
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -67,6 +74,15 @@ class ServingEngine:
         self.temps = np.zeros((max_slots,), np.float32)   # 0 = greedy
         self.sense_weights = np.ones((max_slots, cfg.num_senses), np.float32)
         self._uses_weights = False
+        self.control_table = (jnp.asarray(control_table, jnp.float32)
+                              if control_table is not None else None)
+        self.annealing_scale = annealing_scale
+        self.control_mask = np.zeros((max_slots,), bool)
+        self._uses_control = False
+        from ..models import interventions as iv
+        self._iv = iv
+        self.istate = iv.init_weighted_decode_state(cfg, max_slots,
+                                                    max_seqlen)
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._meta: Dict[int, tuple] = {}
@@ -75,14 +91,20 @@ class ServingEngine:
         self._jit_prefill = {}
         self._jit_step = None
         self._jit_step_weighted = None
+        self._jit_step_controlled = None
 
     # ------------------------------------------------------------ submit
 
     def submit(self, prompt, *, max_new_tokens: int = 64,
                temperature: float = 0.0,
-               sense_weights: Optional[np.ndarray] = None) -> int:
+               sense_weights: Optional[np.ndarray] = None,
+               control: bool = False) -> int:
         """Queue a request. Returns its id, or raises if the prompt can never
-        fit the cache."""
+        fit the cache. control=True decodes under the engine's annealed
+        control_table (topic control, reference intervened_models.py:58)."""
+        if control and self.control_table is None:
+            raise ValueError("control=True needs a control_table on the "
+                             "engine")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         rid = self._next_id
         self._next_id += 1
@@ -91,30 +113,43 @@ class ServingEngine:
                 f"prompt of {len(prompt)} tokens cannot fit max_seqlen="
                 f"{self.max_seqlen}")
         self._prompts[rid] = prompt
-        self._meta[rid] = (temperature, sense_weights)
+        self._meta[rid] = (temperature, sense_weights, control)
         return rid
 
     # ------------------------------------------------------------ internals
 
-    def _prefill_fn(self, bucket: int):
-        if bucket not in self._jit_prefill:
+    def _prefill_fn(self, bucket: int, controlled: bool = False):
+        key = (bucket, controlled)
+        if key not in self._jit_prefill:
             cfg, use_flash = self.cfg, self.use_flash
+            iv = self._iv
+            ann = self.annealing_scale
 
-            def prefill(params, ids, true_len, weights):
+            def prefill(params, ids, true_len, weights, table):
                 small = bp.init_backpack_cache(cfg, 1, self.max_seqlen,
                                                dtype=self.cache_dtype)
+                state = iv.init_weighted_decode_state(cfg, 1, self.max_seqlen)
+                if controlled:
+                    mask = (jnp.arange(ids.shape[1]) < true_len)[None]
+                    state, w = iv.advance_weighted_state(
+                        params, cfg, ids, small, state, table, anneal=True,
+                        annealing_scale=ann, token_mask=mask)
+                    sw = w * weights[:, None, :]
+                else:
+                    sw = weights          # (1, nv) per-request control only
                 logits, small = bp.backpack_forward_with_cache(
                     params, cfg, ids, small, use_flash=use_flash,
-                    sense_weights=weights)  # (1, nv) per-request control
+                    sense_weights=sw)
                 # ids are right-padded to the bucket; the causal mask keeps
                 # pads invisible to real tokens, so the logits at true_len-1
                 # and the first true_len cache rows are exact. Overwrite the
                 # (scalar) length with the true length.
                 last = logits[0, true_len - 1]
-                return last, small._replace(length=true_len.astype(jnp.int32))
+                return (last, small._replace(length=true_len.astype(jnp.int32)),
+                        state)
 
-            self._jit_prefill[bucket] = jax.jit(prefill)
-        return self._jit_prefill[bucket]
+            self._jit_prefill[key] = jax.jit(prefill)
+        return self._jit_prefill[key]
 
     def _step_fn(self, weighted: bool):
         attr = "_jit_step_weighted" if weighted else "_jit_step"
@@ -135,6 +170,32 @@ class ServingEngine:
             setattr(self, attr, jax.jit(step, donate_argnums=(2,)))
         return getattr(self, attr)
 
+    def _ctl_step_fn(self):
+        if self._jit_step_controlled is None:
+            cfg, use_flash = self.cfg, self.use_flash
+            iv = self._iv
+            ann = self.annealing_scale
+
+            def step(params, toks, cache, istate, temps, rng, req_w, cmask,
+                     table):
+                istate, w = iv.advance_weighted_state(
+                    params, cfg, toks, cache, istate, table, anneal=True,
+                    annealing_scale=ann)
+                w = jnp.where(cmask[:, None, None], w, 1.0)
+                w = w * req_w[:, None, :]
+                logits, cache = bp.backpack_forward_with_cache(
+                    params, cfg, toks, cache, use_flash=use_flash,
+                    sense_weights=w)
+                last = logits[:, -1]
+                greedy = jnp.argmax(last, -1)
+                sampled = jax.random.categorical(
+                    rng, last / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
+                nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+                return nxt[:, None], cache, istate
+
+            self._jit_step_controlled = jax.jit(step, donate_argnums=(2, 3))
+        return self._jit_step_controlled
+
     def _admit_all(self) -> List[int]:
         admitted = []
         while True:
@@ -146,13 +207,21 @@ class ServingEngine:
             bucket = min(_bucket(plen), self.max_seqlen)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :plen] = prompt
-            temp, sw = self._meta[rid]
+            temp, sw, control = self._meta[rid]
             w = (np.ones(self.cfg.num_senses, np.float32) if sw is None
                  else np.asarray(sw, np.float32))
-            last_logits, small = self._prefill_fn(bucket)(
+            table = (self.control_table if self.control_table is not None
+                     else jnp.ones((1, self.cfg.num_senses), jnp.float32))
+            last_logits, small, small_state = self._prefill_fn(
+                bucket, controlled=control)(
                 self.params, jnp.asarray(padded), jnp.asarray(plen),
-                jnp.asarray(w[None]))
+                jnp.asarray(w[None]), table)
             self.cache = bp.insert_cache_slot(self.cache, small, slot)
+            if control:
+                self.istate = self._iv.insert_state_slot(self.istate,
+                                                         small_state, slot)
+                self._uses_control = True
+            self.control_mask[slot] = control
             self.temps[slot] = temp
             self.sense_weights[slot] = w
             if sw is not None:
@@ -175,6 +244,7 @@ class ServingEngine:
         self._results[rid] = RequestResult(
             request_id=rid, tokens=self.sched.slot_tokens(slot),
             finished=True)
+        self.control_mask[slot] = False
         self.sched.release(slot)
 
     # ------------------------------------------------------------ stepping
@@ -186,10 +256,19 @@ class ServingEngine:
         if self.sched.num_active == 0:
             return []
         self._rng, sub = jax.random.split(self._rng)
-        step = self._step_fn(self._uses_weights)
-        self.tokens, self.cache = step(
-            self.params, self.tokens, self.cache,
-            jnp.asarray(self.temps), sub, jnp.asarray(self.sense_weights))
+        if self._uses_control:
+            step = self._ctl_step_fn()
+            self.tokens, self.cache, self.istate = step(
+                self.params, self.tokens, self.cache, self.istate,
+                jnp.asarray(self.temps), sub,
+                jnp.asarray(self.sense_weights),
+                jnp.asarray(self.control_mask), self.control_table)
+        else:
+            step = self._step_fn(self._uses_weights)
+            self.tokens, self.cache = step(
+                self.params, self.tokens, self.cache,
+                jnp.asarray(self.temps), sub,
+                jnp.asarray(self.sense_weights))
         toks = np.asarray(self.tokens[:, 0])
         out = []
         for slot in range(self.max_slots):

@@ -134,3 +134,36 @@ def test_engine_rejects_oversized_prompt(setup):
                         cache_dtype=jnp.float32, use_flash=False)
     with pytest.raises(ValueError):
         eng.submit(list(range(16)), max_new_tokens=4)
+
+
+def test_engine_annealed_control_matches_generate_weighted(setup):
+    """A control=True request served alongside an uncontrolled one must match
+    eval/control.generate_weighted (the uniform-batch annealed decode)
+    token-for-token — topic control under continuous batching."""
+    cfg, params = setup
+    from backpacks_flash_attn_tpu.eval.control import generate_weighted
+    table = (0.2 + 5.0 * jax.random.uniform(
+        jax.random.PRNGKey(7), (cfg.padded_vocab_size, cfg.num_senses)))
+    prompt_ctl = [5, 17, 42, 99]
+    prompt_plain = [9, 3, 1]
+    n = 5
+
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        control_table=np.asarray(table),
+                        annealing_scale=0.3)
+    r_ctl = eng.submit(prompt_ctl, max_new_tokens=n, control=True)
+    r_plain = eng.submit(prompt_plain, max_new_tokens=n)
+    res = eng.run()
+
+    want_ctl = generate_weighted(
+        params, cfg, jnp.asarray([prompt_ctl], jnp.int32), table,
+        annealing_scale=0.3, anneal=True, max_new_tokens=n, use_flash=False,
+        max_seqlen=32)
+    assert res[r_ctl].tokens == want_ctl[0].tolist()
+
+    want_plain = _direct_greedy(cfg, params, prompt_plain, n)
+    assert res[r_plain].tokens == want_plain
+
+    # the controlled output must actually differ from uncontrolled decoding
+    assert res[r_ctl].tokens != _direct_greedy(cfg, params, prompt_ctl, n)
