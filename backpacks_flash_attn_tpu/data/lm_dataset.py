@@ -27,9 +27,8 @@ choice and keeps every batch identically shaped).
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 import os
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

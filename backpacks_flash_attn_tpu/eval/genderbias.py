@@ -15,7 +15,7 @@ the caller decides how words map to ids (the reference hardcodes GPT-2).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ that are accumulated on host in float64.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ positions (run_pplm.py:135-160) is approximated by perturbing only the last
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

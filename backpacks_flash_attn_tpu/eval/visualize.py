@@ -9,7 +9,7 @@ functions return arrays and the (optional) plotting stays caller-side.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

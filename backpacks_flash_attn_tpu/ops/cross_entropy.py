@@ -14,7 +14,6 @@ form runs under shard_map with psum/pmax over the model axis.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -50,18 +50,24 @@ def dropout_add_layer_norm(
     eps: float = 1e-5,
     *,
     rowscale: Optional[jax.Array] = None,
+    colscale: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     prenorm: bool = True,
     residual_in_fp32: bool = True,
     out_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """dropout(x) [*rowscale] + residual -> LayerNorm.
+    """dropout(x [*colscale]) [*rowscale] + residual -> LayerNorm.
 
-    Matches flash_attn/ops/layer_norm.py:207-216 semantics. Returns
+    Matches flash_attn/ops/layer_norm.py:207-216 semantics: rowscale is the
+    per-row stochastic-depth multiplier, colscale the per-channel layerscale
+    (reference ln_api.cpp rowscale/colscale args; the reference's row-subset
+    variants are covered by utils/padding.py gathers). Returns
     (normalized, new_residual) when prenorm else just normalized.
     """
     out_dtype = out_dtype if out_dtype is not None else x.dtype
+    if colscale is not None:
+        x = x * colscale.astype(x.dtype)
     y = dropout(x, dropout_p, rng, deterministic)
     if rowscale is not None:
         y = y * rowscale[..., None].astype(y.dtype)

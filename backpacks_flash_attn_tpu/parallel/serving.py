@@ -21,7 +21,7 @@ spans hosts and the 'data' axis rides DCN while 'model' stays intra-slice.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

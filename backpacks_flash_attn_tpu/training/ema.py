@@ -8,7 +8,7 @@ pure pytree fold — jit-compatible, no module registry or in-place swaps.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ configs/scheduler/linear-warmup.yaml, src/optim/param_grouping.py:15-60):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

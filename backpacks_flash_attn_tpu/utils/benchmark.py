@@ -16,7 +16,7 @@ repo is taken the same way (see also .claude/skills/verify/SKILL.md):
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

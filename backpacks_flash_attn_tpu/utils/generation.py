@@ -13,7 +13,7 @@ compiles once per (batch, prompt_len, max_length) signature.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ jit-compatible and differentiable (pure jnp indexing).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

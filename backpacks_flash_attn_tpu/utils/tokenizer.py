@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 import json
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 try:
     import regex as _re

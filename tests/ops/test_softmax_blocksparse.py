@@ -86,3 +86,25 @@ def test_blocksparse_full_mask_equals_dense():
     dense = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
                                atol=1e-5)
+
+
+def test_dropout_add_ln_rowscale_colscale():
+    """rowscale (stochastic depth) and colscale (layerscale) semantics
+    (reference ln_api.cpp rowscale/colscale; tests/ops/
+    test_dropout_layer_norm.py)."""
+    from backpacks_flash_attn_tpu.ops.norms import (dropout_add_layer_norm,
+                                                    layer_norm)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+    w, b = jnp.ones((8,)), jnp.zeros((8,))
+    rows = jnp.asarray(rng.integers(0, 2, (2, 4)).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(0.5, 1.5, (8,)).astype(np.float32))
+    got, new_res = dropout_add_layer_norm(x, res, w, b, 0.0,
+                                          rowscale=rows, colscale=cols)
+    want_res = (x * cols) * rows[..., None] + res
+    np.testing.assert_allclose(np.asarray(new_res), np.asarray(want_res),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(layer_norm(want_res, w, b)),
+                               rtol=1e-5)
