@@ -77,3 +77,34 @@ def test_dropout_train_vs_eval(setup):
     assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-4
     out_eval2 = gpt_lib.gpt_forward(params, cfg, ids, use_flash=False)
     np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
+
+
+def test_hf_gpt2_import_golden_logits():
+    """gpt_params_from_hf_gpt2 must reproduce HuggingFace GPT2LMHeadModel
+    logits (the reference's remap_state_dict_gpt2 oracle,
+    tests/models/test_gpt.py:16-75 in /root/reference)."""
+    transformers = pytest.importorskip("transformers")
+    import torch
+
+    from backpacks_flash_attn_tpu.config import GPTConfig
+    from backpacks_flash_attn_tpu.utils.torch_import import (
+        gpt_params_from_hf_gpt2)
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=512, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        activation_function="gelu_new")
+    hf = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    sd = {k[len("transformer."):] if k.startswith("transformer.") else k: v
+          for k, v in hf.state_dict().items()}
+    cfg = GPTConfig(vocab_size=512, n_positions=64, n_embd=64, n_layer=2,
+                    n_head=4, pad_vocab_size_multiple=8)
+    params = gpt_params_from_hf_gpt2(sd, cfg)
+
+    ids = np.random.default_rng(0).integers(0, 512, (2, 12))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(gpt_lib.gpt_lm_forward(params, cfg, jnp.asarray(ids),
+                                            use_flash=False))
+    np.testing.assert_allclose(got[..., :512], want, rtol=1e-3, atol=2e-4)
