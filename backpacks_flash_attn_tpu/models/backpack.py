@@ -184,7 +184,7 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                      use_flash: bool = True,
                      sense_weights: Optional[jax.Array] = None,
                      sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
-                     return_parts: bool = False):
+                     return_parts: bool = False, remat: bool = False):
     """Training-shape forward -> logits (b, s, vocab)
     (reference: BackpackLMHeadModel.forward, backpack.py:297-351).
 
@@ -194,11 +194,13 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     replacement (reference ReplacedWordLMHeadModel, intervened_models.py:168).
     return_parts: also return dict with alpha / content / contextual hidden for
     the control & visualization machinery (reference §2.4).
+    remat=True rematerializes GPT blocks AND the (b, nv, s, s) alpha tensor in
+    the backward pass — alpha is the dominant training activation
+    (0.5GB at batch 32 for backpack-small) and is cheap to recompute.
     """
     r_gpt, r_content = (jax.random.split(rng) if rng is not None else (None, None))
     contextl = gpt_lib.gpt_forward(params["gpt"], cfg, input_ids, train=train,
-                                   rng=r_gpt, use_flash=use_flash)
-    alpha = contextualization(params, cfg, contextl)          # (b, nv, s, s)
+                                   rng=r_gpt, use_flash=use_flash, remat=remat)
     content = content_forward(params, cfg, input_ids, train=train,
                               rng=r_content)                  # (b, s, nv, d)
     if sense_edit is not None:
@@ -208,9 +210,25 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
             content = content * sense_weights[None, None, :, None].astype(content.dtype)
         else:
             content = content * sense_weights[..., None].astype(content.dtype)
+
     # out[b,t,d] = sum_k alpha[b,k,t,j] content[b,j,k,d]  (backpack.py:313)
-    outputs = jnp.einsum("bkts,bskd->btd", alpha, content,
-                         preferred_element_type=jnp.float32).astype(contextl.dtype)
+    def combine(ctx_params, contextl, content):
+        a = contextualization(ctx_params, cfg, contextl)      # (b, nv, s, s)
+        return jnp.einsum("bkts,bskd->btd", a, content,
+                          preferred_element_type=jnp.float32
+                          ).astype(contextl.dtype)
+
+    if remat and not return_parts:
+        # alpha never escapes the checkpoint: it is recomputed in the bwd
+        # instead of being saved (0.5GB at batch 32 for backpack-small)
+        alpha = None
+        outputs = jax.checkpoint(combine)({"ctx_attn": params["ctx_attn"]},
+                                          contextl, content)
+    else:
+        alpha = contextualization(params, cfg, contextl)
+        outputs = jnp.einsum("bkts,bskd->btd", alpha, content,
+                             preferred_element_type=jnp.float32
+                             ).astype(contextl.dtype)
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
     if return_parts:
         return logits, {"alpha": alpha, "content": content,

@@ -178,9 +178,15 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
                 position_ids: Optional[jax.Array] = None,
                 train: bool = False, rng: Optional[jax.Array] = None,
                 use_flash: bool = True,
-                key_padding_mask: Optional[jax.Array] = None) -> jax.Array:
+                key_padding_mask: Optional[jax.Array] = None,
+                remat: bool = False) -> jax.Array:
     """Full forward; returns post-final-LN hidden states (b, s, d)
-    (the analogue of GPTModel.forward, reference gpt.py:224-246)."""
+    (the analogue of GPTModel.forward, reference gpt.py:224-246).
+
+    remat=True rematerializes each block in the backward pass
+    (jax.checkpoint): activation memory drops from O(n_layer) to O(1) blocks
+    — the TPU lever the reference pulls with checkpoint_lvl recompute
+    policies (ops/fused_dense.py:175-235)."""
     hidden = embed(params, cfg, input_ids, position_ids)
     r_emb, r_layers = (jax.random.split(rng) if rng is not None else (None, None))
     hidden, residual = norms.dropout_add_layer_norm(
@@ -192,15 +198,22 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
     layer_rngs = (jax.random.split(r_layers, cfg.n_layer)
                   if r_layers is not None else None)
 
+    def block_fn(hidden, residual, layer_params, scale, lrng):
+        return _block(hidden, residual, layer_params, scale, cfg,
+                      train=train, rngs=lrng, use_flash=use_flash,
+                      key_padding_mask=key_padding_mask)
+
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
     def scan_body(carry, xs):
         hidden, residual = carry
         if layer_rngs is not None:
             layer_params, scale, lrng = xs
         else:
             (layer_params, scale), lrng = xs, None
-        hidden, residual = _block(hidden, residual, layer_params, scale, cfg,
-                                  train=train, rngs=lrng, use_flash=use_flash,
-                                  key_padding_mask=key_padding_mask)
+        hidden, residual = block_fn(hidden, residual, layer_params, scale,
+                                    lrng)
         return (hidden, residual), None
 
     xs = ((params["layers"], scales, layer_rngs) if layer_rngs is not None

@@ -72,7 +72,7 @@ class TrainState(NamedTuple):
 
 
 def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
-                 label_smoothing: float = 0.0) -> Callable:
+                 label_smoothing: float = 0.0, remat: bool = False) -> Callable:
     """batch: {'input_ids': (b, s+1)} — the LM splits x=ids[:, :-1],
     y=ids[:, 1:] (the reference's chunked LM dataset contract,
     training/src/datamodules/datasets/lm_dataset.py:10-32)."""
@@ -82,18 +82,19 @@ def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
     def loss_fn(params, batch, rng):
         ids = batch["input_ids"]
         x, y = ids[:, :-1], ids[:, 1:]
-        logits = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash)
+        logits = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash,
+                     remat=remat)
         return cross_entropy_loss(logits, y, label_smoothing=label_smoothing)
 
     return loss_fn
 
 
 def make_train_step(cfg, tx, *, model: str = "backpack",
-                    use_flash: bool = True,
+                    use_flash: bool = True, remat: bool = False,
                     donate: bool = True) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics); jit it with
     the desired shardings (see make_sharded_train_step)."""
-    loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash)
+    loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash, remat=remat)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -131,7 +132,8 @@ def zero1_opt_shardings(opt_state, mesh):
 
 
 def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
-                            use_flash: bool = True, zero1: bool = False):
+                            use_flash: bool = True, zero1: bool = False,
+                            remat: bool = False):
     """jit the train step over the mesh: batch sharded on 'data', params TP-
     sharded per parallel/mesh.py rules; optimizer state sharded like params,
     or additionally over 'data' with zero1=True (ZeRO-1)."""
@@ -139,7 +141,8 @@ def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
 
     from ..parallel.mesh import param_shardings
 
-    step_fn = make_train_step(cfg, tx, model=model, use_flash=use_flash)
+    step_fn = make_train_step(cfg, tx, model=model, use_flash=use_flash,
+                              remat=remat)
     batch_sharding = {"input_ids": NamedSharding(mesh, P("data", None))}
 
     def sharded_init(params):

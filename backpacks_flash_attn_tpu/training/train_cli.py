@@ -57,6 +57,7 @@ class RunConfig:
     dp: int = 1
     tp: int = 1
     use_flash: bool = True
+    remat: bool = False
     ema_decay: float = 0.0            # 0 disables EMA
     ckpt_every: int = 1000
     keep_last: int = 3
@@ -105,7 +106,7 @@ def run(rc: RunConfig) -> Dict[str, Any]:
                                   grad_clip=rc.grad_clip,
                                   accum_steps=rc.accum_steps)
     step_fn, sharded_init = train_lib.make_sharded_train_step(
-        cfg, tx, mesh, model=kind, use_flash=rc.use_flash)
+        cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat)
 
     sampler = lmd.SamplerState(seed=rc.seed)
     ema = ema_lib.init_ema(params) if rc.ema_decay > 0 else None

@@ -169,3 +169,25 @@ def test_train_cli_smoke_mode(tmp_path):
     # smoke mode writes no periodic checkpoints
     assert not [f for f in os.listdir(tmp_path / "smoke")
                 if f.startswith("step_")]
+
+
+def test_remat_matches_no_remat():
+    """Rematerialized training (jax.checkpoint on blocks + alpha) must produce
+    identical loss and gradients to the stored-activation path."""
+    import optax
+    from backpacks_flash_attn_tpu.training import train as tl
+
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    batch = {"input_ids": jax.random.randint(jax.random.PRNGKey(1), (2, 17),
+                                             0, cfg.vocab_size)}
+    rng = jax.random.PRNGKey(2)
+    for remat in (False, True):
+        loss_fn = tl.make_loss_fn(cfg, use_flash=False, remat=remat)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        if not remat:
+            want_loss, want_gn = float(loss), float(optax.global_norm(grads))
+        else:
+            np.testing.assert_allclose(float(loss), want_loss, rtol=1e-6)
+            np.testing.assert_allclose(float(optax.global_norm(grads)),
+                                       want_gn, rtol=1e-5)
