@@ -110,13 +110,17 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     if "table" in cp:
         # Quantized precomputed sense table: a pure gather replaces the MLP
         # (valid by the per-token property; see sense_table()). Layout:
-        # q (V, nv, d[/2]) int8, scale (V, nv, 1) — per-token-per-sense scales.
+        # q (V, nv, d[/2]) int8; scale (V, nv, 1) per-token-per-sense, or
+        # (V, nv, d/g) channel-grouped (INT4 quality, models/quantized.py).
         from ..ops import quant
         t = cp["table"]
         rows = jnp.take(t.q, input_ids, axis=0)
         if t.bits == 4:
             rows = quant.unpack_int4_last(rows)
         scales = jnp.take(t.scale, input_ids, axis=0)
+        d = rows.shape[-1]
+        if scales.shape[-1] not in (1, d):
+            scales = jnp.repeat(scales, d // scales.shape[-1], axis=-1)
         return (rows.astype(jnp.float32) * scales).astype(jnp.bfloat16)
     hidden = gpt_lib.take_embedding(params["gpt"]["wte"], input_ids)
     r_emb, r_blk = (jax.random.split(rng) if rng is not None else (None, None))

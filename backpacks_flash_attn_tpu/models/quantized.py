@@ -108,15 +108,30 @@ def quantize_backpack_params(params: Params, cfg: BackpackConfig, *,
     return out
 
 
-def quantize_sense_table(table: jax.Array, bits: int = 8) -> quant.QuantTable:
-    """(V, nv, d) -> {'q': int8 (V, nv, d[/2]), 'scale': (V, nv, 1), 'bits'}.
-    Per-token-per-sense symmetric scales (SURVEY.md §7.3: per-sense-per-channel
-    granularity is what holds INT4 within 0.5 ppl)."""
+def quantize_sense_table(table: jax.Array, bits: int = 8,
+                         group_size: Optional[int] = None) -> quant.QuantTable:
+    """(V, nv, d) -> {'q': int8 (V, nv, d[/2]), 'scale': (V, nv, d/g), 'bits'}.
+
+    Per-token-per-sense scales by default; group_size adds per-CHANNEL-group
+    granularity along d (SURVEY.md §7.3: per-sense-per-channel scales are
+    what hold INT4 within 0.5 ppl — senses feed both the output sum and,
+    via the tied head, the logits). INT4 defaults to group_size=64."""
+    if group_size is None and bits == 4:
+        group_size = 64
     qmax = 127.0 if bits == 8 else 7.0
     tf = table.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(tf), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax / qmax, 1e-10)
-    q = jnp.clip(jnp.round(tf / scale), -qmax, qmax).astype(jnp.int8)
+    V, nv, d = tf.shape
+    if group_size:
+        assert d % group_size == 0 and group_size % 2 == 0
+        g = tf.reshape(V, nv, d // group_size, group_size)
+        absmax = jnp.max(jnp.abs(g), axis=-1)                # (V, nv, d/g)
+        scale = jnp.maximum(absmax / qmax, 1e-10)
+        q = jnp.clip(jnp.round(g / scale[..., None]), -qmax, qmax
+                     ).astype(jnp.int8).reshape(V, nv, d)
+    else:
+        absmax = jnp.max(jnp.abs(tf), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax / qmax, 1e-10)
+        q = jnp.clip(jnp.round(tf / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 4:
         q = quant.pack_int4_last(q)
     return quant.QuantTable(q=q, scale=scale, bits=bits)

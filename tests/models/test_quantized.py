@@ -99,3 +99,42 @@ def test_quantized_gpt_generate():
     assert out_q.sequences.shape == out_fp.sequences.shape
     match = (np.asarray(out_fp.sequences) == np.asarray(out_q.sequences)).mean()
     assert match > 0.7, match
+
+
+def test_int4_grouped_sense_table_improves_quality(setup):
+    """Channel-grouped INT4 scales must reconstruct the sense table strictly
+    better than per-row scales (SURVEY.md §7.3's INT4 quality requirement),
+    and the grouped table must flow through content_forward."""
+    cfg, params, ids, _ = setup
+    table = bp.sense_table(params, cfg)
+    tf = np.asarray(table, np.float32)
+
+    def recon(qt):
+        q = np.asarray(qt.q)
+        if qt.bits == 4:
+            q = np.asarray(qz.quant.unpack_int4_last(jnp.asarray(q)))
+        sc = np.asarray(qt.scale)
+        if sc.shape[-1] not in (1, q.shape[-1]):
+            sc = np.repeat(sc, q.shape[-1] // sc.shape[-1], axis=-1)
+        return q.astype(np.float32) * sc
+
+    per_row = qz.quantize_sense_table(table, bits=4, group_size=0 or None)
+    # force ungrouped for comparison
+    qmax = 7.0
+    absmax = np.abs(tf).max(-1, keepdims=True)
+    sc = np.maximum(absmax / qmax, 1e-10)
+    ungrouped_err = np.abs(np.clip(np.round(tf / sc), -7, 7) * sc - tf).mean()
+
+    grouped = qz.quantize_sense_table(table, bits=4, group_size=16)
+    grouped_err = np.abs(recon(grouped) - tf).mean()
+    assert grouped_err < ungrouped_err, (grouped_err, ungrouped_err)
+
+    # grouped table flows through the model path
+    qp = qz.quantize_backpack_params(params, cfg, bits=8, sense_bits=4)
+    content = bp.content_forward(qp, cfg, ids)
+    assert np.isfinite(np.asarray(content, np.float32)).all()
+    rel = (np.abs(np.asarray(content, np.float32)
+                  - np.asarray(bp.content_forward(params, cfg, ids),
+                               np.float32)).max()
+           / np.abs(np.asarray(bp.content_forward(params, cfg, ids))).max())
+    assert rel < 0.12, rel
