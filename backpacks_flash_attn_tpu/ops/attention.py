@@ -81,12 +81,16 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
         use_flash: bool = True) -> jax.Array:
     """Dispatching attention entry point (the analogue of FlashSelfAttention /
     SelfAttention selection in the reference's MHA, mha.py:328-329)."""
-    if use_flash and (dropout_p == 0.0 or deterministic):
+    dropout_active = dropout_p > 0.0 and not deterministic
+    if use_flash and (not dropout_active or dropout_rng is not None):
         from .flash_attention import flash_attention  # local import: avoids cycle
         if key_padding_mask is not None and seq_lengths is None:
             seq_lengths = key_padding_mask.sum(axis=-1).astype(jnp.int32)
-        return flash_attention(q, k, v, causal=causal, softmax_scale=softmax_scale,
-                               seq_lengths=seq_lengths)
+        return flash_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            seq_lengths=seq_lengths,
+            dropout_p=dropout_p if dropout_active else 0.0,
+            dropout_rng=dropout_rng if dropout_active else None)
     if seq_lengths is not None and key_padding_mask is None:
         sk = k.shape[1]
         key_padding_mask = (jax.lax.broadcasted_iota(jnp.int32, (1, sk), 1)

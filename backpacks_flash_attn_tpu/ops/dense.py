@@ -13,6 +13,7 @@ Quantized (INT8/INT4 weight-only) variants live in ops/quant.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -51,16 +52,73 @@ def linear(x: jax.Array, params: dict, *, accum_dtype=jnp.float32) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def _mlp_fwd_math(x, params, activation):
+    act = ACTIVATIONS[activation]
+    h_pre = linear(x, params["fc1"])
+    return linear(act(h_pre), params["fc2"]), h_pre
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mlp_fused(x, params, activation):
+    return _mlp_fwd_math(x, params, activation)[0]
+
+
+def _mlp_fused_fwd(x, params, activation):
+    out, h_pre = _mlp_fwd_math(x, params, activation)
+    # Residuals: input + low-precision PRE-activation only — the reference's
+    # FusedDenseGeluDense checkpoint_lvl=1 policy (flash_attn/ops/
+    # fused_dense.py:175-235): gelu and its derivative are recomputed in the
+    # backward. Plain autodiff instead saves ~6 (b, s, 4d) gelu intermediates
+    # per layer (measured 6 x 1.12 GB stacked tensors at batch 32).
+    return out, (x, h_pre, params)
+
+
+def _mlp_fused_bwd(activation, res, g):
+    x, h_pre, params = res
+    act = ACTIVATIONS[activation]
+    a, act_vjp = jax.vjp(act, h_pre)
+    w2 = params["fc2"]["kernel"]
+    g = g.astype(x.dtype)
+    da = jnp.dot(g, w2.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    dh = act_vjp(da)[0]
+    xm = x.reshape(-1, x.shape[-1])
+    am = a.reshape(-1, a.shape[-1])
+    gm = g.reshape(-1, g.shape[-1])
+    dhm = dh.reshape(-1, dh.shape[-1])
+    dparams = {
+        "fc1": {"kernel": jnp.dot(xm.T, dhm, preferred_element_type=jnp.float32
+                                  ).astype(params["fc1"]["kernel"].dtype)},
+        "fc2": {"kernel": jnp.dot(am.T, gm, preferred_element_type=jnp.float32
+                                  ).astype(w2.dtype)},
+    }
+    if "bias" in params["fc1"]:
+        dparams["fc1"]["bias"] = dhm.astype(jnp.float32).sum(0).astype(
+            params["fc1"]["bias"].dtype)
+    if "bias" in params["fc2"]:
+        dparams["fc2"]["bias"] = gm.astype(jnp.float32).sum(0).astype(
+            params["fc2"]["bias"].dtype)
+    dx = jnp.dot(dh, params["fc1"]["kernel"].T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    return dx, dparams
+
+
+_mlp_fused.defvjp(_mlp_fused_fwd, _mlp_fused_bwd)
+
+
 def mlp(x: jax.Array, params: dict, activation: str = "gelu_new") -> jax.Array:
     """fc1 -> act -> fc2 (reference: flash_attn/modules/mlp.py:13-31).
 
     XLA fuses the activation into the first GEMM's epilogue (the TPU analogue of
-    fused_dense_lib.linear_gelu_forward, csrc/fused_dense_lib/fused_dense.cpp:194-197).
+    fused_dense_lib.linear_gelu_forward, csrc/fused_dense_lib/fused_dense.cpp:194-197);
+    the custom backward recomputes the activation from the saved pre-activation
+    (reference checkpoint_lvl=1, ops/fused_dense.py:175-235).
     """
-    act = ACTIVATIONS[activation]
-    h = linear(x, params["fc1"])
-    h = act(h)
-    return linear(h, params["fc2"])
+    from . import quant
+    if quant.is_quantized(params.get("fc1", {})) or quant.is_quantized(
+            params.get("fc2", {})):
+        act = ACTIVATIONS[activation]
+        return linear(act(linear(x, params["fc1"])), params["fc2"])
+    return _mlp_fused(x, params, activation)
 
 
 def init_linear(key: jax.Array, d_in: int, d_out: int, *, bias: bool = True,

@@ -13,8 +13,10 @@ Differences from the CUDA design, by intent:
     produce zeros.
   * The s x s score matrix only ever exists one (block_q, block_k) tile at a
     time in VMEM; HBM traffic is O(s * d) like the reference.
-  * Backward: jax.custom_vjp recomputes attention per tile (same strategy as
-    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h) — see _flash_bwd below.
+  * Backward: jax.custom_vjp with tiled Pallas kernels that recompute p per
+    (block_q, block_k) tile from the saved LSE (same strategy as
+    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h): one kernel accumulates
+    dq over K tiles, one accumulates dk/dv over Q tiles — see _flash_bwd.
 
 Head dims are zero-padded to a multiple of 128 lanes outside the kernel; the
 softmax scale is always computed from the logical head dim.
@@ -45,14 +47,45 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_fwd_kernel(lens_ref, bmask_ref, q_ref, k_ref, v_ref, o_ref,
-                      lse_ref, *, block_k: int, kv_len: int, causal: bool,
-                      block_q: int, blocksparse: bool):
+def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
+                  dropout_p: float) -> jax.Array:
+    """Counter-based dropout mask for one (block_q, block_k) tile.
+
+    The TPU analogue of the reference's Philox counter offsets
+    (csrc/flash_attn/fmha_api.cpp:313-318): bits are a pure function of
+    (seed, batch*head, q_pos, k_pos), so the forward and both backward
+    kernels regenerate identical masks regardless of tile layout or block
+    sizes. murmur3-finalizer hash over the position counters — a few VPU ops
+    per element, no cross-backend PRNG primitive needed."""
+    q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    x = (seed_ref[0]
+         ^ (q_pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+         ^ (k_pos.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+         ^ (bh.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)))
+    x = x + seed_ref[1]
+    for _ in range(2):
+        x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
+        x = x * jnp.uint32(0xC2B2AE35)
+        x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    thr = jnp.uint32(min(int(round((1.0 - dropout_p) * 2**32), ), 2**32 - 1))
+    return x < thr
+
+
+def _flash_fwd_kernel(lens_ref, bmask_ref, seed_ref, q_ref, k_ref, v_ref,
+                      o_ref, lse_ref, *, block_k: int, kv_len: int,
+                      causal: bool, block_q: int, blocksparse: bool,
+                      dropout_p: float):
     # q arrives pre-scaled (softmax scale may be a traced per-layer value,
     # which a Pallas kernel cannot close over).
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
     seq_len = lens_ref[pl.program_id(0)]
+    # program_id inside a fori_loop body breaks interpret-mode lowering;
+    # compute the dropout stream id at kernel top level.
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
     if causal:
@@ -80,6 +113,13 @@ def _flash_fwd_kernel(lens_ref, bmask_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.exp(s - m_new[:, None])
         p = jnp.where(mask, p, 0.0)
         l_new = l_prev * correction + jnp.sum(p, axis=1)
+        if dropout_p > 0.0:
+            # applied to the un-normalized probs; l/lse stay pre-dropout so
+            # the bwd recompute sees the exact softmax (reference semantics:
+            # dropout after softmax, fmha_fprop_kernel_1xN.h).
+            keep = _dropout_keep(seed_ref, bh, qi * block_q, j * block_k,
+                                 block_q, block_k, dropout_p)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         o_new = o_acc * correction[:, None] + pv
@@ -108,10 +148,11 @@ def _flash_fwd_kernel(lens_ref, bmask_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
-               blockmask=None):
+               blockmask=None, dropout_p=0.0, seed=None):
     """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
     `scale` may be traced; it is folded into q before the kernel launch.
-    blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask."""
+    blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask.
+    seed: (2,) uint32 dropout counter seed (required when dropout_p > 0)."""
     if not (isinstance(scale, float) and scale == 1.0):
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     b, h, sq, d = q.shape
@@ -137,17 +178,21 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
         bm = blockmask.astype(jnp.int32).reshape(-1)
     else:
         bm = jnp.zeros((1,), jnp.int32)
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.uint32)
 
     grid = (b, h, sq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel, block_k=block_k, kv_len=sk,
-        causal=causal, block_q=block_q, blocksparse=blocksparse)
+        causal=causal, block_q=block_q, blocksparse=blocksparse,
+        dropout_p=dropout_p)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (b,) lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flat blockmask
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (2,) dropout seed
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
@@ -161,21 +206,21 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seq_lengths, bm, qp, kp, vp)
+    )(seq_lengths, bm, seed, qp, kp, vp)
     return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention_bhsd(q, k, v, seq_lengths_static, scale, causal,
-                          block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention_bhsd(q, k, v, seed, seq_lengths_static, scale, causal,
+                          block_q, block_k, dropout_p):
     # seq_lengths threaded via a static marker-free path: see flash_attention().
-    out, _ = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k)
+    out, _ = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
+                        dropout_p=dropout_p, seed=seed)
     return out
 
 
 def _flash_ref(q, k, v, scale, causal):
-    """fp32 reference used for the recompute backward (tile-free, O(s^2) in bwd
-    only — acceptable at Backpack seqlens; a tiled Pallas bwd is the upgrade path)."""
+    """fp32 O(s^2) reference (test oracle for the tiled backward)."""
     qf, kf, vf = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
     s = jnp.einsum("bhtd,bhsd->bhts", qf * scale, kf)
     if causal:
@@ -187,17 +232,198 @@ def _flash_ref(q, k, v, scale, causal):
     return jnp.einsum("bhts,bhsd->bhtd", p, vf).astype(q.dtype)
 
 
-def _flash_fwd_rule(q, k, v, seq_lengths_static, scale, causal, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k)
-    return out, (q, k, v)
+def _bwd_mask(q0, k0, block_q, block_k, q_len, kv_len, causal):
+    """Valid-position mask for one (block_q, block_k) tile of recomputed p."""
+    q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = jnp.logical_and(q_pos < q_len, k_pos < kv_len)
+    if causal:
+        mask = jnp.logical_and(mask, k_pos <= q_pos)
+    return mask
+
+
+def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, *, block_q: int, block_k: int,
+                         q_len: int, kv_len: int, causal: bool,
+                         dropout_p: float, force_f32: bool):
+    """Grid (b, h, n_q_blocks): recompute p tile-by-tile from the saved LSE and
+    accumulate dq = sum_j ds_j @ k_j (reference bwd recompute strategy:
+    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h)."""
+    qi = pl.program_id(2)
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    q = q_ref[0, 0].astype(cdt)                       # (bq, d) pre-scaled
+    do = do_ref[0, 0].astype(cdt)                     # (bq, d)
+    lse = lse_ref[0, 0]                               # (bq, 1) f32
+    delta = delta_ref[0, 0]                           # (bq, 1) f32
+
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    if causal:
+        max_k = jnp.minimum((qi + 1) * block_q, kv_len)
+        num_k_blocks = pl.cdiv(max_k, block_k)
+
+    def body(j, dq_acc):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = _bwd_mask(qi * block_q, j * block_k, block_q, block_k,
+                         q_len, kv_len, causal)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_p > 0.0:
+            keep = _dropout_keep(seed_ref, bh, qi * block_q, j * block_k,
+                                 block_q, block_k, dropout_p)
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
+        ds = p * (dp - delta)
+        return dq_acc + jax.lax.dot_general(
+            ds.astype(cdt), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body,
+        jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, *, block_q: int,
+                          block_k: int, q_len: int, kv_len: int,
+                          n_q_blocks: int, causal: bool, dropout_p: float,
+                          force_f32: bool):
+    """Grid (b, h, n_k_blocks): for one K/V tile, loop over Q tiles (starting
+    at the causal diagonal) accumulating dv = p^T dO and dk = ds^T q."""
+    ki = pl.program_id(2)
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    k = k_ref[0, 0].astype(cdt)                       # (bk, d)
+    v = v_ref[0, 0].astype(cdt)                       # (bk, d)
+    j0 = (ki * block_k) // block_q if causal else 0
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, pl.ds(j * block_q, block_q)].astype(cdt)
+        do = do_ref[0, 0, pl.ds(j * block_q, block_q)].astype(cdt)
+        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = _bwd_mask(j * block_q, ki * block_k, block_q, block_k,
+                         q_len, kv_len, causal)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_p > 0.0:
+            keep = _dropout_keep(seed_ref, bh, j * block_q, ki * block_k,
+                                 block_q, block_k, dropout_p)
+            scale_keep = 1.0 / (1.0 - dropout_p)
+            p_v = jnp.where(keep, p * scale_keep, 0.0)
+            dp = jnp.where(keep, dp * scale_keep, 0.0)
+        else:
+            p_v = p
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_v.astype(cdt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    d_pad = q_ref.shape[-1]
+    dk, dv = jax.lax.fori_loop(
+        j0, n_q_blocks, body,
+        (jnp.zeros((block_k, d_pad), jnp.float32),
+         jnp.zeros((block_k, d_pad), jnp.float32)))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
+               dropout_p=0.0):
+    """Tiled Pallas backward: q/k/v/out/g (b, h, s, d); lse (b, h, sq) f32.
+    Returns (dq, dk, dv) in the input dtypes. O(s*d) HBM traffic per pass like
+    the forward — never materializes the s x s matrix (the previous XLA
+    recompute backward did, and its O(s^2) graph hung the compiler at large
+    batch)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    d_pad = max(_round_up(d, 128), 128)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+
+    if not (isinstance(scale, float) and scale == 1.0):
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    else:
+        qs = q
+
+    def pad(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                           (0, d_pad - x.shape[3])))
+
+    qp, kp, vp = pad(qs, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
+    gp = pad(g, sq_pad)
+    # delta_i = rowsum(dO_i * O_i) — the softmax-jacobian correction term.
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
+
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.uint32)
+    n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
+    common = dict(block_q=block_q, block_k=block_k, q_len=sq, kv_len=sk,
+                  causal=causal, dropout_p=dropout_p, force_f32=_interpret())
+    qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, i: (bi, hi, i, 0))
+    qfull = pl.BlockSpec((1, 1, sq_pad, d_pad), lambda bi, hi, i: (bi, hi, 0, 0))
+    kspec = pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, i: (bi, hi, i, 0))
+    kfull = pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, i: (bi, hi, 0, 0))
+    rblk = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0))
+    rfull = pl.BlockSpec((1, 1, sq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0))
+
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(b, h, n_qb),
+        in_specs=[sspec, qspec, kfull, kfull, qspec, rblk, rblk],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+        interpret=_interpret(),
+    )(seed, qp, kp, vp, gp, lse_p, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb, **common),
+        grid=(b, h, n_kb),
+        in_specs=[sspec, qfull, kspec, kspec, qfull, rfull, rfull],
+        out_specs=[kspec, kspec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
+        interpret=_interpret(),
+    )(seed, qp, kp, vp, gp, lse_p, delta)
+
+    dq = dq[:, :, :sq, :d]
+    if not (isinstance(scale, float) and scale == 1.0):
+        dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
+    return dq, dk[:, :, :sk, :d], dv[:, :, :sk, :d]
+
+
+def _flash_fwd_rule(q, k, v, seed, seq_lengths_static, scale, causal,
+                    block_q, block_k, dropout_p):
+    out, lse = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
+                          dropout_p=dropout_p, seed=seed)
+    return out, (q, k, v, out, lse, seed)
 
 
 def _flash_bwd_rule(seq_lengths_static, scale, causal, block_q, block_k,
-                    res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _flash_ref(q_, k_, v_, scale, causal),
-                     q, k, v)
-    return vjp(g)
+                    dropout_p, res, g):
+    q, k, v, out, lse, seed = res
+    dq, dk, dv = _flash_bwd(q, k, v, out, lse, g, seed, scale, causal,
+                            block_q, block_k, dropout_p=dropout_p)
+    return dq, dk, dv, None
 
 
 _flash_attention_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -207,12 +433,19 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     causal: bool = True,
                     softmax_scale: Optional[float] = None,
                     seq_lengths: Optional[jax.Array] = None,
+                    dropout_p: float = 0.0,
+                    dropout_rng: Optional[jax.Array] = None,
                     block_q: int = 256, block_k: int = 512) -> jax.Array:
     """FlashAttention forward (differentiable).
 
     q: (b, sq, h, dh); k, v: (b, sk, h, dh) -> (b, sq, h, dh), matching the
     layout of flash_attn_unpadded_qkvpacked_func after unpacking
     (reference: flash_attn/flash_attn_interface.py:242-334).
+
+    dropout_p/dropout_rng: in-kernel attention dropout (reference FMHA's
+    Philox-counter dropout, fmha_api.cpp:313-318): masks are a counter-based
+    hash of (rng, batch*head, q_pos, k_pos), regenerated bit-identically in
+    the backward. No O(s^2) mask is ever materialized.
     """
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     # Fold the (possibly traced, e.g. per-layer) scale into q here: the
@@ -221,13 +454,20 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    if dropout_p > 0.0:
+        assert dropout_rng is not None, "dropout_p > 0 requires dropout_rng"
+        if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+            dropout_rng = jax.random.key_data(dropout_rng)
+        seed = dropout_rng.astype(jnp.uint32).reshape(-1)[:2]
+    else:
+        seed = jnp.zeros((2,), jnp.uint32)
     if seq_lengths is None:
-        out = _flash_attention_bhsd(qt, kt, vt, None, 1.0, causal,
-                                    block_q, block_k)
+        out = _flash_attention_bhsd(qt, kt, vt, seed, None, 1.0, causal,
+                                    block_q, block_k, dropout_p)
     else:
         # padded/ragged path is inference-only for now: no vjp needed.
         out, _ = _flash_fwd(qt, kt, vt, seq_lengths, 1.0, causal,
-                            block_q, block_k)
+                            block_q, block_k, dropout_p=dropout_p, seed=seed)
     return jnp.swapaxes(out, 1, 2)
 
 

@@ -66,3 +66,46 @@ def test_grad_flows_only_to_valid(data):
     g = np.asarray(g)
     assert np.abs(g[0, 0]).max() == 0.0       # ignored position
     assert np.abs(g[1, 0]).max() > 0.0
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_custom_vjp_grad_matches_autodiff(data, smoothing):
+    """The memory-frugal backward (saved bf16 logits + lse, softmax
+    recomputed) must match plain autodiff through the f32 math."""
+    logits, labels = data
+    labels = jnp.asarray(np.where(labels == -100, 5, labels))
+    lg = jnp.asarray(logits)
+
+    def loss_vjp(lg):
+        loss, _ = cross_entropy(lg, labels, label_smoothing=smoothing)
+        return loss.sum()
+
+    def loss_ref(lg):
+        lg = lg.astype(jnp.float32)
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        v = lg.shape[-1]
+        tgt = ((1 - smoothing) * jax.nn.one_hot(labels, v)
+               + smoothing / v)
+        return -(tgt * lp).sum()
+
+    g = jax.grad(loss_vjp)(lg)
+    g_ref = jax.grad(loss_ref)(lg)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_custom_vjp_grad_bf16(data):
+    """bf16 logits path: grads finite, correct sign structure, bf16 dtype."""
+    logits, labels = data
+    lg = jnp.asarray(logits).astype(jnp.bfloat16)
+    labels = jnp.asarray(labels)
+    g = jax.grad(lambda x: cross_entropy_loss(x, labels))(lg)
+    assert g.dtype == jnp.bfloat16
+    gf = np.asarray(g, np.float32)
+    assert np.isfinite(gf).all()
+    # at the target class, grad = p_y - 1 < 0 for valid rows
+    lab = np.asarray(labels)
+    valid = lab != -100
+    picked = np.take_along_axis(gf, np.where(valid, lab, 0)[..., None],
+                                axis=-1)[..., 0]
+    assert (picked[valid] < 0).all()
