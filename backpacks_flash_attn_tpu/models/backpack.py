@@ -326,11 +326,15 @@ def backpack_forward_with_cache(
     cache: BackpackCache, *, use_flash: bool = True,
     sense_weights: Optional[jax.Array] = None,
     sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, BackpackCache]:
     """Run `input_ids` (prefill s>1 at length 0, or decode s==1) through the
     incremental path. Returns logits (b, s, vocab) for the new tokens and the
     updated cache. This replaces the reference's full-prefix recompute decode
     (training/src/utils/generation.py) — per-step cost O(t) instead of O(t^2).
+
+    window: STATIC length bucket (see gpt.gpt_forward_with_cache) — decode
+    reads only the first `window` columns of every cache.
     """
     b, s = input_ids.shape
     offset = cache.length
@@ -343,7 +347,8 @@ def backpack_forward_with_cache(
     row_off = jnp.repeat(offset, nv) if vec else offset
 
     contextl, gpt_cache = gpt_lib.gpt_forward_with_cache(
-        params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash)
+        params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash,
+        window=window)
     q, k_new = context_qk(params, cfg, contextl)  # (b, s, nv, dnv)
     # flat layouts: ctx_k (E, dnv, S) / content (E, S, d) / scale (E, S)
     ctx_k = gpt_lib.update_rows_axis(
@@ -390,10 +395,15 @@ def backpack_forward_with_cache(
         if w is not None:
             vs = w if vs is None else vs * w
         lens = jnp.repeat(new_len, nv) if vec else new_len
+        ctx_k_r, content_r = ctx_k, content
+        if window is not None and window < max_s:
+            ctx_k_r = ctx_k[:, :, :window]
+            content_r = content[:, :window]
+            vs = vs[:, :window] if vs is not None else None
         out = decode_attention(
             (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
                                                          ).reshape(e, dnv),
-            ctx_k, None, content, vs, lens)
+            ctx_k_r, None, content_r, vs, lens)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     else:

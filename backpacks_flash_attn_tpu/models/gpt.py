@@ -249,7 +249,7 @@ def update_rows_axis(buf: jax.Array, new: jax.Array, offsets,
 
 def gpt_forward_with_cache(
     params: Params, cfg: GPTConfig, input_ids: jax.Array, cache: KVCache, *,
-    use_flash: bool = True,
+    use_flash: bool = True, window: Optional[int] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Forward over `input_ids` starting at position cache.length, updating the
     KV cache. Handles both prefill (s > 1, length == 0) and incremental decode
@@ -259,6 +259,14 @@ def gpt_forward_with_cache(
     lengths (continuous-batching serving slots). With vector lengths and
     s > 1, each row's new tokens must start at ITS offset with no gaps —
     the serving engine prefills fresh slots (offset 0) batch-1 and scatters.
+
+    window: STATIC upper bound on the valid cache length after this call
+    (caller-guaranteed: max(length)+s <= window). Decode then reads only the
+    first `window` cache columns — the length-bucketing that cuts the
+    memory-bound cache traffic early in a sequence. A static slice, chosen by
+    the host per dispatch (serving) or per scan segment (bench), NOT a
+    traced lax.cond — in-program branching forces XLA into defensive
+    full-cache copies on the scan carry (measured 5x decode slowdown).
     """
     b, s = input_ids.shape
     offset = cache.length
@@ -336,6 +344,11 @@ def gpt_forward_with_cache(
         v_cache = _layer(v_all, li)               # (E, S, dv)
         k_sc = _layer(ks_all, li) if quantized else None   # (E, S)
         v_sc = _layer(vs_all, li) if quantized else None
+        if window is not None and window < kt_cache.shape[-1]:
+            kt_cache = kt_cache[:, :, :window]
+            v_cache = v_cache[:, :window]
+            k_sc = k_sc[:, :window] if quantized else None
+            v_sc = v_sc[:, :window] if quantized else None
         S = kt_cache.shape[-1]
         if s == 1:
             # single-pass decode over the stored-precision flat cache

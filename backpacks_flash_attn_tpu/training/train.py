@@ -91,14 +91,25 @@ def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
 
 def make_train_step(cfg, tx, *, model: str = "backpack",
                     use_flash: bool = True, remat: bool = False,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, grad_zero2_mesh=None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics); jit it with
-    the desired shardings (see make_sharded_train_step)."""
+    the desired shardings (see make_sharded_train_step).
+
+    grad_zero2_mesh: when a Mesh is given, gradients are constrained to the
+    ZeRO data-axis shardings before the optimizer update — ZeRO-2: XLA turns
+    the DP gradient allreduce into a reduce-scatter, the moment update runs
+    on 1/data_size of each tensor, and the updated params are all-gathered by
+    the apply step (the pjit analogue of the reference's gradient-sharding
+    DDP strategy, training/src/utils/ddp_zero2.py:21-128)."""
     loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash, remat=remat)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        if grad_zero2_mesh is not None:
+            # grad shapes are static at trace time: reuse the zero1 rule
+            grads = jax.lax.with_sharding_constraint(
+                grads, zero1_opt_shardings(grads, grad_zero2_mesh))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
@@ -133,16 +144,20 @@ def zero1_opt_shardings(opt_state, mesh):
 
 def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
                             use_flash: bool = True, zero1: bool = False,
-                            remat: bool = False):
+                            zero2: bool = False, remat: bool = False):
     """jit the train step over the mesh: batch sharded on 'data', params TP-
     sharded per parallel/mesh.py rules; optimizer state sharded like params,
-    or additionally over 'data' with zero1=True (ZeRO-1)."""
+    or additionally over 'data' with zero1=True (ZeRO-1). zero2=True also
+    shards the GRADIENTS over 'data' (reduce-scatter instead of all-reduce)
+    before the optimizer — implies zero1."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import param_shardings
 
+    zero1 = zero1 or zero2
     step_fn = make_train_step(cfg, tx, model=model, use_flash=use_flash,
-                              remat=remat)
+                              remat=remat,
+                              grad_zero2_mesh=mesh if zero2 else None)
     batch_sharding = {"input_ids": NamedSharding(mesh, P("data", None))}
 
     def sharded_init(params):

@@ -115,3 +115,30 @@ def test_sense_weights_hook(setup):
     changed = bp.backpack_forward(params, cfg, ids, use_flash=False,
                                   sense_weights=w2)
     assert np.abs(np.asarray(base) - np.asarray(changed)).max() > 1e-4
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_windowed_decode_matches_full_window(setup, quant):
+    """Static length-bucket `window` reads only a cache prefix; with
+    window >= valid length the logits must match the full-window decode
+    exactly (same stored-precision operands, just fewer masked columns)."""
+    cfg, params, ids = setup
+    dtype = jnp.int8 if quant else jnp.float32
+    if quant:
+        from backpacks_flash_attn_tpu.models import quantized as qz
+        params = qz.quantize_backpack_params(params, cfg, bits=8)
+    cache_a = bp.init_backpack_cache(cfg, 2, 32, dtype=dtype)
+    cache_b = bp.init_backpack_cache(cfg, 2, 32, dtype=dtype)
+    _, cache_a = bp.backpack_forward_with_cache(params, cfg, ids[:, :8],
+                                                cache_a, use_flash=False)
+    _, cache_b = bp.backpack_forward_with_cache(params, cfg, ids[:, :8],
+                                                cache_b, use_flash=False)
+    for t in range(8, 14):
+        la, cache_a = bp.backpack_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache_a, use_flash=False)
+        lb, cache_b = bp.backpack_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache_b, use_flash=False,
+            window=16)
+        np.testing.assert_allclose(np.asarray(la, np.float32),
+                                   np.asarray(lb, np.float32),
+                                   atol=1e-5, rtol=1e-5)

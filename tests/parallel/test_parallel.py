@@ -193,3 +193,39 @@ def test_zero1_optimizer_sharding_matches_single():
     np.testing.assert_allclose(
         np.asarray(state.params["gpt"]["wte"]),
         np.asarray(plain_state.params["gpt"]["wte"]), rtol=1e-4, atol=1e-6)
+
+
+def test_zero2_gradient_sharding_matches_single():
+    """ZeRO-2 (grads reduce-scattered over 'data' + sharded moments) must
+    train identically to the unsharded step (reference
+    utils/ddp_zero2.py:21-128 equivalence)."""
+    cfg = _tp_cfg()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    tx = train_lib.make_optimizer(params, warmup_steps=2, total_steps=10)
+    batch = {"input_ids": jax.random.randint(jax.random.PRNGKey(2), (4, 17),
+                                             0, cfg.vocab_size)}
+    rng = jax.random.PRNGKey(3)
+
+    plain_step = train_lib.make_train_step(cfg, tx, use_flash=False)
+    state0 = train_lib.TrainState(params, tx.init(params),
+                                  jnp.zeros((), jnp.int32))
+    plain_state, want = plain_step(state0, batch, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    step_fn, sharded_init = train_lib.make_sharded_train_step(
+        cfg, tx, mesh, use_flash=False, zero2=True)
+    with mesh:
+        # copy params: the donating step may consume buffers aliased by
+        # device_put, and we reuse `params` for the plain-state comparison
+        state, got0 = step_fn(sharded_init(jax.tree.map(jnp.array, params)),
+                              batch, rng)
+        wte_after_1 = np.asarray(state.params["gpt"]["wte"])
+        # further steps exercise donation + re-sharding stability
+        for _ in range(2):
+            state, _ = step_fn(state, batch, rng)
+        assert np.isfinite(np.asarray(state.params["gpt"]["wte"])).all()
+    np.testing.assert_allclose(float(got0["loss"]), float(want["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        wte_after_1,
+        np.asarray(plain_state.params["gpt"]["wte"]), rtol=1e-4, atol=1e-6)
