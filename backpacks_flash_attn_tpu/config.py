@@ -44,6 +44,7 @@ class GPTConfig:
     pad_vocab_size_multiple: int = 1
     rotary_emb_fraction: float = 0.0
     rotary_emb_scale_base: int = 0
+    attn_dwconv: bool = False        # causal depthwise conv on qkv (gpt.py:51-61)
 
     @property
     def head_dim(self) -> int:

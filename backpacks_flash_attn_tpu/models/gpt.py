@@ -60,8 +60,8 @@ def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
                          ).astype(dtype)
 
     def init_layer(k):
-        k1, k2, k3 = jax.random.split(k, 3)
-        return {
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        layer = {
             "Wqkv": dense.init_linear(k1, d, 3 * d, std=std, dtype=dtype),
             "out_proj": dense.init_linear(k2, d, d, std=out_std, dtype=dtype),
             "norm1": norms.init_layer_norm(d, dtype),
@@ -69,6 +69,15 @@ def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
                                   dtype=dtype),
             "norm2": norms.init_layer_norm(d, dtype),
         }
+        if cfg.attn_dwconv:
+            # causal depthwise conv on the qkv projection (reference:
+            # attn_dwconv flag, gpt.py:51-61; Conv1d k=3 pad=2 groups=3d
+            # trimmed to seqlen, mha.py:335-341)
+            layer["dwconv"] = {
+                "w": (jax.random.normal(k4, (3, 3 * d)) * std).astype(dtype),
+                "b": jnp.zeros((3 * d,), dtype),
+            }
+        return layer
 
     layers = [init_layer(k) for k in keys[4:]]
     params["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
@@ -120,12 +129,26 @@ def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
 
 # ---------------------------------------------------------------- forward
 
+def causal_dwconv3(x: jax.Array, p: dict) -> jax.Array:
+    """Causal depthwise width-3 conv over the sequence: out[t] covers
+    x[t-2..t] (reference: Conv1d(k=3, padding=2, groups=C) trimmed to s,
+    mha.py:335-341). Expressed as three shifted adds — XLA fuses this into
+    the surrounding elementwise stream; no conv primitive needed."""
+    b, s, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (2, 0), (0, 0)))
+    w = p["w"].astype(x.dtype)
+    out = (xp[:, 0:s] * w[0] + xp[:, 1:s + 1] * w[1] + xp[:, 2:s + 2] * w[2])
+    return out + p["b"].astype(x.dtype)
+
+
 def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
            train: bool, rngs, use_flash: bool, key_padding_mask):
     """One pre-norm block with reordered residual
     (reference: flash_attn/modules/block.py:62-106)."""
     qkv = dense.linear(hidden, layer_params["Wqkv"])
     b, s, _ = qkv.shape
+    if cfg.attn_dwconv:
+        qkv = causal_dwconv3(qkv, layer_params["dwconv"])
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if cfg.rotary_emb_dim > 0:
@@ -269,6 +292,9 @@ def gpt_forward_with_cache(
     full-cache copies on the scan carry (measured 5x decode slowdown).
     """
     b, s = input_ids.shape
+    # cached decode would need a 2-token qkv history per layer for the conv
+    # window (the reference also excludes it: mha.py:359)
+    assert not cfg.attn_dwconv, "cached decode does not support attn_dwconv"
     offset = cache.length
     vec = jnp.asarray(offset).ndim == 1
     if vec:
@@ -375,7 +401,8 @@ def gpt_forward_with_cache(
             lens = (new_len.astype(jnp.int32) if vec
                     else jnp.full((b,), new_len, jnp.int32))
             ctx = mha(q, kd, vd, causal=True, softmax_scale=scale,
-                      seq_lengths=lens, use_flash=use_flash)
+                      seq_lengths=lens, use_flash=use_flash,
+                      q_offset=offset)
         mixer_out = dense.linear(ctx.reshape(b, s, cfg.n_embd),
                                  layer_params["out_proj"])
         hidden, residual = norms.dropout_add_layer_norm(

@@ -26,16 +26,24 @@ MASK_VALUE = -10000.0
 def _apply_masks(scores: jax.Array, *, causal: bool,
                  key_padding_mask: Optional[jax.Array],
                  q_offset: int | jax.Array = 0) -> jax.Array:
-    """scores: (b, h, sq, sk). key_padding_mask: (b, sk) True=keep."""
+    """scores: (b, h, sq, sk). key_padding_mask: (b, sk) True=keep.
+    q_offset: scalar or (b,) per-sequence absolute position of q row 0."""
     b, h, sq, sk = scores.shape
     if key_padding_mask is not None:
         pad = jnp.where(key_padding_mask, 0.0, MASK_VALUE).astype(scores.dtype)
         scores = scores + pad[:, None, None, :]
     if causal:
-        q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-        cmask = jnp.where(k_pos <= q_pos, 0.0, MASK_VALUE).astype(scores.dtype)
-        scores = scores + cmask[None, None]
+        off = jnp.asarray(q_offset, jnp.int32)
+        if off.ndim == 1:                      # per-sequence offsets
+            keep = k_pos[None] <= q_pos[None] + off[:, None, None]
+            cmask = jnp.where(keep, 0.0, MASK_VALUE).astype(scores.dtype)
+            scores = scores + cmask[:, None]
+        else:
+            cmask = jnp.where(k_pos <= q_pos + off, 0.0,
+                              MASK_VALUE).astype(scores.dtype)
+            scores = scores + cmask[None, None]
     return scores
 
 
@@ -78,10 +86,14 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
         dropout_p: float = 0.0,
         dropout_rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        q_offset: int | jax.Array = 0,
         use_flash: bool = True) -> jax.Array:
     """Dispatching attention entry point (the analogue of FlashSelfAttention /
-    SelfAttention selection in the reference's MHA, mha.py:328-329)."""
+    SelfAttention selection in the reference's MHA, mha.py:328-329).
+    q_offset: scalar or (b,) absolute position of q row 0 (chunked prefill
+    over a pre-populated KV prefix)."""
     dropout_active = dropout_p > 0.0 and not deterministic
+    has_offset = not (isinstance(q_offset, int) and q_offset == 0)
     if use_flash and (not dropout_active or dropout_rng is not None):
         from .flash_attention import flash_attention  # local import: avoids cycle
         if key_padding_mask is not None and seq_lengths is None:
@@ -90,14 +102,16 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             seq_lengths=seq_lengths,
             dropout_p=dropout_p if dropout_active else 0.0,
-            dropout_rng=dropout_rng if dropout_active else None)
+            dropout_rng=dropout_rng if dropout_active else None,
+            q_offsets=q_offset if has_offset else None)
     if seq_lengths is not None and key_padding_mask is None:
         sk = k.shape[1]
         key_padding_mask = (jax.lax.broadcasted_iota(jnp.int32, (1, sk), 1)
                             < seq_lengths[:, None])
     return mha_reference(q, k, v, causal=causal, softmax_scale=softmax_scale,
                          key_padding_mask=key_padding_mask, dropout_p=dropout_p,
-                         dropout_rng=dropout_rng, deterministic=deterministic)
+                         dropout_rng=dropout_rng, deterministic=deterministic,
+                         q_offset=q_offset)
 
 
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,

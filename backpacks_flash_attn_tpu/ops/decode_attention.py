@@ -180,6 +180,131 @@ def decode_attention_flat(q, kt, ks, v, vs, length, *,
                              lambda: run(S)))
 
 
+def _gathered_kernel(lens_ref, cnt_ref, q_ref, kt_ref, ks_ref, v_ref, vs_ref,
+                     o_ref, acc_ref, m_ref, l_ref, *, rows: int,
+                     block_s: int, n_sb: int, quant_k: bool, quant_v: bool,
+                     force_f32: bool):
+    """Grid (E/rows, n_sb): cache blocks past this row-block's max valid
+    length are neither DMA'd (their index maps repeat the previous block —
+    a pipeline revisit) nor computed (predicated off). Online-softmax state
+    rides VMEM scratch across the sequential block dimension."""
+    ei, ji = pl.program_id(0), pl.program_id(1)
+    cnt = cnt_ref[ei]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+
+    @pl.when(ji == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(ji < cnt)
+    def _():
+        base = ei * rows
+        pos = ji * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+        for r in range(rows):
+            valid = pos < lens_ref[base + r]
+            q_r = q_ref[r:r + 1].astype(cdt)              # (1, dk)
+            s = jax.lax.dot_general(q_r, kt_ref[r].astype(cdt),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if quant_k:
+                s = s * ks_ref[r:r + 1]
+            s = jnp.where(valid, s, NEG)
+            m_prev, l_prev = m_ref[r, 0], l_ref[r, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # (1, block_s)
+            l_ref[r, 0] = l_prev * corr + jnp.sum(p)
+            m_ref[r, 0] = m_new
+            if quant_v:
+                p = p * vs_ref[r:r + 1]
+            pv = jax.lax.dot_general(p.astype(cdt), v_ref[r].astype(cdt),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[r:r + 1] = acc_ref[r:r + 1] * corr + pv
+
+    @pl.when(ji == n_sb - 1)
+    def _():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[:] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+
+
+def decode_attention_gathered(q: jax.Array, kt: jax.Array,
+                              ks: Optional[jax.Array], v: jax.Array,
+                              vs: Optional[jax.Array], length: jax.Array, *,
+                              rows_per_program: int = 8,
+                              block_s: int = 128) -> jax.Array:
+    """Length-adaptive decode attention: HBM traffic scales with each row
+    block's actual valid length instead of the full cache width. Same
+    contract as decode_attention_fused (q pre-scaled; kt transposed)."""
+    e, dk = q.shape
+    _, s_len, dv = v.shape
+    assert kt.shape == (e, dk, s_len)
+    rows = rows_per_program
+    while e % rows != 0:
+        rows //= 2
+    while s_len % block_s != 0 and block_s > 128:
+        block_s //= 2
+    if s_len % block_s != 0:
+        block_s = s_len
+    n_eb, n_sb = e // rows, s_len // block_s
+    quant_k, quant_v = ks is not None, vs is not None
+    if ks is None:
+        ks = jnp.ones((e, 1), jnp.float32)
+    if vs is None:
+        vs = jnp.ones((e, 1), jnp.float32)
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (e,))
+    cnt = -(-lens.reshape(n_eb, rows).max(axis=1) // block_s)  # (E/rows,)
+
+    def _jidx(ji, cnt_ei):
+        # blocks past the valid prefix repeat the last valid index: the
+        # pallas pipeline sees an unchanged block and skips the DMA
+        return jnp.minimum(ji, jnp.maximum(cnt_ei - 1, 0))
+
+    def sblk(width):
+        # scale blocks: (rows, block_s) slices when scales are full-width,
+        # else the (rows, 1) placeholder
+        if width == s_len:
+            return pl.BlockSpec((rows, block_s),
+                                lambda ei, ji, lens, cnt:
+                                (ei, _jidx(ji, cnt[ei])))
+        return pl.BlockSpec((rows, width),
+                            lambda ei, ji, lens, cnt: (ei, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # lens, cnt
+        grid=(n_eb, n_sb),
+        in_specs=[
+            pl.BlockSpec((rows, dk), lambda ei, ji, lens, cnt: (ei, 0)),
+            pl.BlockSpec((rows, dk, block_s),
+                         lambda ei, ji, lens, cnt:
+                         (ei, 0, _jidx(ji, cnt[ei]))),
+            sblk(ks.shape[1]),
+            pl.BlockSpec((rows, block_s, dv),
+                         lambda ei, ji, lens, cnt:
+                         (ei, _jidx(ji, cnt[ei]), 0)),
+            sblk(vs.shape[1]),
+        ],
+        out_specs=pl.BlockSpec((rows, dv), lambda ei, ji, lens, cnt: (ei, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, dv), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gathered_kernel, rows=rows, block_s=block_s,
+                          n_sb=n_sb, quant_k=quant_k, quant_v=quant_v,
+                          force_f32=_interpret()),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        interpret=_interpret(),
+    )(lens, cnt.astype(jnp.int32), q, kt, ks, v, vs)
+
+
 def decode_attention(q, kt, ks, v, vs, length, *, use_pallas: bool = False):
     """Dispatching entry point for the single-step cache attention (see
     module docstring for shapes)."""

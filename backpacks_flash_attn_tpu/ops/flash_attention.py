@@ -74,15 +74,18 @@ def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
     return x < thr
 
 
-def _flash_fwd_kernel(lens_ref, bmask_ref, seed_ref, q_ref, k_ref, v_ref,
-                      o_ref, lse_ref, *, block_k: int, kv_len: int,
-                      causal: bool, block_q: int, blocksparse: bool,
-                      dropout_p: float):
+def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
+                      v_ref, bias_ref, o_ref, lse_ref, *, block_k: int,
+                      kv_len: int, causal: bool, block_q: int,
+                      blocksparse: bool, dropout_p: float, has_bias: bool):
     # q arrives pre-scaled (softmax scale may be a traced per-layer value,
     # which a Pallas kernel cannot close over).
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
     seq_len = lens_ref[pl.program_id(0)]
+    # per-sequence query offset: row i of this call sits at absolute position
+    # q_off + i (chunked prefill continuing a cache at a nonzero offset)
+    q_off = qoff_ref[pl.program_id(0)]
     # program_id inside a fori_loop body breaks interpret-mode lowering;
     # compute the dropout stream id at kernel top level.
     bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
@@ -90,11 +93,12 @@ def _flash_fwd_kernel(lens_ref, bmask_ref, seed_ref, q_ref, k_ref, v_ref,
     num_k_blocks = pl.cdiv(kv_len, block_k)
     if causal:
         # K tiles strictly above the causal diagonal contribute nothing.
-        max_k = jnp.minimum((qi + 1) * block_q, kv_len)
+        max_k = jnp.minimum(q_off + (qi + 1) * block_q, kv_len)
         num_k_blocks = pl.cdiv(max_k, block_k)
     n_kb_total = pl.cdiv(kv_len, block_k)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    q_pos = (q_off + qi * block_q
+             + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
 
     def compute(j, carry):
         o_acc, m_prev, l_prev = carry
@@ -107,6 +111,8 @@ def _flash_fwd_kernel(lens_ref, bmask_ref, seed_ref, q_ref, k_ref, v_ref,
         mask = k_pos < jnp.minimum(seq_len, kv_len)
         if causal:
             mask = jnp.logical_and(mask, k_pos <= q_pos)
+        if has_bias:
+            s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
         correction = jnp.exp(m_prev - m_new)
@@ -148,11 +154,14 @@ def _flash_fwd_kernel(lens_ref, bmask_ref, seed_ref, q_ref, k_ref, v_ref,
 
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
-               blockmask=None, dropout_p=0.0, seed=None):
+               blockmask=None, dropout_p=0.0, seed=None, q_offsets=None,
+               bias=None):
     """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
     `scale` may be traced; it is folded into q before the kernel launch.
     blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask.
-    seed: (2,) uint32 dropout counter seed (required when dropout_p > 0)."""
+    seed: (2,) uint32 dropout counter seed (required when dropout_p > 0).
+    q_offsets: (b,) absolute position of q row 0 per sequence (chunked
+    prefill); causal masking becomes k_pos <= q_off + i."""
     if not (isinstance(scale, float) and scale == 1.0):
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     b, h, sq, d = q.shape
@@ -180,22 +189,51 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
         bm = jnp.zeros((1,), jnp.int32)
     if seed is None:
         seed = jnp.zeros((2,), jnp.uint32)
+    if q_offsets is None:
+        q_offsets = jnp.zeros((b,), jnp.int32)
+    else:
+        q_offsets = jnp.broadcast_to(
+            jnp.asarray(q_offsets, jnp.int32).reshape(-1), (b,))
+
+    has_bias = bias is not None
+    if has_bias:
+        # bias (b|1, h|1, sq, sk) f32, zero-padded to tile shapes; broadcast
+        # dims resolved by the index map (reference: flash_attn_triton.py
+        # bias_type 'vector'/'matrix')
+        bias = jnp.asarray(bias, jnp.float32)
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        bb, bh = bias.shape[0], bias.shape[1]
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_pad - bias.shape[2]),
+                              (0, sk_pad - bias.shape[3])))
+    else:
+        bb = bh = 1
+        bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    def bias_map(bi, hi, qi):
+        return (bi if bb > 1 else 0, hi if bh > 1 else 0,
+                qi if has_bias else 0, 0)
+
+    bias_block = (1, 1, block_q if has_bias else 1,
+                  sk_pad if has_bias else 1)
 
     grid = (b, h, sq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel, block_k=block_k, kv_len=sk,
         causal=causal, block_q=block_q, blocksparse=blocksparse,
-        dropout_p=dropout_p)
+        dropout_p=dropout_p, has_bias=has_bias)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (b,) lengths
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (b,) query offsets
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flat blockmask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (2,) dropout seed
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec(bias_block, bias_map),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -206,16 +244,17 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seq_lengths, bm, seed, qp, kp, vp)
+    )(seq_lengths, q_offsets, bm, seed, qp, kp, vp, bias)
     return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _flash_attention_bhsd(q, k, v, seed, seq_lengths_static, scale, causal,
-                          block_q, block_k, dropout_p):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_attention_bhsd(q, k, v, seed, bias, seq_lengths_static, scale,
+                          causal, block_q, block_k, dropout_p, has_bias):
     # seq_lengths threaded via a static marker-free path: see flash_attention().
     out, _ = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
-                        dropout_p=dropout_p, seed=seed)
+                        dropout_p=dropout_p, seed=seed,
+                        bias=bias if has_bias else None)
     return out
 
 
@@ -243,9 +282,10 @@ def _bwd_mask(q0, k0, block_q, block_k, q_len, kv_len, causal):
 
 
 def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, block_q: int, block_k: int,
+                         delta_ref, bias_ref, dq_ref, *dbias_ref,
+                         block_q: int, block_k: int,
                          q_len: int, kv_len: int, causal: bool,
-                         dropout_p: float, force_f32: bool):
+                         dropout_p: float, has_bias: bool, force_f32: bool):
     """Grid (b, h, n_q_blocks): recompute p tile-by-tile from the saved LSE and
     accumulate dq = sum_j ds_j @ k_j (reference bwd recompute strategy:
     csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h)."""
@@ -262,12 +302,17 @@ def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     if causal:
         max_k = jnp.minimum((qi + 1) * block_q, kv_len)
         num_k_blocks = pl.cdiv(max_k, block_k)
+    if has_bias:
+        # causal early-exit leaves later tiles unwritten: zero the strip first
+        dbias_ref[0][0, 0] = jnp.zeros_like(dbias_ref[0][0, 0])
 
     def body(j, dq_acc):
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         v = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         mask = _bwd_mask(qi * block_q, j * block_k, block_q, block_k,
                          q_len, kv_len, causal)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
@@ -278,6 +323,8 @@ def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                                  block_q, block_k, dropout_p)
             dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
         ds = p * (dp - delta)
+        if has_bias:
+            dbias_ref[0][0, 0, :, pl.ds(j * block_k, block_k)] = ds
         return dq_acc + jax.lax.dot_general(
             ds.astype(cdt), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -289,10 +336,10 @@ def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, *, block_q: int,
-                          block_k: int, q_len: int, kv_len: int,
-                          n_q_blocks: int, causal: bool, dropout_p: float,
-                          force_f32: bool):
+                          delta_ref, bias_ref, dk_ref, dv_ref, *,
+                          block_q: int, block_k: int, q_len: int,
+                          kv_len: int, n_q_blocks: int, causal: bool,
+                          dropout_p: float, has_bias: bool, force_f32: bool):
     """Grid (b, h, n_k_blocks): for one K/V tile, loop over Q tiles (starting
     at the causal diagonal) accumulating dv = p^T dO and dk = ds^T q."""
     ki = pl.program_id(2)
@@ -311,6 +358,8 @@ def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + bias_ref[0, 0, pl.ds(j * block_q, block_q), :]
         mask = _bwd_mask(j * block_q, ki * block_k, block_q, block_k,
                          q_len, kv_len, causal)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
@@ -343,7 +392,7 @@ def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
-               dropout_p=0.0):
+               dropout_p=0.0, bias=None):
     """Tiled Pallas backward: q/k/v/out/g (b, h, s, d); lse (b, h, sq) f32.
     Returns (dq, dk, dv) in the input dtypes. O(s*d) HBM traffic per pass like
     the forward — never materializes the s x s matrix (the previous XLA
@@ -375,9 +424,19 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
 
     if seed is None:
         seed = jnp.zeros((2,), jnp.uint32)
+    has_bias = bias is not None
+    if has_bias:
+        bias = jnp.asarray(bias, jnp.float32)
+        bb, bh = bias.shape[0], bias.shape[1]
+        bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, sq_pad - bias.shape[2]),
+                                (0, sk_pad - bias.shape[3])))
+    else:
+        bb = bh = 1
+        bias_p = jnp.zeros((1, 1, 1, 1), jnp.float32)
     n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
     common = dict(block_q=block_q, block_k=block_k, q_len=sq, kv_len=sk,
-                  causal=causal, dropout_p=dropout_p, force_f32=_interpret())
+                  causal=causal, dropout_p=dropout_p, has_bias=has_bias,
+                  force_f32=_interpret())
     qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, i: (bi, hi, i, 0))
     qfull = pl.BlockSpec((1, 1, sq_pad, d_pad), lambda bi, hi, i: (bi, hi, 0, 0))
     kspec = pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, i: (bi, hi, i, 0))
@@ -386,44 +445,83 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     rfull = pl.BlockSpec((1, 1, sq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0))
 
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    dq = pl.pallas_call(
+
+    def bias_q_map(bi, hi, i):
+        return (bi if bb > 1 else 0, hi if bh > 1 else 0,
+                i if has_bias else 0, 0)
+
+    def bias_k_map(bi, hi, i):
+        return (bi if bb > 1 else 0, hi if bh > 1 else 0, 0,
+                i if has_bias else 0)
+
+    bias_q_blk = pl.BlockSpec((1, 1, block_q if has_bias else 1,
+                               sk_pad if has_bias else 1), bias_q_map)
+    bias_k_blk = pl.BlockSpec((1, 1, sq_pad if has_bias else 1,
+                               block_k if has_bias else 1), bias_k_map)
+    dq_outs = [jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype)]
+    dq_specs = [qspec]
+    if has_bias:
+        # per-program (block_q, sk_pad) strips of dbias; broadcast dims are
+        # reduced by the caller (every (bi, hi) program writes a distinct
+        # region of the full (b, h, ...) buffer — no write races)
+        dq_outs.append(jax.ShapeDtypeStruct((b, h, sq_pad, sk_pad),
+                                            jnp.float32))
+        dq_specs.append(pl.BlockSpec((1, 1, block_q, sk_pad),
+                                     lambda bi, hi, i: (bi, hi, i, 0)))
+    dq_res = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, **common),
         grid=(b, h, n_qb),
-        in_specs=[sspec, qspec, kfull, kfull, qspec, rblk, rblk],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+        in_specs=[sspec, qspec, kfull, kfull, qspec, rblk, rblk, bias_q_blk],
+        out_specs=dq_specs,
+        out_shape=dq_outs,
         interpret=_interpret(),
-    )(seed, qp, kp, vp, gp, lse_p, delta)
+    )(seed, qp, kp, vp, gp, lse_p, delta, bias_p)
+    dq, dbias = (dq_res if has_bias else (dq_res[0], None))
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb, **common),
         grid=(b, h, n_kb),
-        in_specs=[sspec, qfull, kspec, kspec, qfull, rfull, rfull],
+        in_specs=[sspec, qfull, kspec, kspec, qfull, rfull, rfull,
+                  bias_k_blk],
         out_specs=[kspec, kspec],
         out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
         interpret=_interpret(),
-    )(seed, qp, kp, vp, gp, lse_p, delta)
+    )(seed, qp, kp, vp, gp, lse_p, delta, bias_p)
 
     dq = dq[:, :, :sq, :d]
     if not (isinstance(scale, float) and scale == 1.0):
         dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
-    return dq, dk[:, :, :sk, :d], dv[:, :, :sk, :d]
+    if has_bias:
+        dbias = dbias[:, :, :sq, :sk]
+    return dq, dk[:, :, :sk, :d], dv[:, :, :sk, :d], dbias
 
 
-def _flash_fwd_rule(q, k, v, seed, seq_lengths_static, scale, causal,
-                    block_q, block_k, dropout_p):
+def _flash_fwd_rule(q, k, v, seed, bias, seq_lengths_static, scale, causal,
+                    block_q, block_k, dropout_p, has_bias):
     out, lse = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
-                          dropout_p=dropout_p, seed=seed)
-    return out, (q, k, v, out, lse, seed)
+                          dropout_p=dropout_p, seed=seed,
+                          bias=bias if has_bias else None)
+    return out, (q, k, v, out, lse, seed, bias)
 
 
 def _flash_bwd_rule(seq_lengths_static, scale, causal, block_q, block_k,
-                    dropout_p, res, g):
-    q, k, v, out, lse, seed = res
-    dq, dk, dv = _flash_bwd(q, k, v, out, lse, g, seed, scale, causal,
-                            block_q, block_k, dropout_p=dropout_p)
-    return dq, dk, dv, None
+                    dropout_p, has_bias, res, g):
+    q, k, v, out, lse, seed, bias = res
+    dq, dk, dv, dbias = _flash_bwd(q, k, v, out, lse, g, seed, scale, causal,
+                                   block_q, block_k, dropout_p=dropout_p,
+                                   bias=bias if has_bias else None)
+    if has_bias:
+        # reduce over broadcast dims back to the input bias shape
+        b, h = q.shape[0], q.shape[1]
+        if bias.shape[0] == 1 and b > 1:
+            dbias = dbias.sum(axis=0, keepdims=True)
+        if bias.shape[1] == 1 and h > 1:
+            dbias = dbias.sum(axis=1, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dbias = jnp.zeros_like(bias)
+    return dq, dk, dv, None, dbias
 
 
 _flash_attention_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -435,8 +533,15 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     seq_lengths: Optional[jax.Array] = None,
                     dropout_p: float = 0.0,
                     dropout_rng: Optional[jax.Array] = None,
+                    q_offsets: Optional[jax.Array] = None,
+                    attn_bias: Optional[jax.Array] = None,
                     block_q: int = 256, block_k: int = 512) -> jax.Array:
     """FlashAttention forward (differentiable).
+
+    attn_bias: additive score bias (b|1, h|1, sq, sk), e.g. ALiBi slopes or
+    relative-position bias — the capability of the reference's Triton kernel
+    (flash_attn_triton.py:10-14); differentiable, with broadcast dims
+    reduced in the bias gradient.
 
     q: (b, sq, h, dh); k, v: (b, sk, h, dh) -> (b, sq, h, dh), matching the
     layout of flash_attn_unpadded_qkvpacked_func after unpacking
@@ -461,14 +566,75 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         seed = dropout_rng.astype(jnp.uint32).reshape(-1)[:2]
     else:
         seed = jnp.zeros((2,), jnp.uint32)
-    if seq_lengths is None:
-        out = _flash_attention_bhsd(qt, kt, vt, seed, None, 1.0, causal,
-                                    block_q, block_k, dropout_p)
+    has_bias = attn_bias is not None
+    if seq_lengths is None and q_offsets is None:
+        bias = (jnp.asarray(attn_bias, jnp.float32) if has_bias
+                else jnp.zeros((1, 1, 1, 1), jnp.float32))
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        out = _flash_attention_bhsd(qt, kt, vt, seed, bias, None, 1.0,
+                                    causal, block_q, block_k, dropout_p,
+                                    has_bias)
     else:
-        # padded/ragged path is inference-only for now: no vjp needed.
+        # padded/ragged/offset path is inference-only for now: no vjp needed.
         out, _ = _flash_fwd(qt, kt, vt, seq_lengths, 1.0, causal,
-                            block_q, block_k, dropout_p=dropout_p, seed=seed)
+                            block_q, block_k, dropout_p=dropout_p, seed=seed,
+                            q_offsets=q_offsets, bias=attn_bias)
     return jnp.swapaxes(out, 1, 2)
+
+
+def _blocksparse_gathered_kernel(lens_ref, tbl_ref, cnt_ref, q_ref, k_ref,
+                                 v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                                 l_ref, *, block_q: int, block_k: int,
+                                 kv_len: int, causal: bool, n_jb: int):
+    """Grid (b, h, n_qb, n_jb): j iterates the COMPACTED active-block list of
+    this q row; the K/V index maps gather via the scalar-prefetched table, so
+    inactive tiles are never DMA'd (they repeat the previous index, which the
+    pallas pipeline recognizes as a revisit — no fetch, and compute is
+    predicated off). Online-softmax state lives in VMEM scratch across the
+    sequential j dimension."""
+    qi, ji = pl.program_id(2), pl.program_id(3)
+    seq_len = lens_ref[pl.program_id(0)]
+    cnt = cnt_ref[qi]
+
+    @pl.when(ji == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(ji < cnt)
+    def _():
+        kb = tbl_ref[qi, ji]
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < jnp.minimum(seq_len, kv_len)
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev, l_prev = m_ref[:, 0], l_ref[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new[:, None]), 0.0)
+        l_ref[:, 0] = l_prev * corr + jnp.sum(p, axis=1)
+        m_ref[:, 0] = m_new
+        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * corr[:, None] + pv
+
+    @pl.when(ji == n_jb - 1)
+    def _():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_ref[:, 0] + jnp.log(l_safe))[:, None]
 
 
 def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -484,15 +650,87 @@ def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     q: (b, sq, h, dh); blockmask: (ceil(sq/block_q), ceil(sk/block_k)) with 1
     for attended tiles. Semantics are exact: masked tiles contribute nothing
     (as if their scores were -inf), matching the reference's converted
-    blockmask (flash_blocksparse_attn_interface.py:8). Masked tiles skip both
-    MXU contractions."""
+    blockmask (flash_blocksparse_attn_interface.py:8). Inactive tiles skip
+    the K/V DMA entirely (compacted active-block tables via scalar prefetch),
+    not just the MXU work — HBM traffic scales with density."""
     scale = (softmax_scale if softmax_scale is not None
              else 1.0 / math.sqrt(q.shape[-1]))
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    out, _ = _flash_fwd(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                        jnp.swapaxes(v, 1, 2), seq_lengths, 1.0, causal,
-                        block_q, block_k, blockmask=blockmask)
-    return jnp.swapaxes(out, 1, 2)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    b, h, sq, d = qt.shape
+    sk = kt.shape[2]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    d_pad = max(_round_up(d, 128), 128)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+    n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
+    assert blockmask.shape == (n_qb, pl.cdiv(sk, block_k)), blockmask.shape
+
+    def pad(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                           (0, d_pad - d)))
+
+    qp, kp, vp = pad(qt, sq_pad), pad(kt, sk_pad), pad(vt, sk_pad)
+    if seq_lengths is None:
+        seq_lengths = jnp.full((b,), sk, jnp.int32)
+    seq_lengths = jnp.asarray(seq_lengths, jnp.int32)
+
+    # Compacted active-block table. Causal pre-filter: tiles fully above the
+    # diagonal are dropped here so they cost neither DMA nor a grid step's
+    # predicate evaluation with a fetched tile.
+    active = blockmask.astype(bool)
+    if causal:
+        reach = (jnp.arange(n_qb)[:, None] + 1) * block_q  # first q_pos + bq
+        active = active & (jnp.arange(n_kb)[None, :] * block_k < reach)
+    order = jnp.argsort(jnp.where(active, 0, 1) * n_kb
+                        + jnp.arange(n_kb)[None, :], axis=1)
+    cnt = active.sum(axis=1).astype(jnp.int32)
+    last = order[jnp.arange(n_qb), jnp.maximum(cnt - 1, 0)]
+    tbl = jnp.where(jnp.arange(n_kb)[None, :] < cnt[:, None], order,
+                    last[:, None]).astype(jnp.int32)
+
+    grid = (b, h, n_qb, n_kb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # lens, table, counts
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda bi, hi, qi, ji, lens, tbl, cnt:
+                         (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d_pad),
+                         lambda bi, hi, qi, ji, lens, tbl, cnt:
+                         (bi, hi, tbl[qi, ji], 0)),
+            pl.BlockSpec((1, 1, block_k, d_pad),
+                         lambda bi, hi, qi, ji, lens, tbl, cnt:
+                         (bi, hi, tbl[qi, ji], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda bi, hi, qi, ji, lens, tbl, cnt:
+                         (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, hi, qi, ji, lens, tbl, cnt:
+                         (bi, hi, qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )
+    out, _ = pl.pallas_call(
+        functools.partial(_blocksparse_gathered_kernel, block_q=block_q,
+                          block_k=block_k, kv_len=sk, causal=causal,
+                          n_jb=n_kb),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(seq_lengths, tbl, cnt, qp, kp, vp)
+    return jnp.swapaxes(out[:, :, :sq, :d], 1, 2)
 
 
 def flash_attention_with_lse(q, k, v, *, causal=True, softmax_scale=None,

@@ -58,6 +58,8 @@ class RunConfig:
     tp: int = 1
     use_flash: bool = True
     remat: bool = False
+    zero1: bool = False               # shard optimizer moments over dp
+    zero2: bool = False               # + reduce-scatter grads (implies zero1)
     ema_decay: float = 0.0            # 0 disables EMA
     ckpt_every: int = 1000
     keep_last: int = 3
@@ -106,7 +108,8 @@ def run(rc: RunConfig) -> Dict[str, Any]:
                                   grad_clip=rc.grad_clip,
                                   accum_steps=rc.accum_steps)
     step_fn, sharded_init = train_lib.make_sharded_train_step(
-        cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat)
+        cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat,
+        zero1=rc.zero1, zero2=rc.zero2)
 
     sampler = lmd.SamplerState(seed=rc.seed)
     ema = ema_lib.init_ema(params) if rc.ema_decay > 0 else None

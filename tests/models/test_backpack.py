@@ -142,3 +142,29 @@ def test_windowed_decode_matches_full_window(setup, quant):
         np.testing.assert_allclose(np.asarray(la, np.float32),
                                    np.asarray(lb, np.float32),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_prefill_matches_one_shot(setup):
+    """Prefill a prompt in two chunks (second chunk continues at a nonzero
+    cache offset via q-offset causal masking) — logits and subsequent decode
+    must match the one-shot prefill (roadmap: chunked prefill, serving long
+    prompts in bounded-size pieces)."""
+    cfg, params, ids = setup
+    cache_a = bp.init_backpack_cache(cfg, 2, 32, dtype=jnp.float32)
+    la, cache_a = bp.backpack_forward_with_cache(params, cfg, ids[:, :16],
+                                                 cache_a, use_flash=False)
+    cache_b = bp.init_backpack_cache(cfg, 2, 32, dtype=jnp.float32)
+    lb1, cache_b = bp.backpack_forward_with_cache(params, cfg, ids[:, :9],
+                                                  cache_b, use_flash=False)
+    lb2, cache_b = bp.backpack_forward_with_cache(params, cfg, ids[:, 9:16],
+                                                  cache_b, use_flash=False)
+    got = np.concatenate([np.asarray(lb1), np.asarray(lb2)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(la), atol=2e-4, rtol=1e-4)
+    # decode after chunked prefill matches decode after one-shot prefill
+    for t in range(16, 19):
+        da, cache_a = bp.backpack_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache_a, use_flash=False)
+        db, cache_b = bp.backpack_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache_b, use_flash=False)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(da),
+                                   atol=2e-4, rtol=1e-4)

@@ -108,3 +108,37 @@ def test_hf_gpt2_import_golden_logits():
     got = np.asarray(gpt_lib.gpt_lm_forward(params, cfg, jnp.asarray(ids),
                                             use_flash=False))
     np.testing.assert_allclose(got[..., :512], want, rtol=1e-3, atol=2e-4)
+
+
+def test_attn_dwconv_matches_torch_conv1d():
+    """attn_dwconv (reference gpt.py:51-61): the shifted-add formulation must
+    equal torch's Conv1d(k=3, padding=2, groups=C) trimmed to seqlen, and the
+    model must stay causal."""
+    torch = pytest.importorskip("torch")
+    from backpacks_flash_attn_tpu.models.gpt import causal_dwconv3
+
+    rng = np.random.default_rng(0)
+    b, s, c = 2, 10, 12
+    x = rng.normal(size=(b, s, c)).astype(np.float32)
+    w = rng.normal(size=(3, c)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    got = causal_dwconv3(jnp.asarray(x), {"w": jnp.asarray(w),
+                                          "b": jnp.asarray(bias)})
+    conv = torch.nn.Conv1d(c, c, 3, padding=2, groups=c)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(w.T[:, None, :]))
+        conv.bias.copy_(torch.tensor(bias))
+        want = conv(torch.tensor(x).transpose(1, 2))[..., :s].transpose(1, 2)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5,
+                               rtol=1e-5)
+
+    # causality through the full model with the flag on
+    cfg = gpt2_test().replace(attn_dwconv=True)
+    params = gpt_lib.init_gpt_lm(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    base = gpt_lib.gpt_lm_forward(params, cfg, ids, use_flash=False)
+    ids2 = ids.at[0, 6].set((ids[0, 6] + 1) % cfg.vocab_size)
+    pert = gpt_lib.gpt_lm_forward(params, cfg, ids2, use_flash=False)
+    np.testing.assert_allclose(np.asarray(base[:, :6]), np.asarray(pert[:, :6]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(base[:, 6:]) - np.asarray(pert[:, 6:])).max() > 1e-4

@@ -72,3 +72,30 @@ def test_length_buckets_match_full():
                                 length_buckets=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_gathered_matches_reference(quant):
+    """Length-adaptive gathered kernel vs the fp32 reference, ragged per-row
+    lengths (incl. a zero-length row and full-length rows)."""
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_gathered, decode_attention_ref)
+    rng = np.random.default_rng(7)
+    e, dk, S, dv = 16, 64, 512, 128
+    q = jnp.asarray(rng.normal(size=(e, dk)).astype(np.float32))
+    if quant:
+        kt = jnp.asarray(rng.integers(-127, 127, (e, dk, S)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (e, S, dv)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (e, S)).astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (e, S)).astype(np.float32))
+    else:
+        kt = jnp.asarray(rng.normal(size=(e, dk, S)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(e, S, dv)).astype(np.float32))
+        ks = vs = None
+    lens = jnp.asarray(rng.integers(1, S + 1, (e,)), jnp.int32)
+    lens = lens.at[0].set(0).at[1].set(S).at[2].set(1)
+    got = decode_attention_gathered(q, kt, ks, v, vs, lens, block_s=128)
+    want = decode_attention_ref(q, kt, ks, v, vs, lens)
+    got, want = np.asarray(got), np.asarray(want)
+    assert np.abs(got[0]).max() == 0.0          # zero-length row
+    np.testing.assert_allclose(got[1:], want[1:], atol=2e-4, rtol=1e-3)

@@ -224,3 +224,60 @@ def test_flash_grad_tiled(dtype, causal, s, d):
         err_k = np.abs(np.asarray(gk, np.float32) - np.asarray(gr, np.float32)).max()
         err_b = np.abs(np.asarray(gb, np.float32) - np.asarray(gr, np.float32)).max()
         assert err_k <= 2 * err_b + 2e-4, (err_k, err_b)
+
+
+def test_flash_q_offsets_chunked():
+    """Per-sequence q_offsets: rows of a later chunk must see exactly the
+    keys a one-shot causal call lets them see."""
+    b, s, h, d = 2, 96, 2, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(30), b, s, h, d, jnp.float32)
+    full = flash_attention(q, k, v, causal=True, block_q=64, block_k=64)
+    # chunk 2: queries 40..96 against ALL keys, offset 40
+    off = jnp.full((b,), 40, jnp.int32)
+    part = flash_attention(q[:, 40:], k, v, causal=True,
+                           q_offsets=off, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(part), np.asarray(full[:, 40:]),
+                               atol=2e-5, rtol=1e-4)
+    # ragged offsets: each row's chunk starts at a different position
+    off2 = jnp.array([10, 30], jnp.int32)
+    part2 = flash_attention(q[:, 30:60], k, v, causal=True, q_offsets=off2,
+                            block_q=64, block_k=64)
+    for i, o in enumerate([10, 30]):
+        ref = mha_reference(q[i:i + 1, 30:60], k[i:i + 1], v[i:i + 1],
+                            causal=True, q_offset=o)
+        np.testing.assert_allclose(np.asarray(part2[i]), np.asarray(ref[0]),
+                                   atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bshape", ["bh", "1h", "11"])
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attn_bias(bshape, causal):
+    """Additive attention bias (reference Triton-kernel capability,
+    flash_attn_triton.py:10-14): fwd + grads incl. dbias with broadcast
+    reduction, vs autodiff through the einsum reference."""
+    b, s, h, d = 2, 128, 3, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(40), b, s, h, d, jnp.float32)
+    shape = {"bh": (b, h, s, s), "1h": (1, h, s, s), "11": (1, 1, s, s)}[bshape]
+    bias = jax.random.normal(jax.random.PRNGKey(41), shape, jnp.float32)
+    ct = jax.random.normal(jax.random.PRNGKey(42), q.shape, jnp.float32)
+
+    def kernel_fn(q, k, v, bias):
+        return flash_attention(q, k, v, causal=causal, attn_bias=bias,
+                               block_q=64, block_k=64)
+
+    def ref_fn(q, k, v, bias):
+        scale = 1.0 / math.sqrt(d)
+        sc = jnp.einsum("bthd,bshd->bhts", q * scale, k) + bias
+        if causal:
+            cm = jnp.tril(jnp.ones((s, s), bool))
+            sc = jnp.where(cm[None, None], sc, -1e30)
+        a = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum("bhts,bshd->bthd", a, v)
+
+    out_k, vjp_k = jax.vjp(kernel_fn, q, k, v, bias)
+    out_r, vjp_r = jax.vjp(ref_fn, q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-4, rtol=1e-3)
+    for name, gk, gr in zip("qkvb", vjp_k(ct), vjp_r(ct)):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)

@@ -108,3 +108,33 @@ def test_dropout_add_ln_rowscale_colscale():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(layer_norm(want_res, w, b)),
                                rtol=1e-5)
+
+
+def test_blocksparse_empty_row_and_ragged():
+    """Compacted-table kernel edge cases: a q row with NO active tiles
+    (zeros out), uneven per-row densities, and seq_lengths masking."""
+    rng = np.random.default_rng(5)
+    b, s, h, d = 2, 384, 2, 64
+    bq = bk = 128
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+               for _ in range(3))
+    blockmask = jnp.asarray([[0, 0, 0],
+                             [1, 0, 0],
+                             [1, 0, 1]], jnp.int32)
+    lens = jnp.array([384, 200], jnp.int32)
+    out = flash_blocksparse_attention(q, k, v, blockmask, causal=False,
+                                      seq_lengths=lens, block_q=bq,
+                                      block_k=bk)
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bthd,bshd->bhts", q * scale, k)
+    em = np.kron(np.asarray(blockmask), np.ones((bq, bk))).astype(bool)
+    em = np.broadcast_to(em, (b, s, s)).copy()
+    em[0, :, 384:] = False
+    em[1, :, 200:] = False
+    scores = jnp.where(jnp.asarray(em)[:, None], scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    p = jnp.nan_to_num(p)       # fully-masked rows -> zeros like the kernel
+    want = jnp.einsum("bhts,bshd->bthd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+    assert np.abs(np.asarray(out[:, :128])).max() == 0.0  # empty q row
