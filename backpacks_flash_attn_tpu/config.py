@@ -86,6 +86,14 @@ class BackpackConfig(GPTConfig):
         """Head dim of the contextualization attention (d / nv)."""
         return self.n_embd // self.num_senses
 
+    @property
+    def sense_head_dim_padded(self) -> int:
+        """sense_head_dim zero-padded up to a 64 multiple: the decode-path
+        ctx_k cache stores padded keys so the per-step score contraction
+        tiles like the GPT attention one (d/nv = 48 for -small lowered XLA
+        into a 5x-slower multiply-reduce fusion, profiled on v5e)."""
+        return -(-self.sense_head_dim // 64) * 64
+
 
 # Named sizes from training/configs/model/gpt2model/*.yaml and
 # configs/experiment/owt/backpack-*.yaml (seqlen 512, vocab pad multiple 8).

@@ -270,6 +270,8 @@ def insert_cache_slot(big, small, slot) -> "BackpackCache":
     return big._replace(
         gpt=gpt_cache,
         ctx_k=put(big.ctx_k, small.ctx_k, 0, nv),
+        ctx_k_scale=(put(big.ctx_k_scale, small.ctx_k_scale, 0, nv)
+                     if big.ctx_k_scale is not None else None),
         content=put(big.content, small.content, 0, nv),
         length=big.length.at[slot].set(
             jnp.asarray(small.length).reshape(-1)[0]),
@@ -283,7 +285,11 @@ class BackpackCache(NamedTuple):
     per-token sense cache, pre-flattened to decode-contraction operand shapes
     (E = batch * nv; see gpt.KVCache for why flat layouts are load-bearing):
 
-      ctx_k:          (E, d/nv, S)  — transposed contextualization keys
+      ctx_k:          (E, dnv_pad, S) — transposed contextualization keys,
+                      head dim zero-padded to 64 (sense_head_dim_padded);
+                      int8 with per-position ctx_k_scale when quantized
+                      (profiled: the bf16 ctx_k stream was the last
+                      non-int8 read on the decode path)
       content:        (E, S, d)    — per-token sense vectors
       content_scale:  (E, S) f32   — int8 dequant scales (int8 cache only)
 
@@ -295,6 +301,7 @@ class BackpackCache(NamedTuple):
     content: jax.Array
     length: jax.Array
     content_scale: Optional[jax.Array] = None
+    ctx_k_scale: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
@@ -307,17 +314,20 @@ def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
     """per_slot=True gives each batch row its own length counter (continuous-
     batching serving slots); False is the uniform-batch scalar counter."""
     content_dtype = dtype
-    ctx_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
+    ctx_dtype = dtype
     len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
     e = batch * cfg.num_senses
     return BackpackCache(
         gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype,
                                   per_slot=per_slot),
-        ctx_k=jnp.zeros((e, cfg.sense_head_dim, max_seqlen), ctx_dtype),
+        ctx_k=jnp.zeros((e, cfg.sense_head_dim_padded, max_seqlen),
+                        ctx_dtype),
         content=jnp.zeros((e, max_seqlen, cfg.n_embd), content_dtype),
         length=len0,
         content_scale=(jnp.ones((e, max_seqlen), jnp.float32)
                        if dtype == jnp.int8 else None),
+        ctx_k_scale=(jnp.ones((e, max_seqlen), jnp.float32)
+                     if dtype == jnp.int8 else None),
     )
 
 
@@ -350,10 +360,20 @@ def backpack_forward_with_cache(
         params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash,
         window=window)
     q, k_new = context_qk(params, cfg, contextl)  # (b, s, nv, dnv)
-    # flat layouts: ctx_k (E, dnv, S) / content (E, S, d) / scale (E, S)
-    ctx_k = gpt_lib.update_rows_axis(
-        cache.ctx_k, k_new.transpose(0, 2, 3, 1).reshape(e, dnv, s),
-        row_off, axis=2)
+    # flat layouts: ctx_k (E, dnv_pad, S) / content (E, S, d) / scale (E, S)
+    dnv_pad = cfg.sense_head_dim_padded
+    k_flat = k_new.transpose(0, 2, 3, 1).reshape(e, dnv, s)
+    if dnv_pad != dnv:
+        k_flat = jnp.pad(k_flat, ((0, 0), (0, dnv_pad - dnv), (0, 0)))
+    ctx_k_scale = cache.ctx_k_scale
+    if cache.quantized:
+        from ..ops import quant
+        k8, ksc = quant.quantize_activations_int8(k_flat, axis=1)
+        ctx_k = gpt_lib.update_rows_axis(cache.ctx_k, k8, row_off, axis=2)
+        ctx_k_scale = gpt_lib.update_rows_axis(ctx_k_scale, ksc[:, 0, :],
+                                               row_off, axis=1)
+    else:
+        ctx_k = gpt_lib.update_rows_axis(cache.ctx_k, k_flat, row_off, axis=2)
 
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
     if sense_edit is not None:
@@ -396,24 +416,32 @@ def backpack_forward_with_cache(
             vs = w if vs is None else vs * w
         lens = jnp.repeat(new_len, nv) if vec else new_len
         ctx_k_r, content_r = ctx_k, content
+        ks_r = ctx_k_scale
         if window is not None and window < max_s:
             ctx_k_r = ctx_k[:, :, :window]
             content_r = content[:, :window]
             vs = vs[:, :window] if vs is not None else None
-        out = decode_attention(
-            (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
-                                                         ).reshape(e, dnv),
-            ctx_k_r, None, content_r, vs, lens)
+            ks_r = ks_r[:, :window] if ks_r is not None else None
+        q_flat = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
+                                                             ).reshape(e, dnv)
+        if dnv_pad != dnv:
+            q_flat = jnp.pad(q_flat, ((0, 0), (0, dnv_pad - dnv)))
+        out = decode_attention(q_flat, ctx_k_r, ks_r, content_r, vs, lens)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     else:
         # prefill: materialize the alpha rows for the s new queries.
         # (E,)->(b,nv,...) relayouts happen once per prefill, not per step.
-        ctx_k4 = ctx_k.reshape(b, nv, dnv, max_s)
+        ctx_k4 = ctx_k.reshape(b, nv, dnv_pad, max_s)
         content4 = content.reshape(b, nv, max_s, d)
-        scores = jnp.einsum("bthd,bhds->bhts", q,
+        q_pad = (jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dnv_pad - dnv)))
+                 if dnv_pad != dnv else q)
+        scores = jnp.einsum("bthd,bhds->bhts", q_pad,
                             ctx_k4.astype(q.dtype) * scale,
                             preferred_element_type=jnp.float32)
+        if cache.quantized:
+            # per-position key dequant scales factor out of the contraction
+            scores = scores * ctx_k_scale.reshape(b, nv, max_s)[:, :, None, :]
         qpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
         kpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 1)
         if vec:
@@ -437,4 +465,5 @@ def backpack_forward_with_cache(
                              ).astype(contextl.dtype)
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
     return logits, BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
-                                 length=new_len, content_scale=content_scale)
+                                 length=new_len, content_scale=content_scale,
+                                 ctx_k_scale=ctx_k_scale)

@@ -316,10 +316,18 @@ def gpt_forward_with_cache(
     h, dk = cfg.n_head, cfg.head_dim
     e = b * h
 
-    def _layer(all_buf, li):
-        shape = (1,) + all_buf.shape[1:]
+    def _layer(all_buf, li, win_axis=None):
+        """One layer of the stacked cache, optionally with the static
+        `window` folded into the SAME dynamic_slice along win_axis. A
+        separate [:window] slice after the layer slice breaks the fusion
+        into the attention consumer and XLA materializes a full-layer copy
+        per step (profiled: 2 x 816us/step at batch 128)."""
+        shape = list(all_buf.shape)
+        shape[0] = 1
+        if win_axis is not None and window is not None:
+            shape[win_axis] = min(window, shape[win_axis])
         zeros = (0,) * (all_buf.ndim - 1)
-        return jax.lax.dynamic_slice(all_buf, (li,) + zeros, shape)[0]
+        return jax.lax.dynamic_slice(all_buf, (li,) + zeros, tuple(shape))[0]
 
     def _store(all_buf, li, new, axis):
         """Write `new` (E, ...) into layer li at the (scalar or per-row)
@@ -366,15 +374,10 @@ def gpt_forward_with_cache(
         else:
             k_all = _store(k_all, li, kt_new, axis=2)
             v_all = _store(v_all, li, v_new, axis=1)
-        kt_cache = _layer(k_all, li)              # (E, dk, S)
-        v_cache = _layer(v_all, li)               # (E, S, dv)
-        k_sc = _layer(ks_all, li) if quantized else None   # (E, S)
-        v_sc = _layer(vs_all, li) if quantized else None
-        if window is not None and window < kt_cache.shape[-1]:
-            kt_cache = kt_cache[:, :, :window]
-            v_cache = v_cache[:, :window]
-            k_sc = k_sc[:, :window] if quantized else None
-            v_sc = v_sc[:, :window] if quantized else None
+        kt_cache = _layer(k_all, li, win_axis=3)  # (E, dk, S|window)
+        v_cache = _layer(v_all, li, win_axis=2)   # (E, S|window, dv)
+        k_sc = _layer(ks_all, li, win_axis=2) if quantized else None
+        v_sc = _layer(vs_all, li, win_axis=2) if quantized else None
         S = kt_cache.shape[-1]
         if s == 1:
             # single-pass decode over the stored-precision flat cache

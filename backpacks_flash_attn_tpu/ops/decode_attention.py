@@ -212,12 +212,14 @@ def _gathered_kernel(lens_ref, cnt_ref, q_ref, kt_ref, ks_ref, v_ref, vs_ref,
             if quant_k:
                 s = s * ks_ref[r:r + 1]
             s = jnp.where(valid, s, NEG)
-            m_prev, l_prev = m_ref[r, 0], l_ref[r, 0]
-            m_new = jnp.maximum(m_prev, jnp.max(s))
+            # (1, 1)-shaped state ops: Mosaic cannot store scalars to VMEM
+            m_prev, l_prev = m_ref[r:r + 1, :], l_ref[r:r + 1, :]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             corr = jnp.exp(m_prev - m_new)
             p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # (1, block_s)
-            l_ref[r, 0] = l_prev * corr + jnp.sum(p)
-            m_ref[r, 0] = m_new
+            l_ref[r:r + 1, :] = (l_prev * corr
+                                 + jnp.sum(p, axis=1, keepdims=True))
+            m_ref[r:r + 1, :] = m_new
             if quant_v:
                 p = p * vs_ref[r:r + 1]
             pv = jax.lax.dot_general(p.astype(cdt), v_ref[r].astype(cdt),
@@ -303,6 +305,203 @@ def decode_attention_gathered(q: jax.Array, kt: jax.Array,
         out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
         interpret=_interpret(),
     )(lens, cnt.astype(jnp.int32), q, kt, ks, v, vs)
+
+
+def _selector_kernel(lens_ref, q_ref, kt_ref, ks_ref, vt_ref, vs_ref,
+                     o_ref, *, rows: int, quant_k: bool, quant_v: bool,
+                     force_f32: bool):
+    """Batched ragged matvecs via block-diagonal selector matmuls.
+
+    The per-row score q_r . K_r is a matvec — M=1 starves the MXU, and a 3D
+    broadcast-reduce crashes Mosaic. Instead (2D ops only):
+      scores: elementwise q (R*dk, 1) * Kt (R*dk, S) on the VPU, then ONE
+        (R, R*dk) @ (R*dk, S) dot with a constant 0/1 block-diagonal selector
+        does every row's segment-sum on the MXU.
+      PV:     probs p (R, S) are segment-REPEATED to (R*dv, S) by another
+        selector dot, multiplied elementwise into the TRANSPOSED value cache
+        (R*dv, S), and lane-reduced to the (R*dv, 1) output column.
+    The int8 -> bf16 dequant happens on VMEM tiles, never in HBM (XLA's
+    batched-matvec path materializes a bf16 copy of the cache instead).
+
+    q arrives pre-flattened (R*dk, 1); vt is (R, dv, S); o is (R*dv, 1)."""
+    R = rows
+    _, dk, S = kt_ref.shape
+    dv = vt_ref.shape[1]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    lens = lens_ref[:]                                    # (R, 1) int32
+
+    ktf = kt_ref[:].reshape(R * dk, S).astype(cdt)
+    qf = q_ref[:].astype(cdt)                             # (R*dk, 1)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0) == seg
+           ).astype(cdt)
+    s = jax.lax.dot_general(sel, ktf * qf, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (R, S)
+    if quant_k:
+        s = s * ks_ref[:]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    s = jnp.where(pos < lens, s, NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    if quant_v:
+        p = p * vs_ref[:]
+
+    # segment-repeat p to (R*dv, S) with a selector dot (row i <- p[i // dv])
+    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R * dv, R), 0) // dv
+    rep_sel = (seg2 == jax.lax.broadcasted_iota(jnp.int32, (R * dv, R), 1)
+               ).astype(cdt)
+    p_rep = jax.lax.dot_general(rep_sel, p.astype(cdt),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(cdt)                     # (R*dv, S)
+    vtf = vt_ref[:].reshape(R * dv, S).astype(cdt)
+    out = jnp.sum((vtf * p_rep).astype(jnp.float32), axis=1, keepdims=True)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def decode_attention_selector(q: jax.Array, kt: jax.Array,
+                              ks: Optional[jax.Array], v: jax.Array,
+                              vs: Optional[jax.Array], length: jax.Array, *,
+                              rows_per_program: int = 8,
+                              v_transposed: bool = False) -> jax.Array:
+    """Selector-matmul decode attention (see _selector_kernel). Same contract
+    as decode_attention_fused; v may be passed pre-transposed (E, dv, S)
+    with v_transposed=True (the production cache layout for this kernel)."""
+    e, dk = q.shape
+    if v_transposed:
+        _, dv, s_len = v.shape
+        vt = v
+    else:
+        _, s_len, dv = v.shape
+        vt = jnp.swapaxes(v, 1, 2)
+    assert kt.shape == (e, dk, s_len)
+    rows = rows_per_program
+    while e % rows != 0:
+        rows //= 2
+    grid = (e // rows,)
+    quant_k, quant_v = ks is not None, vs is not None
+    if ks is None:
+        ks = jnp.ones((e, 1), jnp.float32)
+    if vs is None:
+        vs = jnp.ones((e, 1), jnp.float32)
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                            (e,))[:, None]
+    # lane->sublane flattening is not a supported in-kernel shape cast:
+    # pre-flatten q on the host (one tiny relayout per step)
+    qf = q.reshape(e * dk, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_selector_kernel, rows=rows, quant_k=quant_k,
+                          quant_v=quant_v, force_f32=_interpret()),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 1), lambda i: (i, 0)),      # lengths
+            pl.BlockSpec((rows * dk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((rows, dk, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, ks.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((rows, dv, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, vs.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows * dv, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((e * dv, 1), q.dtype),
+        interpret=_interpret(),
+    )(lens, qf, kt, ks, vt, vs)
+    return out.reshape(e, dv)
+
+
+def _blockdiag_kernel(lens_ref, q_ref, kt_ref, ks_ref, v_ref, vs_ref, o_ref,
+                      *, rows: int, quant_k: bool, quant_v: bool,
+                      force_f32: bool):
+    """Batched ragged matvecs as block-diagonal MXU matmuls.
+
+    Per-row decode attention is a matvec (M=1 starves the MXU). Build a
+    block-diagonal Q matrix by lane-TILING q (R, dk) -> (R, R*dk) and masking
+    off-diagonal segments (cheap VPU), then ONE (R, R*dk) @ (R*dk, S) dot
+    computes every row's scores with the MXU doing the segment reduction.
+    Same trick for PV: probs are lane-tiled to (R, R*S) block-diagonal form
+    and hit V (R*S, dv) in one dot. R x redundant MXU MACs — irrelevant,
+    the kernel is DMA-bound. int8 caches are cast bf16 on VMEM tiles only
+    (XLA's batched-matvec path materializes a bf16 HBM copy instead); no
+    VPU lane reductions anywhere."""
+    R = rows
+    _, dk, S = kt_ref.shape
+    dv = v_ref.shape[2]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    lens = lens_ref[:]                                    # (R, 1) int32
+
+    q = q_ref[:].astype(cdt)                              # (R, dk)
+    q_tiled = jnp.concatenate([q] * R, axis=1)            # (R, R*dk)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0)
+    q_bd = jnp.where(seg == row, q_tiled, 0)
+    ktf = kt_ref[:].reshape(R * dk, S).astype(cdt)
+    s = jax.lax.dot_general(q_bd, ktf, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (R, S)
+    if quant_k:
+        s = s * ks_ref[:]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    s = jnp.where(pos < lens, s, NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    if quant_v:
+        p = p * vs_ref[:]
+    p = p.astype(cdt)
+
+    p_tiled = jnp.concatenate([p] * R, axis=1)            # (R, R*S)
+    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * S), 1) // S
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * S), 0)
+    p_bd = jnp.where(seg2 == row2, p_tiled, 0)
+    vf = v_ref[:].reshape(R * S, dv).astype(cdt)
+    out = jax.lax.dot_general(p_bd, vf, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def decode_attention_blockdiag(q: jax.Array, kt: jax.Array,
+                               ks: Optional[jax.Array], v: jax.Array,
+                               vs: Optional[jax.Array], length: jax.Array, *,
+                               rows_per_program: Optional[int] = None
+                               ) -> jax.Array:
+    """Block-diagonal-matmul decode attention (see _blockdiag_kernel). Same
+    contract as decode_attention_fused."""
+    e, dk = q.shape
+    _, s_len, dv = v.shape
+    assert kt.shape == (e, dk, s_len)
+    if rows_per_program is None:
+        # V block (rows*S, dv) is the VMEM budget driver; target <= ~2MB
+        rows_per_program = max(1, min(32, (2 << 20) // max(s_len * dv, 1)))
+    rows = rows_per_program
+    while e % rows != 0:
+        rows //= 2
+    grid = (e // rows,)
+    quant_k, quant_v = ks is not None, vs is not None
+    if ks is None:
+        ks = jnp.ones((e, 1), jnp.float32)
+    if vs is None:
+        vs = jnp.ones((e, 1), jnp.float32)
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                            (e,))[:, None]
+
+    return pl.pallas_call(
+        functools.partial(_blockdiag_kernel, rows=rows, quant_k=quant_k,
+                          quant_v=quant_v, force_f32=_interpret()),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 1), lambda i: (i, 0)),      # lengths
+            pl.BlockSpec((rows, dk), lambda i: (i, 0)),
+            pl.BlockSpec((rows, dk, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, ks.shape[1]), lambda i: (i, 0)),
+            pl.BlockSpec((rows, s_len, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, vs.shape[1]), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, dv), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        interpret=_interpret(),
+    )(lens, q, kt, ks, v, vs)
 
 
 def decode_attention(q, kt, ks, v, vs, length, *, use_pallas: bool = False):

@@ -48,7 +48,9 @@ def cache_specs(cache: bp.BackpackCache) -> bp.BackpackCache:
         content=P("data", None, None),
         length=P("data") if cache.length.ndim else P(),
         content_scale=(P("data", None)
-                       if cache.content_scale is not None else None))
+                       if cache.content_scale is not None else None),
+        ctx_k_scale=(P("data", None)
+                     if cache.ctx_k_scale is not None else None))
 
 
 def cache_shardings(cache: bp.BackpackCache, mesh: Mesh) -> Any:

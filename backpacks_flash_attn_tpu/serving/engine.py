@@ -70,6 +70,13 @@ class ServingEngine:
         self.cache_dtype = cache_dtype
         self.cache = bp.init_backpack_cache(cfg, max_slots, max_seqlen,
                                             dtype=cache_dtype, per_slot=True)
+        # host-side per-slot positions: the engine picks a static `window`
+        # length bucket per dispatch (decode reads only a cache prefix) —
+        # device lengths would cost a fetch round-trip per step
+        self.host_lengths = np.zeros((max_slots,), np.int64)
+        self.window_buckets = sorted({min(b, max_seqlen) for b in
+                                      (128, 256, 384, max_seqlen)
+                                      if b <= max_seqlen} | {max_seqlen})
         self.tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self.temps = np.zeros((max_slots,), np.float32)   # 0 = greedy
         self.sense_weights = np.ones((max_slots, cfg.num_senses), np.float32)
@@ -89,9 +96,8 @@ class ServingEngine:
         self._prompts: Dict[int, np.ndarray] = {}
         self._results: Dict[int, RequestResult] = {}
         self._jit_prefill = {}
-        self._jit_step = None
-        self._jit_step_weighted = None
-        self._jit_step_controlled = None
+        self._jit_steps = {}        # keyed (weighted, window)
+        self._jit_steps_controlled = {}   # keyed window
 
     # ------------------------------------------------------------ submit
 
@@ -151,15 +157,28 @@ class ServingEngine:
             self._jit_prefill[key] = jax.jit(prefill)
         return self._jit_prefill[key]
 
-    def _step_fn(self, weighted: bool):
-        attr = "_jit_step_weighted" if weighted else "_jit_step"
-        if getattr(self, attr) is None:
+    def _window(self) -> int:
+        """Smallest length bucket covering every active slot after this
+        step (host-tracked positions; no device fetch)."""
+        active = [self.host_lengths[sl] for sl in range(self.max_slots)
+                  if self.sched.slot_active(sl)]
+        need = (max(active) if active else 0) + 1
+        for b in self.window_buckets:
+            if b >= need:
+                return b
+        return self.max_seqlen
+
+    def _step_fn(self, weighted: bool, window: int):
+        key = (weighted, window)
+        if key not in self._jit_steps:
             cfg, use_flash = self.cfg, self.use_flash
+            win = None if window >= self.max_seqlen else window
 
             def step(params, toks, cache, temps, rng, weights):
                 kw = {"sense_weights": weights} if weighted else {}
                 logits, cache = bp.backpack_forward_with_cache(
-                    params, cfg, toks, cache, use_flash=use_flash, **kw)
+                    params, cfg, toks, cache, use_flash=use_flash,
+                    window=win, **kw)
                 last = logits[:, -1]
                 greedy = jnp.argmax(last, -1)
                 sampled = jax.random.categorical(
@@ -167,14 +186,15 @@ class ServingEngine:
                 nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
                 return nxt[:, None], cache
 
-            setattr(self, attr, jax.jit(step, donate_argnums=(2,)))
-        return getattr(self, attr)
+            self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
+        return self._jit_steps[key]
 
-    def _ctl_step_fn(self):
-        if self._jit_step_controlled is None:
+    def _ctl_step_fn(self, window: int):
+        if window not in self._jit_steps_controlled:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
             ann = self.annealing_scale
+            win = None if window >= self.max_seqlen else window
 
             def step(params, toks, cache, istate, temps, rng, req_w, cmask,
                      table):
@@ -185,7 +205,7 @@ class ServingEngine:
                 w = w * req_w[:, None, :]
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, toks, cache, use_flash=use_flash,
-                    sense_weights=w)
+                    sense_weights=w, window=win)
                 last = logits[:, -1]
                 greedy = jnp.argmax(last, -1)
                 sampled = jax.random.categorical(
@@ -193,8 +213,9 @@ class ServingEngine:
                 nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
                 return nxt[:, None], cache, istate
 
-            self._jit_step_controlled = jax.jit(step, donate_argnums=(2, 3))
-        return self._jit_step_controlled
+            self._jit_steps_controlled[window] = jax.jit(
+                step, donate_argnums=(2, 3))
+        return self._jit_steps_controlled[window]
 
     def _admit_all(self) -> List[int]:
         admitted = []
@@ -222,6 +243,7 @@ class ServingEngine:
                                                          small_state, slot)
                 self._uses_control = True
             self.control_mask[slot] = control
+            self.host_lengths[slot] = plen
             self.temps[slot] = temp
             self.sense_weights[slot] = w
             if sw is not None:
@@ -256,15 +278,16 @@ class ServingEngine:
         if self.sched.num_active == 0:
             return []
         self._rng, sub = jax.random.split(self._rng)
+        window = self._window()
         if self._uses_control:
-            step = self._ctl_step_fn()
+            step = self._ctl_step_fn(window)
             self.tokens, self.cache, self.istate = step(
                 self.params, self.tokens, self.cache, self.istate,
                 jnp.asarray(self.temps), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask), self.control_table)
         else:
-            step = self._step_fn(self._uses_weights)
+            step = self._step_fn(self._uses_weights, window)
             self.tokens, self.cache = step(
                 self.params, self.tokens, self.cache,
                 jnp.asarray(self.temps), sub,
@@ -274,6 +297,7 @@ class ServingEngine:
         for slot in range(self.max_slots):
             if not self.sched.slot_active(slot):
                 continue
+            self.host_lengths[slot] += 1
             rid = self.sched.slot_request(slot)
             finished = self.sched.on_token(slot, int(toks[slot]))
             out.append((rid, int(toks[slot]), finished))

@@ -5,10 +5,14 @@ Prints ONE JSON line:
    "unit": "tokens/s/chip", "vs_baseline": <int8 tps / bf16 tps>}
 
 The baseline is this framework's own bf16 decode on the same chip — the
-BASELINE.md target is >= 2x bf16 tokens/s/chip at INT8. The decode loop is a
-single jitted lax.scan so dispatch overhead is excluded (like serving).
+BASELINE.md target is >= 2x bf16 tokens/s/chip at INT8. The decode loop is
+jitted lax.scan segments (dispatch overhead excluded, like serving) with
+static `window` length buckets that grow with the sequence position — decode
+reads only the valid cache prefix (the serving engine drives the same knob
+host-side per step batch).
 """
 
+import functools
 import json
 import time
 
@@ -23,17 +27,31 @@ BATCH = 128
 PROMPT = 32
 STEPS = 448
 MAX_LEN = 512
+# (n_steps, window) segments: positions 32..480 decoded under the smallest
+# 128-multiple window that covers them
+SEGMENTS = [(128 - PROMPT, 128), (128, 256), (128, 384), (96, 512)]
+assert sum(n for n, _ in SEGMENTS) == STEPS
 
 
-def decode_loop(cfg, params, cache, token, n_steps):
-    def body(carry, _):
+def make_loop(cfg, n_steps, window):
+    # params ride as jit ARGUMENTS: closure-captured params inline ~170MB of
+    # constants into the HLO and wedge the remote compiler.
+    def body(params, carry, _):
         token, cache = carry
-        logits, cache = bp.backpack_forward_with_cache(params, cfg, token, cache)
+        logits, cache = bp.backpack_forward_with_cache(params, cfg, token,
+                                                       cache, window=window)
         nxt = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
         return (nxt, cache), ()
 
-    (token, cache), _ = jax.lax.scan(body, (token, cache), None, length=n_steps)
-    return token, cache
+    def run(params, cache, token):
+        (token, cache), _ = jax.lax.scan(functools.partial(body, params),
+                                         (token, cache), None,
+                                         length=n_steps)
+        return token, cache
+
+    # donate the incoming cache: segment boundaries would otherwise hold
+    # two live 4.3GB bf16 cache copies per hop (OOM at batch 128 bf16)
+    return jax.jit(run, donate_argnums=(1,))
 
 
 def measure(cfg, params, cache_dtype) -> float:
@@ -46,16 +64,24 @@ def measure(cfg, params, cache_dtype) -> float:
 
     import numpy as np
 
-    run = jax.jit(lambda p, c, t: decode_loop(cfg, p, c, t, STEPS)[0])
+    loops = [make_loop(cfg, n, w) for n, w in SEGMENTS]
+    copy_cache = jax.jit(lambda c: jax.tree.map(jnp.copy, c))
+
+    def run_all(cache, token):
+        cache = copy_cache(cache)   # reps restart from the prefilled cache
+        for f in loops:
+            token, cache = f(params, cache, token)
+        return token
+
     # Force a device->host fetch each rep: block_until_ready through the
     # remote-TPU tunnel can ACK before execution completes. Take the BEST of
     # several reps — the tunnel adds 30-60ms RTT spikes that would otherwise
     # pollute the mean — and enough steps per rep to amortize the RTT.
-    _ = np.asarray(run(params, cache, token))   # compile + warm
+    _ = np.asarray(run_all(cache, token))   # compile + warm
     best = float("inf")
     for _ in range(5):
         t0 = time.time()
-        _ = np.asarray(run(params, cache, token))
+        _ = np.asarray(run_all(cache, token))
         best = min(best, time.time() - t0)
     return BATCH * STEPS / best
 
@@ -76,7 +102,8 @@ def main():
         "unit": "tokens/s/chip",
         "vs_baseline": round(int8_tps / bf16_tps, 3),
         "detail": {"bf16_tokens_per_s": round(bf16_tps, 1),
-                   "batch": BATCH, "steps": STEPS, "max_len": MAX_LEN},
+                   "batch": BATCH, "steps": STEPS, "max_len": MAX_LEN,
+                   "windows": [w for _, w in SEGMENTS]},
     }))
 
 

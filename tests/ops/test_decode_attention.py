@@ -99,3 +99,52 @@ def test_gathered_matches_reference(quant):
     got, want = np.asarray(got), np.asarray(want)
     assert np.abs(got[0]).max() == 0.0          # zero-length row
     np.testing.assert_allclose(got[1:], want[1:], atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_selector_matches_reference(quant):
+    """Block-diagonal selector formulation vs the fp32 reference."""
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_selector, decode_attention_ref)
+    rng = np.random.default_rng(9)
+    e, dk, S, dv = 16, 64, 256, 128
+    q = jnp.asarray(rng.normal(size=(e, dk)).astype(np.float32))
+    if quant:
+        kt = jnp.asarray(rng.integers(-127, 127, (e, dk, S)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (e, S, dv)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (e, S)).astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (e, S)).astype(np.float32))
+    else:
+        kt = jnp.asarray(rng.normal(size=(e, dk, S)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(e, S, dv)).astype(np.float32))
+        ks = vs = None
+    lens = jnp.asarray(rng.integers(1, S + 1, (e,)), jnp.int32)
+    got = decode_attention_selector(q, kt, ks, v, vs, lens)
+    want = decode_attention_ref(q, kt, ks, v, vs, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_blockdiag_matches_reference(quant):
+    """Block-diagonal-matmul formulation vs the fp32 reference."""
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_blockdiag, decode_attention_ref)
+    rng = np.random.default_rng(11)
+    e, dk, S, dv = 16, 64, 256, 128
+    q = jnp.asarray(rng.normal(size=(e, dk)).astype(np.float32))
+    if quant:
+        kt = jnp.asarray(rng.integers(-127, 127, (e, dk, S)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (e, S, dv)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (e, S)).astype(np.float32))
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (e, S)).astype(np.float32))
+    else:
+        kt = jnp.asarray(rng.normal(size=(e, dk, S)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(e, S, dv)).astype(np.float32))
+        ks = vs = None
+    lens = jnp.asarray(rng.integers(1, S + 1, (e,)), jnp.int32)
+    got = decode_attention_blockdiag(q, kt, ks, v, vs, lens,
+                                     rows_per_program=8)
+    want = decode_attention_ref(q, kt, ks, v, vs, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)

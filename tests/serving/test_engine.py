@@ -167,3 +167,23 @@ def test_engine_annealed_control_matches_generate_weighted(setup):
 
     # the controlled output must actually differ from uncontrolled decoding
     assert res[r_ctl].tokens != _direct_greedy(cfg, params, prompt_ctl, n)
+
+
+def test_window_bucketing_matches_full_window():
+    """The engine's host-picked length buckets must not change results:
+    same requests on a bucketing engine and a full-window-only engine
+    produce identical tokens (greedy)."""
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    outs = []
+    for buckets in (None, "full"):
+        eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=256,
+                            cache_dtype=jnp.float32, eos_id=-1, seed=7)
+        assert eng.window_buckets == [128, 256]
+        if buckets == "full":
+            eng.window_buckets = [256]
+        r1 = eng.submit(list(range(1, 9)), max_new_tokens=12)
+        r2 = eng.submit(list(range(30, 50)), max_new_tokens=12)
+        res = eng.run()
+        outs.append((res[r1].tokens, res[r2].tokens))
+    assert outs[0] == outs[1]
