@@ -81,7 +81,12 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
     # q arrives pre-scaled (softmax scale may be a traced per-layer value,
     # which a Pallas kernel cannot close over).
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)          # (block_q, d)
+    # bf16 inputs run bf16 MXU dots with f32 accumulation (f32 operands were
+    # 4x slower on the MXU and dominated the training step); f32 inputs keep
+    # f32 math for the exactness oracles and interpret mode.
+    cdt = (jnp.float32 if _interpret() or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    q = q_ref[0, 0].astype(cdt)                  # (block_q, d)
     seq_len = lens_ref[pl.program_id(0)]
     # per-sequence query offset: row i of this call sits at absolute position
     # q_off + i (chunked prefill continuing a cache at a nonzero offset)
@@ -102,7 +107,7 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
 
     def compute(j, carry):
         o_acc, m_prev, l_prev = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         v = v_ref[0, 0, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -535,7 +540,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     dropout_rng: Optional[jax.Array] = None,
                     q_offsets: Optional[jax.Array] = None,
                     attn_bias: Optional[jax.Array] = None,
-                    block_q: int = 256, block_k: int = 512) -> jax.Array:
+                    block_q: int = 512, block_k: int = 512) -> jax.Array:
     """FlashAttention forward (differentiable).
 
     attn_bias: additive score bias (b|1, h|1, sq, sk), e.g. ALiBi slopes or
@@ -603,11 +608,14 @@ def _blocksparse_gathered_kernel(lens_ref, tbl_ref, cnt_ref, q_ref, k_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    cdt = (jnp.float32 if _interpret() or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+
     @pl.when(ji < cnt)
     def _():
         kb = tbl_ref[qi, ji]
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0].astype(cdt)
+        k = k_ref[0, 0].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         q_pos = qi * block_q + jax.lax.broadcasted_iota(
