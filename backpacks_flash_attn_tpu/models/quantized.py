@@ -52,9 +52,16 @@ def _quantize_linear_tree(tree, bits: int, group_size: Optional[int]):
 
 def quantize_gpt_params(params: Params, cfg: GPTConfig, *, bits: int = 8,
                         group_size: Optional[int] = None,
+                        head_bits: Optional[int] = None,
                         act_dtype=jnp.bfloat16) -> Params:
     """Quantize a GPT param tree. Layer norms stay fp32; embeddings go INT8
-    per-row; lm_head becomes an explicit quantized (d, V) kernel."""
+    per-row; lm_head becomes an explicit quantized (d, V) kernel.
+
+    head_bits: precision of the tied lm_head projection. Defaults to
+    max(bits, 8): logits read the tied embedding directly, and INT4 there
+    costs +1.5 ppl while INT4 everywhere else is ~free (measured ablation
+    on a trained backpack-micro; the head is ~29M of 170M params)."""
+    head_bits = head_bits if head_bits is not None else max(bits, 8)
     out: Params = {
         "wte": quantize_embedding_rows(params["wte"]),
         "ln_0": jax.tree.map(lambda x: x.astype(jnp.float32), params["ln_0"]),
@@ -62,7 +69,7 @@ def quantize_gpt_params(params: Params, cfg: GPTConfig, *, bits: int = 8,
             {k: v for k, v in params["layers"].items()
              if k in ("Wqkv", "out_proj", "mlp")}, bits, group_size),
         "lm_head": quant.quantize_weight(
-            params["wte"].T.astype(jnp.float32), bits, group_size),
+            params["wte"].T.astype(jnp.float32), head_bits, group_size),
     }
     for norm in ("norm1", "norm2"):
         out["layers"][norm] = jax.tree.map(
@@ -76,10 +83,13 @@ def quantize_backpack_params(params: Params, cfg: BackpackConfig, *,
                              bits: int = 8,
                              group_size: Optional[int] = None,
                              sense_bits: Optional[int] = None,
+                             head_bits: Optional[int] = None,
                              precompute_sense_table: bool = True,
                              act_dtype=jnp.bfloat16) -> Params:
     """Quantize a Backpack param tree for inference.
 
+    head_bits: tied lm_head precision, default max(bits, 8) — see
+    quantize_gpt_params.
     sense_bits: bits for the precomputed sense table (defaults to `bits`).
     When precompute_sense_table is set, content_forward becomes a pure gather
     of quantized senses (per-token-per-sense scales — the INT4 quality
@@ -88,7 +98,8 @@ def quantize_backpack_params(params: Params, cfg: BackpackConfig, *,
     sense_bits = sense_bits if sense_bits is not None else bits
     out: Params = {
         "gpt": quantize_gpt_params(params["gpt"], cfg, bits=bits,
-                                   group_size=group_size, act_dtype=act_dtype),
+                                   group_size=group_size,
+                                   head_bits=head_bits, act_dtype=act_dtype),
         "ctx_attn": _quantize_linear_tree(params["ctx_attn"], bits, group_size),
         "content": {
             "ln_0": jax.tree.map(lambda x: x.astype(jnp.float32),

@@ -61,6 +61,10 @@ def _unflatten_into(treedef_example, flat: Dict[str, np.ndarray]):
             raise KeyError(f"checkpoint missing leaf {key!r}")
         arr = flat[key]
         if hasattr(example, "dtype"):
+            if arr.dtype.kind == "V":
+                # npz stores ml_dtypes extension types (bfloat16, ...) as
+                # raw void bytes: reinterpret against the template dtype
+                arr = arr.view(np.dtype(example.dtype))
             arr = arr.astype(example.dtype)
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)

@@ -189,13 +189,14 @@ def run(rc: RunConfig) -> Dict[str, Any]:
                       keep_last=rc.keep_last)
     from ..eval.perplexity import evaluate_perplexity
     eval_params = ema.shadow if ema is not None else state.params
-    fwd = ((lambda x: bp_lib.backpack_forward(eval_params, cfg, x,
-                                              use_flash=rc.use_flash))
+    fwd = ((lambda p, x: bp_lib.backpack_forward(p, cfg, x,
+                                                 use_flash=rc.use_flash))
            if kind == "backpack" else
-           (lambda x: gpt_lib.gpt_lm_forward(eval_params, cfg, x,
-                                             use_flash=rc.use_flash)))
+           (lambda p, x: gpt_lib.gpt_lm_forward(p, cfg, x,
+                                                use_flash=rc.use_flash)))
     val = evaluate_perplexity(fwd, val_tokens, rc.seqlen,
-                              min(rc.batch_size, 4), max_batches=50)
+                              min(rc.batch_size, 4), max_batches=50,
+                              params=eval_params)
     logger.log(steps, {f"val/{k}": v for k, v in val.items()})
     logger.close()
     return {"final_metrics": {k: float(v) for k, v in metrics.items()},

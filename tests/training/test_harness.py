@@ -191,3 +191,17 @@ def test_remat_matches_no_remat():
             np.testing.assert_allclose(float(loss), want_loss, rtol=1e-6)
             np.testing.assert_allclose(float(optax.global_norm(grads)),
                                        want_gn, rtol=1e-5)
+
+
+def test_checkpoint_roundtrip_bfloat16(tmp_path):
+    """bf16 leaves survive the npz roundtrip (np.savez stores ml_dtypes
+    extension types as raw void bytes; restore must reinterpret them)."""
+    from backpacks_flash_attn_tpu.training import checkpoint as ck
+    state = {"w": jnp.arange(8, dtype=jnp.float32).astype(jnp.bfloat16),
+             "b": jnp.ones((3,), jnp.float32), "n": jnp.int32(7)}
+    ck.save(str(tmp_path), state, step=5)
+    restored, step, _ = ck.restore(ck.latest_checkpoint(str(tmp_path)), state)
+    assert step == 5
+    assert restored["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(restored["w"], np.float32),
+                                  np.arange(8, dtype=np.float32))
