@@ -347,7 +347,8 @@ def advance_weighted_state(params: Params, cfg: BackpackConfig,
                            content_weights: jax.Array, *,
                            anneal: bool = True, annealing_scale: float = 0.1,
                            upweight_nearby: bool = True,
-                           token_mask: Optional[jax.Array] = None
+                           token_mask: Optional[jax.Array] = None,
+                           window: Optional[int] = None
                            ) -> Tuple[WeightedDecodeState, jax.Array]:
     """Advance the annealing statistics for the incoming tokens and return
     (state', weights (b, max_s, nv)) — the state update half of

@@ -200,7 +200,7 @@ class ServingEngine:
                      table):
                 istate, w = iv.advance_weighted_state(
                     params, cfg, toks, cache, istate, table, anneal=True,
-                    annealing_scale=ann)
+                    annealing_scale=ann, window=win)
                 w = jnp.where(cmask[:, None, None], w, 1.0)
                 w = w * req_w[:, None, :]
                 logits, cache = bp.backpack_forward_with_cache(

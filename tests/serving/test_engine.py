@@ -172,18 +172,23 @@ def test_engine_annealed_control_matches_generate_weighted(setup):
 def test_window_bucketing_matches_full_window():
     """The engine's host-picked length buckets must not change results:
     same requests on a bucketing engine and a full-window-only engine
-    produce identical tokens (greedy)."""
+    produce identical tokens (greedy), including a controlled (annealed
+    topic-control) request whose state advance is also windowed."""
     cfg = backpack_test()
     params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    table = np.ones((cfg.padded_vocab_size, cfg.num_senses), np.float32)
+    table[5] = 3.0
     outs = []
     for buckets in (None, "full"):
         eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=256,
-                            cache_dtype=jnp.float32, eos_id=-1, seed=7)
+                            cache_dtype=jnp.float32, eos_id=-1, seed=7,
+                            control_table=table)
         assert eng.window_buckets == [128, 256]
         if buckets == "full":
             eng.window_buckets = [256]
         r1 = eng.submit(list(range(1, 9)), max_new_tokens=12)
         r2 = eng.submit(list(range(30, 50)), max_new_tokens=12)
+        r3 = eng.submit([5, 6, 7], max_new_tokens=10, control=True)
         res = eng.run()
-        outs.append((res[r1].tokens, res[r2].tokens))
+        outs.append((res[r1].tokens, res[r2].tokens, res[r3].tokens))
     assert outs[0] == outs[1]
