@@ -19,7 +19,7 @@ Components:
     step (training/src/utils/generation.py — O(t^2) per token). Here decode is
     incremental: GPT KV cache + a cached contextualization K + cached per-token
     senses, computing only the new alpha row each step. Token-for-token parity
-    with the full recompute is enforced by tests/models/test_backpack_decode.py.
+    with the full recompute is enforced by tests/models/test_backpack.py.
 """
 
 from __future__ import annotations
@@ -86,9 +86,10 @@ def context_qk(params: Params, cfg: BackpackConfig,
 def contextualization(params: Params, cfg: BackpackConfig,
                       hidden: jax.Array) -> jax.Array:
     """alpha = causal softmax over nv-headed scores, materialized (b, nv, s, s)
-    (reference: backpack.py:117-122). The fused Pallas path in
-    ops/backpack_kernels.py avoids materializing this for the combined
-    alpha @ content contraction."""
+    (reference: backpack.py:117-122). Training/prefill forwards use the fused
+    Pallas kernel (ops/backpack_kernels.fused_contextualization) instead, which
+    never materializes alpha; this einsum form remains the oracle and the
+    return_parts path."""
     q, k = context_qk(params, cfg, hidden)
     scale = cfg.sense_head_dim ** -0.5
     scores = jnp.einsum("bthd,bshd->bhts", q, k * scale,
@@ -102,9 +103,14 @@ def contextualization(params: Params, cfg: BackpackConfig,
 
 def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                     *, train: bool = False,
-                    rng: Optional[jax.Array] = None) -> jax.Array:
+                    rng: Optional[jax.Array] = None,
+                    embedded: Optional[jax.Array] = None) -> jax.Array:
     """Sense network C(x): (b, s) -> (b, s, nv, d). Strictly per-token — no
-    position embeddings, no mixing (reference: backpack.py:251-276)."""
+    position embeddings, no mixing (reference: backpack.py:251-276).
+
+    embedded: optional pre-gathered wte rows (b, s, d) — the TP decode path
+    (parallel/tp_decode.py) psums its vocab-sharded embedding once and reuses
+    it here instead of re-gathering."""
     b, s = input_ids.shape
     cp = params["content"]
     if "table" in cp:
@@ -122,30 +128,44 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
         if scales.shape[-1] not in (1, d):
             scales = jnp.repeat(scales, d // scales.shape[-1], axis=-1)
         return (rows.astype(jnp.float32) * scales).astype(jnp.bfloat16)
-    hidden = gpt_lib.take_embedding(params["gpt"]["wte"], input_ids)
-    r_emb, r_blk = (jax.random.split(rng) if rng is not None else (None, None))
+    hidden = (embedded if embedded is not None
+              else gpt_lib.take_embedding(params["gpt"]["wte"], input_ids))
+    n_blocks = jax.tree.leaves(cp["blocks"])[0].shape[0]
+    if rng is not None:
+        r_emb, r_rest = jax.random.split(rng)
+        # independent masks per dropout site per block (the GPT stack splits
+        # its rngs the same way, gpt._block)
+        blk_rngs = jax.random.split(r_rest, (n_blocks, 2))
+    else:
+        r_emb, blk_rngs = None, None
     hidden, residual = norms.dropout_add_layer_norm(
         hidden, None, cp["ln_0"]["weight"], cp["ln_0"]["bias"],
         cfg.embd_pdrop, cfg.layer_norm_epsilon, rng=r_emb,
         deterministic=not train)
 
-    def scan_body(carry, blk):
+    def scan_body(carry, xs):
         hidden, residual = carry
+        if blk_rngs is not None:
+            blk, rngs = xs
+            r1, r2 = rngs[0], rngs[1]
+        else:
+            blk, r1, r2 = xs, None, None
         # No-mix block: the Identity mixer still feeds `hidden` into the
         # residual stream (reference Block.forward with mixer=Identity,
         # modules/block.py:70-106 + backpack.py:125-135).
         hidden, residual = norms.dropout_add_layer_norm(
             hidden, residual, blk["norm1"]["weight"], blk["norm1"]["bias"],
-            cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r_blk,
+            cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r1,
             deterministic=not train)
         mlp_out = dense.mlp(hidden, blk["mlp"], cfg.activation)
         hidden, residual = norms.dropout_add_layer_norm(
             mlp_out, residual, blk["norm2"]["weight"], blk["norm2"]["bias"],
-            cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r_blk,
+            cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r2,
             deterministic=not train)
         return (hidden, residual), None
 
-    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), cp["blocks"])
+    xs = (cp["blocks"], blk_rngs) if blk_rngs is not None else cp["blocks"]
+    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs)
     senses = dense.mlp(hidden, cp["final_mlp"], cfg.activation)
     return senses.reshape(b, s, cfg.num_senses, cfg.n_embd)
 
@@ -216,23 +236,43 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
             content = content * sense_weights[..., None].astype(content.dtype)
 
     # out[b,t,d] = sum_k alpha[b,k,t,j] content[b,j,k,d]  (backpack.py:313)
-    def combine(ctx_params, contextl, content):
-        a = contextualization(ctx_params, cfg, contextl)      # (b, nv, s, s)
-        return jnp.einsum("bkts,bskd->btd", a, content,
-                          preferred_element_type=jnp.float32
-                          ).astype(contextl.dtype)
+    if use_flash and not return_parts:
+        # fused Pallas path: qk scores -> causal softmax -> alpha @ content
+        # in one pass per sense head; alpha (b, nv, s, s) never exists
+        # (SURVEY.md §7.2 Phase 3). The einsum below remains the oracle
+        # (tests/ops/test_backpack_kernels.py) and the return_parts path.
+        from ..ops.backpack_kernels import fused_contextualization
+        q, ctx_k = context_qk(params, cfg, contextl)
+        scale = cfg.sense_head_dim ** -0.5
 
-    if remat and not return_parts:
-        # alpha never escapes the checkpoint: it is recomputed in the bwd
-        # instead of being saved (0.5GB at batch 32 for backpack-small)
+        def fn(q, k, c):
+            return fused_contextualization(q, k, c, scale)
+
+        if remat:
+            # drop even the (b, nv, s, d) per-head outputs: recompute the
+            # forward kernel during the backward instead of saving them
+            fn = jax.checkpoint(fn)
         alpha = None
-        outputs = jax.checkpoint(combine)({"ctx_attn": params["ctx_attn"]},
-                                          contextl, content)
+        outputs = fn(q, ctx_k, content).astype(contextl.dtype)
     else:
-        alpha = contextualization(params, cfg, contextl)
-        outputs = jnp.einsum("bkts,bskd->btd", alpha, content,
-                             preferred_element_type=jnp.float32
-                             ).astype(contextl.dtype)
+
+        def combine(ctx_params, contextl, content):
+            a = contextualization(ctx_params, cfg, contextl)  # (b, nv, s, s)
+            return jnp.einsum("bkts,bskd->btd", a, content,
+                              preferred_element_type=jnp.float32
+                              ).astype(contextl.dtype)
+
+        if remat and not return_parts:
+            # alpha never escapes the checkpoint: it is recomputed in the bwd
+            # instead of being saved
+            alpha = None
+            outputs = jax.checkpoint(combine)({"ctx_attn": params["ctx_attn"]},
+                                              contextl, content)
+        else:
+            alpha = contextualization(params, cfg, contextl)
+            outputs = jnp.einsum("bkts,bskd->btd", alpha, content,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(contextl.dtype)
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
     if return_parts:
         return logits, {"alpha": alpha, "content": content,
@@ -337,7 +377,8 @@ def backpack_forward_with_cache(
     sense_weights: Optional[jax.Array] = None,
     sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
     window: Optional[int] = None,
-) -> Tuple[jax.Array, BackpackCache]:
+    return_ctx_q: bool = False,
+):
     """Run `input_ids` (prefill s>1 at length 0, or decode s==1) through the
     incremental path. Returns logits (b, s, vocab) for the new tokens and the
     updated cache. This replaces the reference's full-prefix recompute decode
@@ -345,6 +386,10 @@ def backpack_forward_with_cache(
 
     window: STATIC length bucket (see gpt.gpt_forward_with_cache) — decode
     reads only the first `window` columns of every cache.
+    return_ctx_q: also return the contextualization query q (b, s, nv, dnv)
+    of the new tokens — the hook the incremental negative-weighted decode
+    uses to rebuild its alpha row against the ctx_k cache
+    (models/interventions.negative_decode_step).
     """
     b, s = input_ids.shape
     offset = cache.length
@@ -464,6 +509,9 @@ def backpack_forward_with_cache(
                              preferred_element_type=jnp.float32
                              ).astype(contextl.dtype)
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
-    return logits, BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
-                                 length=new_len, content_scale=content_scale,
-                                 ctx_k_scale=ctx_k_scale)
+    new_cache = BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
+                              length=new_len, content_scale=content_scale,
+                              ctx_k_scale=ctx_k_scale)
+    if return_ctx_q:
+        return logits, new_cache, q
+    return logits, new_cache

@@ -1,0 +1,87 @@
+"""Fused contextualization kernel vs the O(s^2) einsum oracle.
+
+Mirrors the reference's kernel test pattern (tests/test_flash_attn.py in
+/root/reference: kernel output/grads within a small multiple of the fp32
+reference's own fp16 error)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.ops.backpack_kernels import (
+    contextualization_reference, fused_contextualization)
+
+
+def _rand(rng, shape, dtype):
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+@pytest.mark.parametrize("s,nv,dnv,d,block", [
+    (128, 4, 16, 64, 128),     # tiny, single tile
+    (256, 3, 48, 96, 128),     # non-pow2 head dim + odd nv
+    (200, 2, 32, 64, 128),     # s not a multiple of the block
+])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_forward_matches_reference(rng, s, nv, dnv, d, block, dtype):
+    b = 2
+    q = _rand(rng, (b, s, nv, dnv), dtype)
+    k = _rand(rng, (b, s, nv, dnv), dtype)
+    c = _rand(rng, (b, s, nv, d), dtype)
+    scale = dnv ** -0.5
+    ref = contextualization_reference(q, k, c, scale).astype(jnp.float32)
+    out = fused_contextualization(q, k, c, scale, block, block
+                                  ).astype(jnp.float32)
+    tol = 2e-6 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=tol, rtol=tol)
+
+
+def test_fused_gradients_match_reference(rng):
+    b, s, nv, dnv, d = 2, 192, 3, 32, 64
+    q = _rand(rng, (b, s, nv, dnv), jnp.float32)
+    k = _rand(rng, (b, s, nv, dnv), jnp.float32)
+    c = _rand(rng, (b, s, nv, d), jnp.float32)
+    t = _rand(rng, (b, s, d), jnp.float32)
+    scale = dnv ** -0.5
+
+    def loss_fused(q, k, c):
+        return jnp.sum(fused_contextualization(q, k, c, scale, 128, 128) * t)
+
+    def loss_ref(q, k, c):
+        return jnp.sum(contextualization_reference(q, k, c, scale) * t)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, c)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, c)
+    for gf, gr, name in zip(g_fused, g_ref, ("dq", "dk", "dcontent")):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_fused_in_backpack_forward(rng):
+    """End-to-end: backpack_forward's fused path == einsum path, fwd + grad."""
+    from backpacks_flash_attn_tpu.config import BackpackConfig
+    from backpacks_flash_attn_tpu.models import backpack as bp
+
+    cfg = BackpackConfig(vocab_size=128, n_positions=64, n_embd=64, n_layer=2,
+                         n_head=4, num_senses=4, pad_vocab_size_multiple=8)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.integers(0, 128, (2, 64)))
+
+    logits_fused = bp.backpack_forward(params, cfg, ids, use_flash=True)
+    logits_ein = bp.backpack_forward(params, cfg, ids, use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits_fused),
+                               np.asarray(logits_ein), atol=2e-4, rtol=2e-4)
+
+    def loss(params, use_flash):
+        lg = bp.backpack_forward(params, cfg, ids, use_flash=use_flash)
+        return jnp.mean(jax.nn.log_softmax(lg)[..., 0] ** 2)
+
+    g_fused = jax.grad(loss)(params, True)
+    g_ein = jax.grad(loss)(params, False)
+    leaves_f = jax.tree_util.tree_leaves_with_path(g_fused)
+    leaves_e = dict(jax.tree_util.tree_leaves_with_path(g_ein))
+    for path, gf in leaves_f:
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(leaves_e[path]), atol=2e-4, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
