@@ -645,52 +645,23 @@ def _blocksparse_gathered_kernel(lens_ref, tbl_ref, cnt_ref, q_ref, k_ref,
         lse_ref[0, 0] = (m_ref[:, 0] + jnp.log(l_safe))[:, None]
 
 
-def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                                blockmask: jax.Array, *,
-                                causal: bool = True,
-                                softmax_scale: Optional[float] = None,
-                                seq_lengths: Optional[jax.Array] = None,
-                                block_q: int = 256,
-                                block_k: int = 256) -> jax.Array:
-    """Block-sparse FlashAttention (reference: fwd_block/bwd_block,
-    csrc/flash_attn/fmha_api.cpp:507,631 + flash_blocksparse_attention.py:14).
-
-    q: (b, sq, h, dh); blockmask: (ceil(sq/block_q), ceil(sk/block_k)) with 1
-    for attended tiles. Semantics are exact: masked tiles contribute nothing
-    (as if their scores were -inf), matching the reference's converted
-    blockmask (flash_blocksparse_attn_interface.py:8). Inactive tiles skip
-    the K/V DMA entirely (compacted active-block tables via scalar prefetch),
-    not just the MXU work — HBM traffic scales with density."""
-    scale = (softmax_scale if softmax_scale is not None
-             else 1.0 / math.sqrt(q.shape[-1]))
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
-    b, h, sq, d = qt.shape
-    sk = kt.shape[2]
-    block_q = min(block_q, _round_up(sq, 128))
-    block_k = min(block_k, _round_up(sk, 128))
-    d_pad = max(_round_up(d, 128), 128)
-    sq_pad = _round_up(sq, block_q)
-    sk_pad = _round_up(sk, block_k)
-    n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
-    assert blockmask.shape == (n_qb, pl.cdiv(sk, block_k)), blockmask.shape
-
-    def pad(x, s_pad):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
-                           (0, d_pad - d)))
-
-    qp, kp, vp = pad(qt, sq_pad), pad(kt, sk_pad), pad(vt, sk_pad)
-    if seq_lengths is None:
-        seq_lengths = jnp.full((b,), sk, jnp.int32)
-    seq_lengths = jnp.asarray(seq_lengths, jnp.int32)
-
-    # Compacted active-block table. Causal pre-filter: tiles fully above the
-    # diagonal are dropped here so they cost neither DMA nor a grid step's
-    # predicate evaluation with a fetched tile.
+def _bs_active(blockmask, causal, n_qb, n_kb, block_q, block_k):
+    """Active-tile mask with the causal pre-filter: tiles fully above the
+    diagonal are dropped so they cost neither DMA nor a predicated step."""
     active = blockmask.astype(bool)
     if causal:
         reach = (jnp.arange(n_qb)[:, None] + 1) * block_q  # first q_pos + bq
         active = active & (jnp.arange(n_kb)[None, :] * block_k < reach)
+    return active
+
+
+def _bs_fwd(qp, kp, vp, seq_lengths, active, sq, sk, block_q, block_k,
+            causal):
+    """Gathered blocksparse forward on pre-padded (b, h, s_pad, d_pad)
+    operands. Returns (out, lse) at padded shapes."""
+    b, h, sq_pad, d_pad = qp.shape
+    n_qb = sq_pad // block_q
+    n_kb = kp.shape[2] // block_k
     order = jnp.argsort(jnp.where(active, 0, 1) * n_kb
                         + jnp.arange(n_kb)[None, :], axis=1)
     cnt = active.sum(axis=1).astype(jnp.int32)
@@ -727,18 +698,245 @@ def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
     )
-    out, _ = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_blocksparse_gathered_kernel, block_q=block_q,
                           block_k=block_k, kv_len=sk, causal=causal,
                           n_jb=n_kb),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), qp.dtype),
             jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(seq_lengths, tbl, cnt, qp, kp, vp)
-    return jnp.swapaxes(out[:, :, :sq, :d], 1, 2)
+    return out, lse
+
+
+def _bs_bwd_dq_kernel(bmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, *, block_q: int, block_k: int,
+                      q_len: int, kv_len: int, causal: bool, n_kb: int):
+    """Blocksparse dq (reference bwd_block, csrc/flash_attn/fmha_api.cpp:631):
+    the dense recompute loop with inactive tiles' MXU work predicated off."""
+    qi = pl.program_id(2)
+    cdt = (jnp.float32 if _interpret() or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    q = q_ref[0, 0].astype(cdt)
+    do = do_ref[0, 0].astype(cdt)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    def compute(j, dq_acc):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = _bwd_mask(qi * block_q, j * block_k, block_q, block_k,
+                         q_len, kv_len, causal)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq_acc + jax.lax.dot_general(
+            ds.astype(cdt), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def body(j, acc):
+        return jax.lax.cond(bmask_ref[qi * n_kb + j] != 0,
+                            lambda a: compute(j, a), lambda a: a, acc)
+
+    num_k_blocks = n_kb
+    if causal:
+        max_k = jnp.minimum((qi + 1) * block_q, kv_len)
+        num_k_blocks = pl.cdiv(max_k, block_k)
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body,
+        jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bs_bwd_dkv_kernel(bmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, *, block_q: int,
+                       block_k: int, q_len: int, kv_len: int,
+                       n_q_blocks: int, causal: bool, n_kb: int):
+    ki = pl.program_id(2)
+    cdt = (jnp.float32 if _interpret() or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    k = k_ref[0, 0].astype(cdt)
+    v = v_ref[0, 0].astype(cdt)
+    j0 = (ki * block_k) // block_q if causal else 0
+
+    def compute(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, pl.ds(j * block_q, block_q)].astype(cdt)
+        do = do_ref[0, 0, pl.ds(j * block_q, block_q)].astype(cdt)
+        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = _bwd_mask(j * block_q, ki * block_k, block_q, block_k,
+                         q_len, kv_len, causal)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(cdt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    def body(j, carry):
+        return jax.lax.cond(bmask_ref[j * n_kb + ki] != 0,
+                            lambda c: compute(j, c), lambda c: c, carry)
+
+    d_pad = q_ref.shape[-1]
+    dk, dv = jax.lax.fori_loop(
+        j0, n_q_blocks, body,
+        (jnp.zeros((block_k, d_pad), jnp.float32),
+         jnp.zeros((block_k, d_pad), jnp.float32)))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _blocksparse_bhsd(q, k, v, bmask_f, causal, block_q, block_k):
+    out, _, _ = _bs_fwd_padded(q, k, v, bmask_f, causal, block_q, block_k)
+    return out
+
+
+def _bs_fwd_padded(q, k, v, bmask_f, causal, block_q, block_k):
+    """(b, h, s, d) operands -> padded fwd + the active mask used."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    d_pad = max(_round_up(d, 128), 128)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+    n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
+
+    def pad(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                           (0, d_pad - d)))
+
+    qp, kp, vp = pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
+    active = _bs_active(bmask_f, causal, n_qb, n_kb, block_q, block_k)
+    lens = jnp.full((b,), sk, jnp.int32)
+    out, lse = _bs_fwd(qp, kp, vp, lens, active, sq, sk, block_q, block_k,
+                       causal)
+    return out[:, :, :sq, :d], lse[:, :, :sq, 0], active
+
+
+def _bs_fwd_rule(q, k, v, bmask_f, causal, block_q, block_k):
+    out, lse, _ = _bs_fwd_padded(q, k, v, bmask_f, causal, block_q, block_k)
+    return out, (q, k, v, bmask_f, out, lse)
+
+
+def _bs_bwd_rule(causal, block_q, block_k, res, g):
+    q, k, v, bmask_f, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    d_pad = max(_round_up(d, 128), 128)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+    n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
+
+    def pad(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                           (0, d_pad - x.shape[3])))
+
+    qp, kp, vp, gp = pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad), pad(g, sq_pad)
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
+    active = _bs_active(bmask_f, causal, n_qb, n_kb, block_q, block_k)
+    bm = active.astype(jnp.int32).reshape(-1)
+
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    qspec = pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, i: (bi, hi, i, 0))
+    qfull = pl.BlockSpec((1, 1, sq_pad, d_pad), lambda bi, hi, i: (bi, hi, 0, 0))
+    kspec = pl.BlockSpec((1, 1, block_k, d_pad), lambda bi, hi, i: (bi, hi, i, 0))
+    kfull = pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, i: (bi, hi, 0, 0))
+    rblk = pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0))
+    rfull = pl.BlockSpec((1, 1, sq_pad, 1), lambda bi, hi, i: (bi, hi, 0, 0))
+    common = dict(block_q=block_q, block_k=block_k, q_len=sq, kv_len=sk,
+                  causal=causal, n_kb=n_kb)
+    dq = pl.pallas_call(
+        functools.partial(_bs_bwd_dq_kernel, **common),
+        grid=(b, h, n_qb),
+        in_specs=[sspec, qspec, kfull, kfull, qspec, rblk, rblk],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
+        interpret=_interpret(),
+    )(bm, qp, kp, vp, gp, lse_p, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bs_bwd_dkv_kernel, n_q_blocks=n_qb, **common),
+        grid=(b, h, n_kb),
+        in_specs=[sspec, qfull, kspec, kspec, qfull, rfull, rfull],
+        out_specs=[kspec, kspec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
+        interpret=_interpret(),
+    )(bm, qp, kp, vp, gp, lse_p, delta)
+    return (dq[:, :, :sq, :d], dk[:, :, :sk, :d], dv[:, :, :sk, :d],
+            jnp.zeros_like(bmask_f))
+
+
+_blocksparse_bhsd.defvjp(_bs_fwd_rule, _bs_bwd_rule)
+
+
+def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                                blockmask: jax.Array, *,
+                                causal: bool = True,
+                                softmax_scale: Optional[float] = None,
+                                seq_lengths: Optional[jax.Array] = None,
+                                block_q: int = 256,
+                                block_k: int = 256) -> jax.Array:
+    """Block-sparse FlashAttention, forward + backward (reference:
+    fwd_block/bwd_block, csrc/flash_attn/fmha_api.cpp:507,631 +
+    flash_blocksparse_attention.py:14).
+
+    q: (b, sq, h, dh); blockmask: (ceil(sq/block_q), ceil(sk/block_k)) with 1
+    for attended tiles. Semantics are exact: masked tiles contribute nothing
+    (as if their scores were -inf), matching the reference's converted
+    blockmask (flash_blocksparse_attn_interface.py:8). The forward's inactive
+    tiles skip the K/V DMA entirely (compacted active-block tables via scalar
+    prefetch), not just the MXU work — HBM traffic scales with density. The
+    backward is differentiable w.r.t. q/k/v (blocksparse training parity with
+    the reference's bwd_block): dense-layout tiled recompute kernels with
+    inactive tiles' compute predicated off. No attention dropout on the
+    blocksparse path (pass dropout_p=0 semantics; the dense kernel carries
+    dropout)."""
+    scale = (softmax_scale if softmax_scale is not None
+             else 1.0 / math.sqrt(q.shape[-1]))
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    b, h, sq, d = qt.shape
+    sk = kt.shape[2]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    n_qb = _round_up(sq, block_q) // block_q
+    assert blockmask.shape == (n_qb, pl.cdiv(sk, block_k)), blockmask.shape
+    n_kb = _round_up(sk, block_k) // block_k
+    bm = jnp.zeros((n_qb, n_kb), jnp.float32)
+    bm = bm.at[:, :blockmask.shape[1]].set(blockmask.astype(jnp.float32))
+    if seq_lengths is None:
+        out = _blocksparse_bhsd(qt, kt, vt, bm, causal, block_q, block_k)
+    else:
+        # ragged path is inference-only (same policy as flash_attention)
+        d_pad = max(_round_up(d, 128), 128)
+        sq_pad, sk_pad = n_qb * block_q, n_kb * block_k
+
+        def pad(x, s_pad):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                               (0, d_pad - d)))
+
+        active = _bs_active(bm, causal, n_qb, n_kb, block_q, block_k)
+        out, _ = _bs_fwd(pad(qt, sq_pad), pad(kt, sk_pad), pad(vt, sk_pad),
+                         jnp.asarray(seq_lengths, jnp.int32), active, sq, sk,
+                         block_q, block_k, causal)
+        out = out[:, :, :sq, :d]
+    return jnp.swapaxes(out, 1, 2)
 
 
 def flash_attention_with_lse(q, k, v, *, causal=True, softmax_scale=None,

@@ -138,3 +138,40 @@ def test_blocksparse_empty_row_and_ragged():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=3e-5, rtol=1e-4)
     assert np.abs(np.asarray(out[:, :128])).max() == 0.0  # empty q row
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_blocksparse_backward_matches_dense_masked(causal):
+    """Blocksparse grads == the dense-masked oracle's grads (the reference's
+    bwd_block capability, csrc/flash_attn/fmha_api.cpp:631)."""
+    rng = np.random.default_rng(5)
+    b, s, h, d = 1, 256, 2, 64
+    bq = bk = 128
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+               for _ in range(3))
+    t = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    blockmask = jnp.asarray([[1, 0], [1, 1]], jnp.int32)
+    scale = 1.0 / math.sqrt(d)
+
+    def loss_sparse(q, k, v):
+        out = flash_blocksparse_attention(q, k, v, blockmask, causal=causal,
+                                          block_q=bq, block_k=bk)
+        return jnp.sum(out * t)
+
+    em = np.kron(np.asarray(blockmask), np.ones((bq, bk))).astype(bool)
+    if causal:
+        em &= np.tril(np.ones((s, s), bool))
+    em = jnp.asarray(em)
+
+    def loss_dense(q, k, v):
+        scores = jnp.einsum("bthd,bshd->bhts", q * scale, k)
+        scores = jnp.where(em[None, None], scores, -1e9)
+        p = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bshd->bthd", p, v)
+        return jnp.sum(out * t)
+
+    gs = jax.grad(loss_sparse, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gs, gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
