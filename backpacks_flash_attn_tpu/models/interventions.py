@@ -405,6 +405,181 @@ def advance_weighted_state(params: Params, cfg: BackpackConfig,
                                token_ids=token_ids), weights
 
 
+class NegativeDecodeState(NamedTuple):
+    """O(t)-per-step state for negative-weighted (toxicity-removal) decode.
+
+    The full forward (negative_weighted_forward / reference
+    NegativeWeightedBackpackLMHeadModel, intervened_models.py:120-165) mixes
+    per-sense *logits*: for key position j and sense k,
+
+        mixed[k,j,v] = wcl  if wcl[k,j,v] < quantile_V(wcl[k,j,:])  else cl
+        logits[t]    = sum_k alpha[k,t,:] @ mixed[k]
+
+    with cl = C(x_j)[k] @ E^T and wcl = w[k,j] * cl. Because the annealed
+    weight w[k,j] is a positive scalar over the vocab axis, the quantile is
+    scale-equivariant: {wcl < quantile(wcl)} == {cl < quantile(cl)}. The
+    suppressed vocab set per (position, sense) is therefore
+    weight-INDEPENDENT and computable once when the token enters the cache,
+    even though w itself keeps changing as the annealing statistics grow.
+    Decomposing mixed = cl + (w-1) * cl * 1[cl < q_cl]:
+
+        logits[t] = plain_decode_logits[t]
+                    + sum_k sum_j alpha[k,t,j] (w[k,j]-1) * clneg[k,j,:]
+
+    where clneg is sparse (the bottom `quantile` of the vocab, ~2%). The
+    state caches that sparse set; each decode step costs one plain cached
+    forward + an O(t * nv * quantile*V) sparse correction instead of the
+    reference's full O(t^2) recompute with a (b, nv, s, V) logit tensor.
+
+    Exactness requires w > 0 everywhere (all the reference's published
+    weight tables are positive, e.g. test_toxicity.py modifier [8.5,1.1,1,1]).
+
+    neg_vals/neg_idx: (b, S, nv, m) — bottom-m per-sense content logits and
+    their vocab ids; thresh: (b, S, nv) — the exact jnp.quantile threshold
+    (entries with val >= thresh inside the stored window are masked out, so
+    the strict `<` of the reference is reproduced bit-for-bit)."""
+    weighted: WeightedDecodeState
+    neg_vals: jax.Array
+    neg_idx: jax.Array
+    thresh: jax.Array
+
+
+def negative_m(vocab_size: int, quantile: float) -> int:
+    """Entries strictly below a linear-interpolated quantile of n distinct
+    values: at most floor(quantile * (n-1)) + 1."""
+    return int(quantile * (vocab_size - 1)) + 1
+
+
+def init_negative_decode_state(cfg: BackpackConfig, batch: int,
+                               max_seqlen: int, *, quantile: float = 0.02
+                               ) -> NegativeDecodeState:
+    m = negative_m(cfg.padded_vocab_size, quantile)
+    return NegativeDecodeState(
+        weighted=init_weighted_decode_state(cfg, batch, max_seqlen),
+        neg_vals=jnp.zeros((batch, max_seqlen, cfg.num_senses, m),
+                           jnp.float32),
+        neg_idx=jnp.zeros((batch, max_seqlen, cfg.num_senses, m), jnp.int32),
+        thresh=jnp.zeros((batch, max_seqlen, cfg.num_senses), jnp.float32),
+    )
+
+
+def insert_negative_state_slot(big: NegativeDecodeState,
+                               small: NegativeDecodeState,
+                               slot) -> NegativeDecodeState:
+    def put(b, s):
+        start = (jnp.asarray(slot, jnp.int32),) + (0,) * (b.ndim - 1)
+        return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), start)
+    return NegativeDecodeState(
+        weighted=insert_state_slot(big.weighted, small.weighted, slot),
+        neg_vals=put(big.neg_vals, small.neg_vals),
+        neg_idx=put(big.neg_idx, small.neg_idx),
+        thresh=put(big.thresh, small.thresh))
+
+
+def negative_decode_step(params: Params, cfg: BackpackConfig,
+                         input_ids: jax.Array, cache: bp.BackpackCache,
+                         state: NegativeDecodeState,
+                         content_weights: jax.Array, *,
+                         anneal: bool = True, annealing_scale: float = 0.1,
+                         upweight_nearby: bool = True, quantile: float = 0.02,
+                         use_flash: bool = True,
+                         negative_mask: Optional[jax.Array] = None,
+                         sense_weights: Optional[jax.Array] = None,
+                         token_mask: Optional[jax.Array] = None,
+                         window: Optional[int] = None,
+                         ) -> Tuple[jax.Array, bp.BackpackCache,
+                                    NegativeDecodeState]:
+    """One prefill (s >= 1 at offset 0) or decode (s == 1) step of
+    negative-weighted generation at O(t) per step (see NegativeDecodeState;
+    parity with negative_weighted_forward is enforced by
+    tests/models/test_interventions.py).
+
+    negative_mask (b,): rows with False decode plain (per-slot mixing in the
+    serving engine). sense_weights: forwarded to the plain cached forward —
+    for OTHER slots' weighted control sharing the batch, not for the negative
+    rows themselves (the reference's negative model uses plain alpha/content,
+    intervened_models.py:128-131). token_mask (b, s): False marks bucket
+    padding (engine prefill). window: static length bucket (see
+    backpack_forward_with_cache)."""
+    b, s = input_ids.shape
+    offset = cache.length
+    vec = jnp.asarray(offset).ndim == 1
+    E = embedding_matrix(params["gpt"])
+    V = E.shape[0]
+    m = state.neg_vals.shape[-1]
+    nv, dnv = cfg.num_senses, cfg.sense_head_dim
+    max_s = state.neg_vals.shape[1]
+
+    wstate, weights = advance_weighted_state(
+        params, cfg, input_ids, cache, state.weighted, content_weights,
+        anneal=anneal, annealing_scale=annealing_scale,
+        upweight_nearby=upweight_nearby, token_mask=token_mask,
+        window=window)
+
+    # sparse bottom-quantile content-logit sets of the incoming tokens
+    from .gpt import update_rows_axis
+    c_new = bp.content_forward(params, cfg, input_ids)       # (b, s, nv, d)
+    cl = jnp.einsum("btkd,vd->btkv", c_new.astype(jnp.float32),
+                    E.astype(jnp.float32))                   # (b, s, nv, V)
+    thresh_new = jnp.quantile(cl, quantile, axis=-1)         # (b, s, nv)
+    neg = jax.lax.top_k(-cl, m)
+    vals_new, idx_new = -neg[0], neg[1]                      # (b, s, nv, m)
+    neg_vals = update_rows_axis(state.neg_vals, vals_new, offset, axis=1)
+    neg_idx = update_rows_axis(state.neg_idx, idx_new, offset, axis=1)
+    thresh = update_rows_axis(state.thresh, thresh_new, offset, axis=1)
+
+    # plain incremental forward (term 1: sum_k alpha @ cl == plain logits)
+    logits, cache, q = bp.backpack_forward_with_cache(
+        params, cfg, input_ids, cache, use_flash=use_flash,
+        sense_weights=sense_weights, window=window, return_ctx_q=True)
+
+    # rebuild the new alpha rows against the (updated) ctx_k cache,
+    # reading only the `window` prefix when bucketed
+    max_cache = cache.ctx_k.shape[-1]
+    S = min(window, max_cache) if window is not None else max_cache
+    dnv_pad = cfg.sense_head_dim_padded
+    k4 = cache.ctx_k[:, :, :S].reshape(b, nv, dnv_pad, S)
+    scale = dnv ** -0.5
+    q_pad = (jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dnv_pad - dnv)))
+             if dnv_pad != dnv else q)
+    scores = jnp.einsum("btkd,bkds->bkts",
+                        (q_pad.astype(jnp.float32) * scale).astype(q.dtype),
+                        k4.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    if cache.quantized:
+        scores = scores * cache.ctx_k_scale[:, :S].reshape(b, nv, S
+                                                           )[:, :, None, :]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (s, S), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (s, S), 1)
+    off_b = offset[:, None, None] if vec else offset
+    causal = kpos[None] <= (qpos[None] + off_b)              # (b|1, s, S)
+    if not vec:
+        causal = jnp.broadcast_to(causal, (b, s, S))
+    from ..ops.attention import MASK_VALUE
+    scores = jnp.where(causal[:, None], scores, MASK_VALUE)
+    alpha = jax.nn.softmax(scores, axis=-1)                  # (b, nv, s, S)
+
+    # term 2: sparse correction sum_j alpha * (w-1) * clneg
+    w_jk = weights[:, :S].astype(jnp.float32)                # (b, S, nv)
+    vals_eff = jnp.where(neg_vals < thresh[..., None],
+                         neg_vals, 0.0)[:, :S]               # (b, S, nv, m)
+    coeff = jnp.einsum("bkts,bsk->btsk", alpha, w_jk - 1.0)  # (b, s, S, nv)
+    contrib = coeff[..., None] * vals_eff[:, None]           # (b, s, S, nv, m)
+    if negative_mask is not None:
+        contrib = contrib * negative_mask.astype(jnp.float32
+                                                 )[:, None, None, None, None]
+    flat_idx = neg_idx[:, :S].reshape(b, -1)                 # (b, S*nv*m)
+    flat_contrib = contrib.reshape(b, s, -1)
+
+    def scatter_one(vals, idx):                              # (s, N), (N,)
+        return jnp.zeros((s, V), jnp.float32).at[:, idx].add(vals)
+
+    correction = jax.vmap(scatter_one)(flat_contrib, flat_idx)
+    logits = logits.astype(jnp.float32) + correction
+    return logits, cache, NegativeDecodeState(
+        weighted=wstate, neg_vals=neg_vals, neg_idx=neg_idx, thresh=thresh)
+
+
 def weighted_decode_step(params: Params, cfg: BackpackConfig,
                          input_ids: jax.Array, cache: bp.BackpackCache,
                          state: WeightedDecodeState,

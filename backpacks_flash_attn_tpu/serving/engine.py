@@ -53,12 +53,25 @@ class ServingEngine:
                  num_senses: Optional[int] = None,
                  control_table: Optional[np.ndarray] = None,
                  annealing_scale: float = 0.2,
-                 prefer_native_scheduler: bool = True):
+                 prefer_native_scheduler: bool = True,
+                 window_buckets: Optional[Tuple[int, ...]] = None,
+                 negative_table: Optional[np.ndarray] = None,
+                 negative_quantile: float = 0.02,
+                 negative_anneal: bool = False,
+                 negative_annealing_scale: float = 0.34):
         """control_table: optional (vocab, nv) multiplicative weight table
         (eval/control.control_weights). Requests submitted with control=True
         decode with the full annealed topic-control intervention while
         sharing slots with uncontrolled requests — the reference can only
-        run the WeightedBackpackLMHeadModel on a uniform batch."""
+        run the WeightedBackpackLMHeadModel on a uniform batch.
+
+        negative_table: optional (vocab, nv) table (eval/toxicity.
+        toxicity_weights) for requests submitted with negative=True — the
+        O(t) incremental negative-weighted (toxicity-removal) decode
+        (models/interventions.negative_decode_step; reference
+        NegativeWeightedBackpackLMHeadModel + test_toxicity.py). Its sparse
+        per-position bottom-quantile cache is allocated lazily on the first
+        negative admission (it costs O(slots * S * nv * quantile * V))."""
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -74,8 +87,13 @@ class ServingEngine:
         # length bucket per dispatch (decode reads only a cache prefix) —
         # device lengths would cost a fetch round-trip per step
         self.host_lengths = np.zeros((max_slots,), np.int64)
+        # finer buckets => less cache traffic early in a sequence, but one
+        # compiled step per bucket; NOTES.md measured +45% decode from
+        # bucketing at all. Overridable per deployment.
+        if window_buckets is None:
+            window_buckets = (64, 128, 192, 256, 384, max_seqlen)
         self.window_buckets = sorted({min(b, max_seqlen) for b in
-                                      (128, 256, 384, max_seqlen)
+                                      window_buckets
                                       if b <= max_seqlen} | {max_seqlen})
         self.tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self.temps = np.zeros((max_slots,), np.float32)   # 0 = greedy
@@ -90,6 +108,15 @@ class ServingEngine:
         self._iv = iv
         self.istate = iv.init_weighted_decode_state(cfg, max_slots,
                                                     max_seqlen)
+        self.negative_table = (jnp.asarray(negative_table, jnp.float32)
+                               if negative_table is not None else None)
+        self.negative_quantile = negative_quantile
+        self.negative_anneal = negative_anneal
+        self.negative_annealing_scale = negative_annealing_scale
+        self.negative_mask = np.zeros((max_slots,), bool)
+        self.nstate = None            # lazy: first negative admission
+        self._uses_negative = False
+        self._jit_steps_negative = {}
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._meta: Dict[int, tuple] = {}
@@ -104,13 +131,21 @@ class ServingEngine:
     def submit(self, prompt, *, max_new_tokens: int = 64,
                temperature: float = 0.0,
                sense_weights: Optional[np.ndarray] = None,
-               control: bool = False) -> int:
+               control: bool = False, negative: bool = False) -> int:
         """Queue a request. Returns its id, or raises if the prompt can never
         fit the cache. control=True decodes under the engine's annealed
-        control_table (topic control, reference intervened_models.py:58)."""
+        control_table (topic control, reference intervened_models.py:58);
+        negative=True decodes under the engine's negative_table
+        (toxicity removal, reference intervened_models.py:108)."""
         if control and self.control_table is None:
             raise ValueError("control=True needs a control_table on the "
                              "engine")
+        if negative and self.negative_table is None:
+            raise ValueError("negative=True needs a negative_table on the "
+                             "engine")
+        if control and negative:
+            raise ValueError("control and negative are mutually exclusive "
+                             "per request")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         rid = self._next_id
         self._next_id += 1
@@ -119,7 +154,7 @@ class ServingEngine:
                 f"prompt of {len(prompt)} tokens cannot fit max_seqlen="
                 f"{self.max_seqlen}")
         self._prompts[rid] = prompt
-        self._meta[rid] = (temperature, sense_weights, control)
+        self._meta[rid] = (temperature, sense_weights, control, negative)
         return rid
 
     # ------------------------------------------------------------ internals
@@ -217,6 +252,71 @@ class ServingEngine:
                 step, donate_argnums=(2, 3))
         return self._jit_steps_controlled[window]
 
+    def _neg_prefill_fn(self, bucket: int):
+        key = ("negative", bucket)
+        if key not in self._jit_prefill:
+            cfg, use_flash = self.cfg, self.use_flash
+            iv = self._iv
+
+            def prefill(params, ids, true_len, table):
+                small = bp.init_backpack_cache(cfg, 1, self.max_seqlen,
+                                               dtype=self.cache_dtype)
+                nstate = iv.init_negative_decode_state(
+                    cfg, 1, self.max_seqlen, quantile=self.negative_quantile)
+                mask = (jnp.arange(ids.shape[1]) < true_len)[None]
+                logits, small, nstate = iv.negative_decode_step(
+                    params, cfg, ids, small, nstate, table,
+                    anneal=self.negative_anneal,
+                    annealing_scale=self.negative_annealing_scale,
+                    quantile=self.negative_quantile, use_flash=use_flash,
+                    token_mask=mask)
+                last = logits[0, true_len - 1]
+                return (last,
+                        small._replace(length=true_len.astype(jnp.int32)),
+                        nstate)
+
+            self._jit_prefill[key] = jax.jit(prefill)
+        return self._jit_prefill[key]
+
+    def _neg_step_fn(self, window: int):
+        """Decode step when any negative-weighted slot is active; also
+        carries per-request sense weights and (if present) annealed control
+        slots, so all three intervention modes share the batch."""
+        key = (window, self._uses_control)
+        if key not in self._jit_steps_negative:
+            cfg, use_flash = self.cfg, self.use_flash
+            iv = self._iv
+            ann_ctl = self.annealing_scale
+            uses_control = self._uses_control
+            win = None if window >= self.max_seqlen else window
+
+            def step(params, toks, cache, nstate, istate, temps, rng, req_w,
+                     cmask, nmask, ctable, ntable):
+                if uses_control:
+                    istate, w = iv.advance_weighted_state(
+                        params, cfg, toks, cache, istate, ctable, anneal=True,
+                        annealing_scale=ann_ctl, window=win)
+                    w = jnp.where(cmask[:, None, None], w, 1.0)
+                    w = w * req_w[:, None, :]
+                else:
+                    w = req_w          # (b, nv)
+                logits, cache, nstate = iv.negative_decode_step(
+                    params, cfg, toks, cache, nstate, ntable,
+                    anneal=self.negative_anneal,
+                    annealing_scale=self.negative_annealing_scale,
+                    quantile=self.negative_quantile, use_flash=use_flash,
+                    negative_mask=nmask, sense_weights=w, window=win)
+                last = logits[:, -1]
+                greedy = jnp.argmax(last, -1)
+                sampled = jax.random.categorical(
+                    rng, last / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
+                nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+                return nxt[:, None], cache, nstate, istate
+
+            self._jit_steps_negative[key] = jax.jit(step,
+                                                    donate_argnums=(2, 3, 4))
+        return self._jit_steps_negative[key]
+
     def _admit_all(self) -> List[int]:
         admitted = []
         while True:
@@ -228,21 +328,35 @@ class ServingEngine:
             bucket = min(_bucket(plen), self.max_seqlen)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :plen] = prompt
-            temp, sw, control = self._meta[rid]
+            temp, sw, control, negative = self._meta[rid]
             w = (np.ones(self.cfg.num_senses, np.float32) if sw is None
                  else np.asarray(sw, np.float32))
-            table = (self.control_table if self.control_table is not None
-                     else jnp.ones((1, self.cfg.num_senses), jnp.float32))
-            last_logits, small, small_state = self._prefill_fn(
-                bucket, controlled=control)(
-                self.params, jnp.asarray(padded), jnp.asarray(plen),
-                jnp.asarray(w[None]), table)
+            if negative:
+                if self.nstate is None:
+                    self.nstate = self._iv.init_negative_decode_state(
+                        self.cfg, self.max_slots, self.max_seqlen,
+                        quantile=self.negative_quantile)
+                last_logits, small, small_nstate = self._neg_prefill_fn(
+                    bucket)(self.params, jnp.asarray(padded),
+                            jnp.asarray(plen), self.negative_table)
+                self.nstate = self._iv.insert_negative_state_slot(
+                    self.nstate, small_nstate, slot)
+                self._uses_negative = True
+            else:
+                table = (self.control_table
+                         if self.control_table is not None
+                         else jnp.ones((1, self.cfg.num_senses), jnp.float32))
+                last_logits, small, small_state = self._prefill_fn(
+                    bucket, controlled=control)(
+                    self.params, jnp.asarray(padded), jnp.asarray(plen),
+                    jnp.asarray(w[None]), table)
+                if control:
+                    self.istate = self._iv.insert_state_slot(
+                        self.istate, small_state, slot)
+                    self._uses_control = True
             self.cache = bp.insert_cache_slot(self.cache, small, slot)
-            if control:
-                self.istate = self._iv.insert_state_slot(self.istate,
-                                                         small_state, slot)
-                self._uses_control = True
             self.control_mask[slot] = control
+            self.negative_mask[slot] = negative
             self.host_lengths[slot] = plen
             self.temps[slot] = temp
             self.sense_weights[slot] = w
@@ -267,6 +381,7 @@ class ServingEngine:
             request_id=rid, tokens=self.sched.slot_tokens(slot),
             finished=True)
         self.control_mask[slot] = False
+        self.negative_mask[slot] = False
         self.sched.release(slot)
 
     # ------------------------------------------------------------ stepping
@@ -279,7 +394,18 @@ class ServingEngine:
             return []
         self._rng, sub = jax.random.split(self._rng)
         window = self._window()
-        if self._uses_control:
+        if self._uses_negative:
+            step = self._neg_step_fn(window)
+            ctable = (self.control_table if self.control_table is not None
+                      else jnp.ones((1, self.cfg.num_senses), jnp.float32))
+            self.tokens, self.cache, self.nstate, self.istate = step(
+                self.params, self.tokens, self.cache, self.nstate,
+                self.istate, jnp.asarray(self.temps), sub,
+                jnp.asarray(self.sense_weights),
+                jnp.asarray(self.control_mask),
+                jnp.asarray(self.negative_mask), ctable,
+                self.negative_table)
+        elif self._uses_control:
             step = self._ctl_step_fn(window)
             self.tokens, self.cache, self.istate = step(
                 self.params, self.tokens, self.cache, self.istate,

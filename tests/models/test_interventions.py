@@ -224,3 +224,76 @@ def test_weighted_decode_matches_full_recompute(setup, anneal):
             logits, cache, state = iv.weighted_decode_step(
                 params, cfg, nxt, cache, state, table, anneal=anneal,
                 use_flash=False)
+
+
+@pytest.mark.parametrize("anneal", [False, True])
+def test_negative_decode_matches_full_recompute(setup, anneal):
+    """The O(t)-per-step incremental negative-weighted decode must match the
+    full-recompute negative_weighted_forward (= the reference's toxicity
+    decode semantics, intervened_models.py:108-165 + test_toxicity.py)
+    token-for-token. Weight table strictly positive (the validity condition
+    of the quantile factorization; all reference tables are positive)."""
+    cfg, params, _ = setup
+    table = (0.4 + 1.2 * jax.random.uniform(jax.random.PRNGKey(5),
+                                            (cfg.padded_vocab_size,
+                                             cfg.num_senses)))
+    quantile = 0.05
+    batch, prompt_len, steps, max_len = 2, 4, 4, 16
+    ids = jax.random.randint(jax.random.PRNGKey(6), (batch, prompt_len), 0,
+                             cfg.vocab_size)
+
+    full_ids = ids
+    full_last = []
+    for _ in range(steps):
+        logits = iv.negative_weighted_forward(params, cfg, full_ids, table,
+                                              anneal=anneal,
+                                              quantile=quantile,
+                                              use_flash=False, key_chunk=8)
+        nxt = jnp.argmax(logits[:, -1], -1)
+        full_last.append(np.asarray(logits[:, -1]))
+        full_ids = jnp.concatenate([full_ids, nxt[:, None].astype(ids.dtype)],
+                                   axis=1)
+
+    cache = bp.init_backpack_cache(cfg, batch, max_len, dtype=jnp.float32)
+    state = iv.init_negative_decode_state(cfg, batch, max_len,
+                                          quantile=quantile)
+    logits, cache, state = iv.negative_decode_step(
+        params, cfg, ids, cache, state, table, anneal=anneal,
+        quantile=quantile, use_flash=False)
+    for i in range(steps):
+        np.testing.assert_allclose(np.asarray(logits[:, -1]), full_last[i],
+                                   rtol=2e-3, atol=2e-3)
+        nxt = jnp.argmax(logits[:, -1], -1)[:, None].astype(ids.dtype)
+        np.testing.assert_array_equal(np.asarray(nxt[:, 0]),
+                                      np.asarray(full_ids[:, prompt_len + i]))
+        if i < steps - 1:
+            logits, cache, state = iv.negative_decode_step(
+                params, cfg, nxt, cache, state, table, anneal=anneal,
+                quantile=quantile, use_flash=False)
+
+
+def test_negative_decode_mask_rows_decode_plain(setup):
+    """negative_mask=False rows must produce the PLAIN incremental logits
+    (per-slot mixing for the serving engine)."""
+    cfg, params, ids = setup
+    table = (0.5 + jax.random.uniform(jax.random.PRNGKey(7),
+                                      (cfg.padded_vocab_size,
+                                       cfg.num_senses)))
+    b, s = ids.shape
+    max_len = 16
+    cache = bp.init_backpack_cache(cfg, b, max_len, dtype=jnp.float32)
+    state = iv.init_negative_decode_state(cfg, b, max_len)
+    mask = jnp.asarray([True, False])
+    logits, _, _ = iv.negative_decode_step(
+        params, cfg, ids, cache, state, table, anneal=False,
+        use_flash=False, negative_mask=mask)
+    plain_cache = bp.init_backpack_cache(cfg, b, max_len, dtype=jnp.float32)
+    plain, _ = bp.backpack_forward_with_cache(params, cfg, ids, plain_cache,
+                                              use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits[1]),
+                               np.asarray(plain[1], np.float32),
+                               rtol=1e-4, atol=1e-4)
+    neg = iv.negative_weighted_forward(params, cfg, ids, table, anneal=False,
+                                       use_flash=False, key_chunk=8)
+    np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(neg[0]),
+                               rtol=2e-3, atol=2e-3)

@@ -183,7 +183,7 @@ def test_window_bucketing_matches_full_window():
         eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=256,
                             cache_dtype=jnp.float32, eos_id=-1, seed=7,
                             control_table=table)
-        assert eng.window_buckets == [128, 256]
+        assert eng.window_buckets == [64, 128, 192, 256]
         if buckets == "full":
             eng.window_buckets = [256]
         r1 = eng.submit(list(range(1, 9)), max_new_tokens=12)
@@ -192,3 +192,38 @@ def test_window_bucketing_matches_full_window():
         res = eng.run()
         outs.append((res[r1].tokens, res[r2].tokens, res[r3].tokens))
     assert outs[0] == outs[1]
+
+
+def test_engine_negative_matches_generate_negative(setup):
+    """A negative=True request served alongside a plain one must match
+    eval/toxicity.generate_negative (the uniform-batch incremental
+    negative-weighted decode) token-for-token — toxicity suppression under
+    continuous batching (reference test_toxicity.py can only run a uniform
+    batch with an O(t^2) forward)."""
+    cfg, params = setup
+    from backpacks_flash_attn_tpu.eval.toxicity import generate_negative
+    table = (0.4 + 1.2 * jax.random.uniform(
+        jax.random.PRNGKey(11), (cfg.padded_vocab_size, cfg.num_senses)))
+    prompt_neg = [5, 17, 42, 99]
+    prompt_plain = [9, 3, 1]
+    n = 5
+
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        negative_table=np.asarray(table),
+                        negative_quantile=0.05)
+    r_neg = eng.submit(prompt_neg, max_new_tokens=n, negative=True)
+    r_plain = eng.submit(prompt_plain, max_new_tokens=n)
+    res = eng.run()
+
+    want_neg = generate_negative(
+        params, cfg, jnp.asarray([prompt_neg], jnp.int32), table,
+        quantile=0.05, anneal=False, max_new_tokens=n, use_flash=False,
+        max_seqlen=32)
+    assert res[r_neg].tokens == want_neg[0].tolist()
+
+    want_plain = _direct_greedy(cfg, params, prompt_plain, n)
+    assert res[r_plain].tokens == want_plain
+
+    # suppression must actually change the output
+    assert res[r_neg].tokens != _direct_greedy(cfg, params, prompt_neg, n)
