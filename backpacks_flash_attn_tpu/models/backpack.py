@@ -320,6 +320,40 @@ def insert_cache_slot(big, small, slot) -> "BackpackCache":
     )
 
 
+def extract_cache_slot(big, row, cfg: "BackpackConfig") -> "BackpackCache":
+    """Slice row `row` of a batch cache out as a batch-1 cache (scalar
+    length) — inverse of insert_cache_slot. With insert_cache_slot this moves
+    one request's state between caches in one jitted dispatch; the batched-
+    prefill admission path uses it to scatter a packed (n, bucket) prefill
+    into n serving slots. `row` may be a traced scalar."""
+    g = big.gpt
+    h, nv = cfg.n_head, cfg.num_senses
+
+    def take(buf, axis, rows_per_slot):
+        start = [0] * buf.ndim
+        start[axis] = jnp.asarray(row, jnp.int32) * rows_per_slot
+        sizes = list(buf.shape)
+        sizes[axis] = rows_per_slot
+        return jax.lax.dynamic_slice(buf, tuple(start), tuple(sizes))
+
+    length = jnp.asarray(big.length).reshape(-1)
+    scalar_len = length[row] if length.shape[0] > 1 else length[0]
+    gpt_cache = g._replace(
+        k=take(g.k, 1, h), v=take(g.v, 1, h), length=scalar_len,
+        k_scale=take(g.k_scale, 1, h) if g.k_scale is not None else None,
+        v_scale=take(g.v_scale, 1, h) if g.v_scale is not None else None)
+    return big._replace(
+        gpt=gpt_cache,
+        ctx_k=take(big.ctx_k, 0, nv),
+        ctx_k_scale=(take(big.ctx_k_scale, 0, nv)
+                     if big.ctx_k_scale is not None else None),
+        content=take(big.content, 0, nv),
+        length=scalar_len,
+        content_scale=(take(big.content_scale, 0, nv)
+                       if big.content_scale is not None else None),
+    )
+
+
 class BackpackCache(NamedTuple):
     """Incremental-decode state: GPT KV cache + contextualization K cache +
     per-token sense cache, pre-flattened to decode-contraction operand shapes

@@ -270,23 +270,12 @@ def _bp_store(buf, new, r0, offset, vec, *, col_axis):
     return lax.dynamic_update_slice(buf, flat.reshape(sizes), start)
 
 
-def make_tp_decode_step(cfg: BackpackConfig, mesh: Mesh, *,
-                        window: Optional[int] = None,
-                        microbatches: int = 2):
-    """Build the overlapped TP decode step over `mesh` ('data', 'model').
-
-    Returns (step, prepare):
-      step(params, tokens, cache) -> (logits (b, 1, V) f32, cache) — jitted,
-        cache donated; tokens (b, 1) int32; params from `prepare`.
-      prepare(params, cache) -> (tp_params, tp_cache) — permutes the packed
-        kernels (permute_for_tp_decode), converts the cache (to_tp_cache if
-        given a flat BackpackCache), and device_puts both with TP shardings.
-
-    Requirements: n_head and num_senses divisible by the model-axis size,
-    vocab divisible too; bf16/f32 params (quantized trees: use the pjit path
-    in parallel/serving.py). window: static length bucket as in
-    backpack_forward_with_cache.
-    """
+def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
+                window: Optional[int] = None,
+                microbatches: int = 2):
+    """Per-device decode-step body (runs inside shard_map): the overlapped
+    layer schedule over local slots/heads. Shared by the jitted single-step
+    wrapper (make_tp_decode_step) and the scan harness (make_tp_decode_scan)."""
     dp = mesh.shape["data"]
     tp = mesh.shape["model"]
     h, nv, d = cfg.n_head, cfg.num_senses, cfg.n_embd
@@ -545,6 +534,28 @@ def make_tp_decode_step(cfg: BackpackConfig, mesh: Mesh, *,
             content_scale=content_s if quantized else None)
         return logits, new_cache
 
+    return body
+
+
+def make_tp_decode_step(cfg: BackpackConfig, mesh: Mesh, *,
+                        window: Optional[int] = None,
+                        microbatches: int = 2):
+    """Build the overlapped TP decode step over `mesh` ('data', 'model').
+
+    Returns (step, prepare):
+      step(params, tokens, cache) -> (logits (b, 1, V) f32, cache) — jitted,
+        cache donated; tokens (b, 1) int32; params from `prepare`.
+      prepare(params, cache) -> (tp_params, tp_cache) — permutes the packed
+        kernels (permute_for_tp_decode), converts the cache (to_tp_cache if
+        given a flat BackpackCache), and device_puts both with TP shardings.
+
+    Requirements: n_head and num_senses divisible by the model-axis size,
+    vocab divisible too; bf16/f32 params (quantized trees: use the pjit path
+    in parallel/serving.py). window: static length bucket as in
+    backpack_forward_with_cache.
+    """
+    body = _build_body(cfg, mesh, window=window, microbatches=microbatches)
+
     def step(params, tokens, cache):
         pspecs = tp_decode_param_specs(params)
         cspecs = tp_cache_specs(cache)
@@ -568,3 +579,37 @@ def make_tp_decode_step(cfg: BackpackConfig, mesh: Mesh, *,
         return tp_params, cache
 
     return jit_step, prepare
+
+
+def make_tp_decode_scan(cfg: BackpackConfig, mesh: Mesh, *, steps: int,
+                        window: Optional[int] = None,
+                        microbatches: int = 2, donate: bool = True):
+    """Greedy-decode `steps` tokens inside ONE shard_map (lax.scan over the
+    overlapped step body). This is the timing harness for bench_tp_decode.py:
+    a single dispatch amortizes the tunnel RTT over >=hundreds of steps (the
+    only trustworthy measurement here — utils/benchmark.py), and it is also
+    the shape a real serving host would compile for multi-token scheduling
+    quanta. Returns scan(params, tokens, cache) -> (tokens (b, 1), cache),
+    jitted with the cache donated; inputs from make_tp_decode_step's prepare."""
+    body = _build_body(cfg, mesh, window=window, microbatches=microbatches)
+
+    def local_scan(params, tokens, cache):
+        def one(carry, _):
+            tok, cch = carry
+            logits, cch = body(params, tok, cch)
+            nxt = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            return (nxt, cch), None
+
+        (tok, cache), _ = lax.scan(one, (tokens, cache), None, length=steps)
+        return tok, cache
+
+    def scan(params, tokens, cache):
+        pspecs = tp_decode_param_specs(params)
+        cspecs = tp_cache_specs(cache)
+        fn = jax.shard_map(
+            local_scan, mesh=mesh,
+            in_specs=(pspecs, P("data", None), cspecs),
+            out_specs=(P("data", None), cspecs), check_vma=False)
+        return fn(params, tokens, cache)
+
+    return jax.jit(scan, donate_argnums=(2,) if donate else ())

@@ -119,6 +119,7 @@ class ServingEngine:
         self._jit_steps_negative = {}
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
+        self.prefill_dispatches = 0   # observability: admission batching
         self._meta: Dict[int, tuple] = {}
         self._prompts: Dict[int, np.ndarray] = {}
         self._results: Dict[int, RequestResult] = {}
@@ -183,11 +184,15 @@ class ServingEngine:
                     sense_weights=sw)
                 # ids are right-padded to the bucket; the causal mask keeps
                 # pads invisible to real tokens, so the logits at true_len-1
-                # and the first true_len cache rows are exact. Overwrite the
-                # (scalar) length with the true length.
+                # and the first true_len cache rows are exact. Overwrite BOTH
+                # length counters (outer and gpt) with the true length —
+                # leaving gpt.length at the bucket makes every later decode
+                # step attend the pad K/V rows and take the wrong position id.
                 last = logits[0, true_len - 1]
-                return (last, small._replace(length=true_len.astype(jnp.int32)),
-                        state)
+                tl = true_len.astype(jnp.int32)
+                small = small._replace(length=tl,
+                                       gpt=small.gpt._replace(length=tl))
+                return last, small, state
 
             self._jit_prefill[key] = jax.jit(prefill)
         return self._jit_prefill[key]
@@ -271,9 +276,10 @@ class ServingEngine:
                     quantile=self.negative_quantile, use_flash=use_flash,
                     token_mask=mask)
                 last = logits[0, true_len - 1]
-                return (last,
-                        small._replace(length=true_len.astype(jnp.int32)),
-                        nstate)
+                tl = true_len.astype(jnp.int32)
+                small = small._replace(length=tl,
+                                       gpt=small.gpt._replace(length=tl))
+                return last, small, nstate
 
             self._jit_prefill[key] = jax.jit(prefill)
         return self._jit_prefill[key]
@@ -317,20 +323,130 @@ class ServingEngine:
                                                     donate_argnums=(2, 3, 4))
         return self._jit_steps_negative[key]
 
+    def _batch_prefill_fn(self, bucket: int, n: int):
+        """One prefill dispatch for n packed plain requests: ids (n, bucket)
+        right-padded, per-row true lengths. The causal mask keeps each row's
+        pads invisible to its real tokens, so every row's last-real-token
+        logits and first true_len cache rows are exact — the batch analogue
+        of the reference's cu_seqlens varlen batching (SURVEY §2.1 N1),
+        expressed as static padded shapes + per-row lengths."""
+        key = ("batched", bucket, n)
+        if key not in self._jit_prefill:
+            cfg, use_flash = self.cfg, self.use_flash
+
+            def prefill(params, ids, true_len, weights):
+                small = bp.init_backpack_cache(cfg, n, self.max_seqlen,
+                                               dtype=self.cache_dtype,
+                                               per_slot=True)
+                logits, small = bp.backpack_forward_with_cache(
+                    params, cfg, ids, small, use_flash=use_flash,
+                    sense_weights=weights)
+                last = jnp.take_along_axis(
+                    logits, (true_len - 1)[:, None, None], axis=1)[:, 0]
+                tl = true_len.astype(jnp.int32)
+                small = small._replace(length=tl,
+                                       gpt=small.gpt._replace(length=tl))
+                return last, small
+
+            self._jit_prefill[key] = jax.jit(prefill)
+        return self._jit_prefill[key]
+
+    def _insert_rows_fn(self, n: int):
+        """Scatter the n rows of a packed prefill cache into their serving
+        slots in ONE jitted dispatch (extract_cache_slot + insert_cache_slot
+        per row, unrolled; slots are traced so the compile is reused across
+        admission waves)."""
+        key = ("insert", n)
+        if key not in self._jit_prefill:
+            cfg = self.cfg
+
+            def insert(big, small, slots):
+                # reverse order: pad rows alias a real row's slot and must
+                # land BEFORE it so the real prefill is the final state
+                for i in reversed(range(n)):
+                    row = bp.extract_cache_slot(small, i, cfg)
+                    big = bp.insert_cache_slot(big, row, slots[i])
+                return big
+
+            self._jit_prefill[key] = jax.jit(insert, donate_argnums=(0,))
+        return self._jit_prefill[key]
+
+    def _post_admit(self, slot: int, rid: int, plen: int, temp, w, sw,
+                    control: bool, negative: bool, last_logits) -> None:
+        """Host-side bookkeeping shared by every admission path; samples the
+        request's first token from its prefill logits."""
+        self.control_mask[slot] = control
+        self.negative_mask[slot] = negative
+        self.host_lengths[slot] = plen
+        self.temps[slot] = temp
+        self.sense_weights[slot] = w
+        if sw is not None:
+            self._uses_weights = True
+        if temp > 0:
+            self._rng, sub = jax.random.split(self._rng)
+            tok = int(jax.random.categorical(sub, last_logits / temp))
+        else:
+            tok = int(jnp.argmax(last_logits))
+        self.tokens = self.tokens.at[slot, 0].set(tok)
+        if self.sched.on_token(slot, tok):
+            self._finish(slot)
+
     def _admit_all(self) -> List[int]:
-        admitted = []
+        # Drain the scheduler first so same-shaped plain admissions can share
+        # one prefill dispatch (VERDICT r1 item 6: admission used to be
+        # prefill-serialized batch-1 under bursty load).
+        plain, special = [], []
         while True:
             got = self.sched.admit()
             if got is None:
                 break
             slot, rid, plen = got
+            temp, sw, control, negative = self._meta[rid]
+            w = (np.ones(self.cfg.num_senses, np.float32) if sw is None
+                 else np.asarray(sw, np.float32))
+            rec = (slot, rid, plen, temp, w, sw, control, negative)
+            (special if (control or negative) else plain).append(rec)
+
+        admitted = []
+
+        # ---- packed path: group plain admissions by length bucket, pad the
+        # group to a power-of-two row count (compile reuse), one dispatch.
+        groups: Dict[int, list] = {}
+        for rec in plain:
+            bucket = min(_bucket(rec[2]), self.max_seqlen)
+            groups.setdefault(bucket, []).append(rec)
+        for bucket, recs in sorted(groups.items()):
+            n = _bucket(len(recs), minimum=1)
+            ids = np.zeros((n, bucket), np.int32)
+            lens = np.ones((n,), np.int32)       # pad rows: 1-token dummies
+            ws = np.ones((n, self.cfg.num_senses), np.float32)
+            for i, (slot, rid, plen, temp, w, sw, control, negative) \
+                    in enumerate(recs):
+                ids[i, :plen] = self._prompts[rid]
+                lens[i] = plen
+                ws[i] = w
+            last, small = self._batch_prefill_fn(bucket, n)(
+                self.params, jnp.asarray(ids), jnp.asarray(lens),
+                jnp.asarray(ws))
+            self.prefill_dispatches += 1
+            slots = np.zeros((n,), np.int32)
+            slots[:len(recs)] = [r[0] for r in recs]
+            slots[len(recs):] = slots[0]   # pad rows: overwritten by row 0
+            self.cache = self._insert_rows_fn(n)(self.cache, small,
+                                                 jnp.asarray(slots))
+            for i, (slot, rid, plen, temp, w, sw, control, negative) \
+                    in enumerate(recs):
+                self._post_admit(slot, rid, plen, temp, w, sw, control,
+                                 negative, last[i])
+                admitted.append(rid)
+
+        # ---- per-request path: control / negative admissions carry extra
+        # per-request intervention state (annealing sums, quantile caches).
+        for slot, rid, plen, temp, w, sw, control, negative in special:
             prompt = self._prompts[rid]
             bucket = min(_bucket(plen), self.max_seqlen)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :plen] = prompt
-            temp, sw, control, negative = self._meta[rid]
-            w = (np.ones(self.cfg.num_senses, np.float32) if sw is None
-                 else np.asarray(sw, np.float32))
             if negative:
                 if self.nstate is None:
                     self.nstate = self._iv.init_negative_decode_state(
@@ -354,24 +470,10 @@ class ServingEngine:
                     self.istate = self._iv.insert_state_slot(
                         self.istate, small_state, slot)
                     self._uses_control = True
+            self.prefill_dispatches += 1
             self.cache = bp.insert_cache_slot(self.cache, small, slot)
-            self.control_mask[slot] = control
-            self.negative_mask[slot] = negative
-            self.host_lengths[slot] = plen
-            self.temps[slot] = temp
-            self.sense_weights[slot] = w
-            if sw is not None:
-                self._uses_weights = True
-            # first token comes from the prefill logits
-            if temp > 0:
-                self._rng, sub = jax.random.split(self._rng)
-                tok = int(jax.random.categorical(sub, last_logits / temp))
-            else:
-                tok = int(jnp.argmax(last_logits))
-            self.tokens = self.tokens.at[slot, 0].set(tok)
-            finished = self.sched.on_token(slot, tok)
-            if finished:
-                self._finish(slot)
+            self._post_admit(slot, rid, plen, temp, w, sw, control,
+                             negative, last_logits)
             admitted.append(rid)
         return admitted
 

@@ -227,3 +227,91 @@ def test_engine_negative_matches_generate_negative(setup):
 
     # suppression must actually change the output
     assert res[r_neg].tokens != _direct_greedy(cfg, params, prompt_neg, n)
+
+
+def test_admission_syncs_gpt_cache_length(setup):
+    """Regression: _prefill_fn used to overwrite only the OUTER cache length,
+    leaving gpt.length at the padded bucket — every later decode step then
+    attended the pad K/V rows and took the wrong position id. After a
+    bucketed admission (plen 3 -> bucket 8), a decode step from the engine's
+    cache must match the unpadded oracle cache EXACTLY."""
+    cfg, params = setup
+    prompt = [1, 2, 3]
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    eng.submit(prompt, max_new_tokens=2)
+    eng._admit_all()
+    assert np.asarray(eng.cache.gpt.length).tolist() == [3]
+    assert np.asarray(eng.cache.length).tolist() == [3]
+    tok0 = int(eng.tokens[0, 0])
+
+    oracle = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+    lg, oracle = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompt, jnp.int32)[None], oracle,
+        use_flash=False)
+    assert int(jnp.argmax(lg[0, -1])) == tok0
+    got, _ = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray([[tok0]], jnp.int32), eng.cache,
+        use_flash=False)
+    want, _ = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray([[tok0]], jnp.int32), oracle,
+        use_flash=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_batched_prefill_admission(setup):
+    """A burst of plain admissions sharing a length bucket must prefill in
+    ONE dispatch (VERDICT r1 item 6) and still match the per-request oracle
+    under the teacher-forced score check."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (5, 7, 6)]       # all bucket 8
+    n_new = 5
+    eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    rids = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng._admit_all()
+    assert eng.prefill_dispatches == 1
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        got = results[rid].tokens
+        assert len(got) == n_new
+        cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray(p, jnp.int32)[None], cache,
+            use_flash=False)
+        for t, tok in enumerate(got):
+            row = np.asarray(logits[0, -1], np.float64)
+            assert row[tok] >= row.max() - 1e-4, (rid, t)
+            logits, cache = bp.backpack_forward_with_cache(
+                params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+                use_flash=False)
+
+
+def test_batched_prefill_mixed_buckets_and_padding(setup):
+    """Burst with two buckets + a group size that needs row padding: one
+    dispatch per bucket; pad rows must not corrupt any admitted slot."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (4, 6, 5, 12)]   # buckets 8, 8, 8 (3 rows -> pad to
+                                         # 4) and 16
+    eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    rids = [eng.submit(p, max_new_tokens=4) for p in prompts]
+    eng._admit_all()
+    assert eng.prefill_dispatches == 2
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        got = results[rid].tokens
+        cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray(p, jnp.int32)[None], cache,
+            use_flash=False)
+        for t, tok in enumerate(got):
+            row = np.asarray(logits[0, -1], np.float64)
+            assert row[tok] >= row.max() - 1e-4, (rid, t)
+            logits, cache = bp.backpack_forward_with_cache(
+                params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+                use_flash=False)
