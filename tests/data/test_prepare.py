@@ -1,0 +1,56 @@
+"""Parallel corpus preparation (data/prepare.py) vs the sequential oracle.
+
+The reference prepares OWT with multiprocess tokenize + shared-memory concat
+writers (training/src/datamodules/language_modeling_hf.py:154-229); these
+tests pin the parallel path byte-identical to encode_corpus."""
+
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.data.lm_dataset import encode_corpus
+from backpacks_flash_attn_tpu.data.prepare import encode_corpus_parallel
+
+
+def _toy_tokenizer():
+    """Deterministic, spawn-picklable stand-in: bytes as ids."""
+    class Tok:
+        def __call__(self, text):
+            return {"input_ids": list(text.encode("utf-8"))}
+    return Tok()
+
+
+_TEXTS = [f"doc {i} " + "az" * (i % 37) for i in range(257)]
+
+
+def test_parallel_matches_sequential(tmp_path):
+    want = encode_corpus(_TEXTS, _toy_tokenizer(), eos_id=255,
+                         dtype=np.uint16)
+    got = encode_corpus_parallel(
+        _TEXTS, str(tmp_path / "corpus.npy"),
+        tokenizer_factory=_toy_tokenizer, eos_id=255, dtype=np.uint16,
+        num_workers=3, chunk_docs=16)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_num_workers_zero_is_sequential(tmp_path):
+    want = encode_corpus(_TEXTS[:20], _toy_tokenizer(), eos_id=255)
+    got = encode_corpus_parallel(
+        _TEXTS[:20], str(tmp_path / "corpus.npy"),
+        tokenizer_factory=_toy_tokenizer, eos_id=255, num_workers=0)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pretokenized_ids_no_factory(tmp_path):
+    ids = [[1, 2, 3], [4, 5], [6]]
+    got = encode_corpus_parallel(ids, str(tmp_path / "c.npy"), eos_id=9,
+                                 num_workers=2, chunk_docs=2)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray([1, 2, 3, 9, 4, 5, 9, 6, 9], np.uint16))
+
+
+def test_chunking_boundary_single_chunk(tmp_path):
+    got = encode_corpus_parallel(
+        _TEXTS[:5], str(tmp_path / "c.npy"), tokenizer_factory=_toy_tokenizer,
+        eos_id=255, num_workers=4, chunk_docs=1024)   # 1 chunk, 4 workers
+    want = encode_corpus(_TEXTS[:5], _toy_tokenizer(), eos_id=255)
+    np.testing.assert_array_equal(np.asarray(got), want)
