@@ -66,27 +66,46 @@ def main(argv=None) -> None:
     from ..training import train_cli
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--workdir", required=True)
-    p.add_argument("--corpus", required=True)
+    p.add_argument("--workdir",
+                   help="native training workdir (newest checkpoint)")
+    p.add_argument("--checkpoint",
+                   help="reference Lightning .ckpt / torch state dict "
+                        "(README.md:108-126 released weights) — runs "
+                        "import -> quantize -> gates in one command")
+    p.add_argument("--corpus", required=True,
+                   help=".npy token stream; gates eval on its tail "
+                        "(--val-fraction) unless it IS the val set")
     p.add_argument("--model", default="backpack-micro")
     p.add_argument("--seqlen", type=int, default=512)
     p.add_argument("--val-fraction", type=float, default=0.01)
     p.add_argument("--max-batches", type=int, default=25)
     a = p.parse_args(argv)
+    if bool(a.workdir) == bool(a.checkpoint):
+        p.error("exactly one of --workdir / --checkpoint")
 
-    rc = train_cli.RunConfig(corpus=a.corpus, workdir=a.workdir,
-                             model=a.model, seqlen=a.seqlen,
-                             dtype="bfloat16", val_fraction=a.val_fraction)
-    cfg, kind, params0 = train_cli.build_model(rc)
-    assert kind == "backpack", "gates are defined for Backpack models"
-    tx = train_lib.make_optimizer(params0)
-    state_t = train_lib.TrainState(params0, jax.jit(tx.init)(params0),
-                                   jnp.zeros((), jnp.int32))
-    ckpt = ckpt_lib.latest_checkpoint(a.workdir)
-    restored, step, _ = ckpt_lib.restore(ckpt, {"state": state_t})
+    if a.checkpoint:
+        from .. import config as config_lib
+        from ..utils import torch_import
+        cfg = getattr(config_lib, a.model.replace("-", "_"))()
+        params = torch_import.load_backpack_checkpoint(
+            a.checkpoint, cfg, dtype=jnp.bfloat16)
+        step = -1
+    else:
+        rc = train_cli.RunConfig(corpus=a.corpus, workdir=a.workdir,
+                                 model=a.model, seqlen=a.seqlen,
+                                 dtype="bfloat16",
+                                 val_fraction=a.val_fraction)
+        cfg, kind, params0 = train_cli.build_model(rc)
+        assert kind == "backpack", "gates are defined for Backpack models"
+        tx = train_lib.make_optimizer(params0)
+        state_t = train_lib.TrainState(params0, jax.jit(tx.init)(params0),
+                                       jnp.zeros((), jnp.int32))
+        ckpt = ckpt_lib.latest_checkpoint(a.workdir)
+        restored, step, _ = ckpt_lib.restore(ckpt, {"state": state_t})
+        params = restored["state"].params
     tokens = lmd.load_corpus(a.corpus)
     n_val = max(int(len(tokens) * a.val_fraction), a.seqlen + 1)
-    out = run_gates(restored["state"].params, cfg, tokens[-n_val:], a.seqlen,
+    out = run_gates(params, cfg, tokens[-n_val:], a.seqlen,
                     max_batches=a.max_batches)
     out["checkpoint_step"] = step
     print(json.dumps(out))
