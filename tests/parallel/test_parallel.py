@@ -82,7 +82,7 @@ def test_tp_train_step_matches_single():
 def test_vocab_parallel_cross_entropy_matches_dense():
     """Sharded-LSE vocab-parallel CE == dense CE (the math of reference
     losses/cross_entropy.py:61-90, run under shard_map)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     rng = np.random.default_rng(0)
     b, s, V = 2, 6, 64
     logits = jnp.asarray(rng.normal(size=(b, s, V)).astype(np.float32))
@@ -101,7 +101,7 @@ def test_vocab_parallel_cross_entropy_matches_dense():
 
 
 def test_vocab_parallel_ce_label_smoothing():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     rng = np.random.default_rng(1)
     logits = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 64, (4,)))
