@@ -104,7 +104,8 @@ def contextualization(params: Params, cfg: BackpackConfig,
 def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                     *, train: bool = False,
                     rng: Optional[jax.Array] = None,
-                    embedded: Optional[jax.Array] = None) -> jax.Array:
+                    embedded: Optional[jax.Array] = None,
+                    scan_unroll: int = 1) -> jax.Array:
     """Sense network C(x): (b, s) -> (b, s, nv, d). Strictly per-token — no
     position embeddings, no mixing (reference: backpack.py:251-276).
 
@@ -165,7 +166,8 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
         return (hidden, residual), None
 
     xs = (cp["blocks"], blk_rngs) if blk_rngs is not None else cp["blocks"]
-    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs)
+    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs,
+                                  unroll=scan_unroll)
     senses = dense.mlp(hidden, cp["final_mlp"], cfg.activation)
     return senses.reshape(b, s, cfg.num_senses, cfg.n_embd)
 
@@ -208,7 +210,8 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                      use_flash: bool = True,
                      sense_weights: Optional[jax.Array] = None,
                      sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
-                     return_parts: bool = False, remat: bool = False):
+                     return_parts: bool = False, remat=False,
+                     scan_unroll: int = 1):
     """Training-shape forward -> logits (b, s, vocab)
     (reference: BackpackLMHeadModel.forward, backpack.py:297-351).
 
@@ -218,15 +221,19 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     replacement (reference ReplacedWordLMHeadModel, intervened_models.py:168).
     return_parts: also return dict with alpha / content / contextual hidden for
     the control & visualization machinery (reference §2.4).
-    remat=True rematerializes GPT blocks AND the (b, nv, s, s) alpha tensor in
-    the backward pass — alpha is the dominant training activation
-    (0.5GB at batch 32 for backpack-small) and is cheap to recompute.
+    remat (False / True / "dots", see gpt.remat_wrap) rematerializes GPT
+    blocks AND the (b, nv, s, s) alpha tensor in the backward pass — alpha
+    is the dominant training activation (0.5GB at batch 32 for
+    backpack-small) and is cheap to recompute. scan_unroll unrolls the
+    layer scans (see gpt.gpt_forward).
     """
     r_gpt, r_content = (jax.random.split(rng) if rng is not None else (None, None))
     contextl = gpt_lib.gpt_forward(params["gpt"], cfg, input_ids, train=train,
-                                   rng=r_gpt, use_flash=use_flash, remat=remat)
+                                   rng=r_gpt, use_flash=use_flash, remat=remat,
+                                   scan_unroll=scan_unroll)
     content = content_forward(params, cfg, input_ids, train=train,
-                              rng=r_content)                  # (b, s, nv, d)
+                              rng=r_content,
+                              scan_unroll=scan_unroll)        # (b, s, nv, d)
     if sense_edit is not None:
         content = apply_sense_edit(content, input_ids, sense_edit)
     if sense_weights is not None:

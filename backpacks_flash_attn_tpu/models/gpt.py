@@ -197,19 +197,42 @@ def embed(params: Params, cfg: GPTConfig, input_ids: jax.Array,
     return hidden.astype(dtype) if dtype is not None else hidden
 
 
+def remat_wrap(fn, mode):
+    """Apply a rematerialization mode to a block function.
+
+    mode: False/"none" — save everything (XLA stacks per-layer residuals
+    with dynamic-update-slice when the block runs under scan);
+    True/"full" — jax.checkpoint: save only block inputs, recompute the
+    whole block in the backward (O(1)-block activation memory);
+    "dots" — checkpoint with the dots-saveable policy: matmul outputs are
+    saved, elementwise chains (gelu, dropout masks, LN stats) are
+    recomputed — the middle ground between the 2x-forward cost of "full"
+    and the full activation-save traffic of "none"."""
+    if mode in (False, None, "none"):
+        return fn
+    if mode in (True, "full"):
+        return jax.checkpoint(fn)
+    if mode == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"unknown remat mode: {mode!r}")
+
+
 def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
                 position_ids: Optional[jax.Array] = None,
                 train: bool = False, rng: Optional[jax.Array] = None,
                 use_flash: bool = True,
                 key_padding_mask: Optional[jax.Array] = None,
-                remat: bool = False) -> jax.Array:
+                remat=False, scan_unroll: int = 1) -> jax.Array:
     """Full forward; returns post-final-LN hidden states (b, s, d)
     (the analogue of GPTModel.forward, reference gpt.py:224-246).
 
-    remat=True rematerializes each block in the backward pass
-    (jax.checkpoint): activation memory drops from O(n_layer) to O(1) blocks
-    — the TPU lever the reference pulls with checkpoint_lvl recompute
-    policies (ops/fused_dense.py:175-235)."""
+    remat rematerializes each block in the backward pass — see remat_wrap
+    for the modes (False / True / "dots") — the TPU lever the reference
+    pulls with checkpoint_lvl recompute policies (ops/fused_dense.py:175-235).
+    scan_unroll unrolls the layer scan (scan_unroll=n_layer removes the
+    dynamic-update-slice stacking of saved activations entirely at the cost
+    of an n_layer-times-larger HLO)."""
     hidden = embed(params, cfg, input_ids, position_ids)
     r_emb, r_layers = (jax.random.split(rng) if rng is not None else (None, None))
     hidden, residual = norms.dropout_add_layer_norm(
@@ -226,8 +249,7 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
                       train=train, rngs=lrng, use_flash=use_flash,
                       key_padding_mask=key_padding_mask)
 
-    if remat:
-        block_fn = jax.checkpoint(block_fn)
+    block_fn = remat_wrap(block_fn, remat)
 
     def scan_body(carry, xs):
         hidden, residual = carry
@@ -241,7 +263,8 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
 
     xs = ((params["layers"], scales, layer_rngs) if layer_rngs is not None
           else (params["layers"], scales))
-    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs)
+    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs,
+                                  unroll=scan_unroll)
     return hidden
 
 

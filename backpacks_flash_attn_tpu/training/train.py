@@ -72,7 +72,8 @@ class TrainState(NamedTuple):
 
 
 def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
-                 label_smoothing: float = 0.0, remat: bool = False) -> Callable:
+                 label_smoothing: float = 0.0, remat=False,
+                 scan_unroll: int = 1) -> Callable:
     """batch: {'input_ids': (b, s+1)} — the LM splits x=ids[:, :-1],
     y=ids[:, 1:] (the reference's chunked LM dataset contract,
     training/src/datamodules/datasets/lm_dataset.py:10-32)."""
@@ -83,14 +84,14 @@ def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
         ids = batch["input_ids"]
         x, y = ids[:, :-1], ids[:, 1:]
         logits = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash,
-                     remat=remat)
+                     remat=remat, scan_unroll=scan_unroll)
         return cross_entropy_loss(logits, y, label_smoothing=label_smoothing)
 
     return loss_fn
 
 
 def make_train_step(cfg, tx, *, model: str = "backpack",
-                    use_flash: bool = True, remat: bool = False,
+                    use_flash: bool = True, remat=False, scan_unroll: int = 1,
                     donate: bool = True, grad_zero2_mesh=None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics); jit it with
     the desired shardings (see make_sharded_train_step).
@@ -101,7 +102,8 @@ def make_train_step(cfg, tx, *, model: str = "backpack",
     on 1/data_size of each tensor, and the updated params are all-gathered by
     the apply step (the pjit analogue of the reference's gradient-sharding
     DDP strategy, training/src/utils/ddp_zero2.py:21-128)."""
-    loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash, remat=remat)
+    loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash, remat=remat,
+                           scan_unroll=scan_unroll)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -144,7 +146,8 @@ def zero1_opt_shardings(opt_state, mesh):
 
 def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
                             use_flash: bool = True, zero1: bool = False,
-                            zero2: bool = False, remat: bool = False):
+                            zero2: bool = False, remat=False,
+                            scan_unroll: int = 1):
     """jit the train step over the mesh: batch sharded on 'data', params TP-
     sharded per parallel/mesh.py rules; optimizer state sharded like params,
     or additionally over 'data' with zero1=True (ZeRO-1). zero2=True also
@@ -156,7 +159,7 @@ def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
 
     zero1 = zero1 or zero2
     step_fn = make_train_step(cfg, tx, model=model, use_flash=use_flash,
-                              remat=remat,
+                              remat=remat, scan_unroll=scan_unroll,
                               grad_zero2_mesh=mesh if zero2 else None)
     batch_sharding = {"input_ids": NamedSharding(mesh, P("data", None))}
 

@@ -57,7 +57,9 @@ class RunConfig:
     dp: int = 1
     tp: int = 1
     use_flash: bool = True
-    remat: bool = False
+    remat: str = "none"               # none | full | dots (models/gpt.remat_wrap)
+    scan_unroll: int = 1              # unroll the layer scans (n_layer = no
+                                      # dynamic-update-slice activation stacking)
     zero1: bool = False               # shard optimizer moments over dp
     zero2: bool = False               # + reduce-scatter grads (implies zero1)
     ema_decay: float = 0.0            # 0 disables EMA
@@ -109,7 +111,7 @@ def run(rc: RunConfig) -> Dict[str, Any]:
                                   accum_steps=rc.accum_steps)
     step_fn, sharded_init = train_lib.make_sharded_train_step(
         cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat,
-        zero1=rc.zero1, zero2=rc.zero2)
+        scan_unroll=rc.scan_unroll, zero1=rc.zero1, zero2=rc.zero2)
 
     sampler = lmd.SamplerState(seed=rc.seed)
     ema = ema_lib.init_ema(params) if rc.ema_decay > 0 else None

@@ -182,10 +182,12 @@ def test_remat_matches_no_remat():
     batch = {"input_ids": jax.random.randint(jax.random.PRNGKey(1), (2, 17),
                                              0, cfg.vocab_size)}
     rng = jax.random.PRNGKey(2)
-    for remat in (False, True):
-        loss_fn = tl.make_loss_fn(cfg, use_flash=False, remat=remat)
+    want_loss = want_gn = None
+    for remat, unroll in ((False, 1), (True, 1), ("dots", 1), (False, 4)):
+        loss_fn = tl.make_loss_fn(cfg, use_flash=False, remat=remat,
+                                  scan_unroll=unroll)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        if not remat:
+        if want_loss is None:
             want_loss, want_gn = float(loss), float(optax.global_norm(grads))
         else:
             np.testing.assert_allclose(float(loss), want_loss, rtol=1e-6)
