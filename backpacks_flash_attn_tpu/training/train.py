@@ -42,19 +42,42 @@ def _decay_mask(params) -> Any:
     return walk(params)
 
 
+def make_schedule(kind: str, *, lr: float, warmup_steps: int,
+                  total_steps: int, final_lr_fraction: float = 0.1):
+    """Linear warmup then decay — the reference's scheduler configs
+    (configs/scheduler/*.yaml):
+      linear  — linear decay to final_lr_fraction*lr (linear-warmup.yaml,
+                the OWT experiments' default)
+      cosine  — cosine decay to final_lr_fraction*lr
+                (cosine-warmup-timm.yaml / cosine-warmup.yaml)
+      invsqrt — lr * sqrt(warmup/step) (invsqrt.yaml)
+    """
+    decay_steps = max(total_steps - warmup_steps, 1)
+    if kind == "linear":
+        decay = optax.linear_schedule(lr, lr * final_lr_fraction, decay_steps)
+    elif kind == "cosine":
+        decay = optax.cosine_decay_schedule(
+            lr, decay_steps, alpha=final_lr_fraction)
+    elif kind == "invsqrt":
+        w = max(warmup_steps, 1)
+        decay = lambda step: lr * jnp.sqrt(w / jnp.maximum(step + w, w))
+    else:
+        raise ValueError(f"unknown schedule {kind!r}")
+    return optax.join_schedules([
+        optax.linear_schedule(0.0, lr, warmup_steps), decay], [warmup_steps])
+
+
 def make_optimizer(params, *, lr: float = 6e-4, weight_decay: float = 0.1,
                    warmup_steps: int = 1000, total_steps: int = 100_000,
                    b1: float = 0.9, b2: float = 0.95, eps: float = 1e-8,
                    grad_clip: float = 1.0,
                    final_lr_fraction: float = 0.1,
-                   accum_steps: int = 1):
-    """Linear warmup -> linear decay to final_lr_fraction*lr (the reference's
-    linear-warmup schedule, configs/scheduler/linear-warmup.yaml)."""
-    schedule = optax.join_schedules([
-        optax.linear_schedule(0.0, lr, warmup_steps),
-        optax.linear_schedule(lr, lr * final_lr_fraction,
-                              max(total_steps - warmup_steps, 1)),
-    ], [warmup_steps])
+                   accum_steps: int = 1,
+                   schedule: str = "linear"):
+    """AdamW with warmup + decay; schedule as in make_schedule."""
+    schedule = make_schedule(schedule, lr=lr, warmup_steps=warmup_steps,
+                             total_steps=total_steps,
+                             final_lr_fraction=final_lr_fraction)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=b1, b2=b2, eps=eps,

@@ -49,6 +49,7 @@ class RunConfig:
     batch_size: int = 8
     seqlen: int = 512
     lr: float = 6e-4
+    lr_schedule: str = "linear"       # linear | cosine | invsqrt
     warmup_steps: int = 1000
     weight_decay: float = 0.1
     grad_clip: float = 1.0
@@ -108,7 +109,8 @@ def run(rc: RunConfig) -> Dict[str, Any]:
                                   warmup_steps=rc.warmup_steps,
                                   total_steps=rc.steps,
                                   grad_clip=rc.grad_clip,
-                                  accum_steps=rc.accum_steps)
+                                  accum_steps=rc.accum_steps,
+                                  schedule=rc.lr_schedule)
     step_fn, sharded_init = train_lib.make_sharded_train_step(
         cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat,
         scan_unroll=rc.scan_unroll, zero1=rc.zero1, zero2=rc.zero2)

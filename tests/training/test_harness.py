@@ -207,3 +207,30 @@ def test_checkpoint_roundtrip_bfloat16(tmp_path):
     assert restored["w"].dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(restored["w"], np.float32),
                                   np.arange(8, dtype=np.float32))
+
+
+def test_lr_schedules():
+    """Warmup + decay shapes for the three reference scheduler configs
+    (linear-warmup.yaml, cosine-warmup-timm.yaml, invsqrt.yaml)."""
+    from backpacks_flash_attn_tpu.training import train as tl
+
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    for kind in ("linear", "cosine", "invsqrt"):
+        s = tl.make_schedule(kind, lr=1.0, warmup_steps=10, total_steps=110)
+        assert float(s(0)) == 0.0
+        assert abs(float(s(10)) - 1.0) < 1e-6          # warmup peak
+        assert float(s(5)) < 1.0                        # mid-warmup below peak
+        end = float(s(109))
+        assert 0.0 < end < 1.0                          # decayed
+        if kind in ("linear", "cosine"):
+            assert abs(float(s(110)) - 0.1) < 2e-2      # lands near floor
+        # the optimizer builds and steps with each schedule
+        tx = tl.make_optimizer(params, lr=1.0, warmup_steps=10,
+                               total_steps=110, schedule=kind)
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.zeros_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        assert np.isfinite(float(jax.tree.leaves(updates)[0].sum()))
+    with pytest.raises(ValueError):
+        tl.make_schedule("nope", lr=1.0, warmup_steps=1, total_steps=2)
