@@ -1,0 +1,19 @@
+#!/bin/bash
+# ONE sequential TPU bench session (NOTES.md: never run concurrent TPU work,
+# never kill mid-flight). Run from /root/repo with NO PYTHONPATH:
+#   nohup bash run_tpu_benches.sh > /tmp/tpu_benches.log 2>&1 &
+set -x
+cd /root/repo
+date
+# 1. training-MFU variant matrix (VERDICT next-round item 1)
+timeout 10000 python bench_train.py --steps 8 --reps 3 \
+    --variants none:1,dots:1,full:1,none:4 --json /tmp/bench_train_r2.json
+date
+# 2. decode levers: batch x window-granularity (VERDICT item 3)
+timeout 10000 python bench_decode_sweep.py \
+    --configs 128:128,128:64,256:128,256:64 --json /tmp/bench_decode_r2.json
+date
+# 3. the official headline bench (sanity reproduction)
+timeout 6000 python bench.py
+date
+echo ALL-DONE
