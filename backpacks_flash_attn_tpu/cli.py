@@ -67,8 +67,10 @@ def _load(args):
 
 def _make_tokenizer(args):
     if args.vocab and args.merges:
+        from .utils.fast_tokenizer import FastGPT2Tokenizer
         from .utils.tokenizer import GPT2Tokenizer
-        return GPT2Tokenizer.from_files(args.vocab, args.merges)
+        return FastGPT2Tokenizer(
+            GPT2Tokenizer.from_files(args.vocab, args.merges))
     return None
 
 

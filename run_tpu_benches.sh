@@ -16,4 +16,22 @@ date
 # 3. the official headline bench (sanity reproduction)
 timeout 6000 python bench.py
 date
+# 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
+#    (VERDICT item 8: int4 margin on a less trivial model)
+python - <<'PY'
+import numpy as np
+from backpacks_flash_attn_tpu.data.synthetic import bigram_corpus
+toks, floor = bigram_corpus(6_000_000, seed=0)
+np.save("/tmp/bigram6m.npy", toks)
+print("corpus ready, entropy floor ppl:", float(np.exp(floor)))
+PY
+timeout 10000 python -m backpacks_flash_attn_tpu.training.train_cli \
+    --corpus /tmp/bigram6m.npy --model backpack-mini --steps 2500 \
+    --batch-size 16 --seqlen 512 --warmup-steps 250 \
+    --workdir /tmp/runs/bp-mini-r2
+date
+timeout 4000 python -m backpacks_flash_attn_tpu.eval.quant_gates \
+    --workdir /tmp/runs/bp-mini-r2 --corpus /tmp/bigram6m.npy \
+    --model backpack-mini | tee /tmp/gates_mini_r2.json
+date
 echo ALL-DONE
