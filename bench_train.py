@@ -116,6 +116,9 @@ def main():
             _ = np.asarray(losses)
             jax.profiler.stop_trace()
             print(f"   trace -> {args.trace_dir}", flush=True)
+            from backpacks_flash_attn_tpu.utils.benchmark import \
+                print_trace_summary
+            print_trace_summary(args.trace_dir, top=12, steps=args.steps)
 
     print(json.dumps(results))
     if args.json:
