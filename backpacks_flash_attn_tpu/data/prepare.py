@@ -55,6 +55,24 @@ def _tokenize_part(job):
     return part_idx, len(ids)
 
 
+def _build_native_tokenizer(vocab_path, merges_path):
+    from ..utils.fast_tokenizer import FastGPT2Tokenizer
+    from ..utils.tokenizer import GPT2Tokenizer
+    return FastGPT2Tokenizer(GPT2Tokenizer.from_files(vocab_path,
+                                                      merges_path))
+
+
+def native_tokenizer_factory(vocab_path: str, merges_path: str) -> Callable:
+    """Picklable factory for the offline native tokenizer (C++ BPE merge
+    loop, utils/fast_tokenizer.py) — OWT-scale prep with no HF hub access:
+
+        prepare_corpus(texts, out,
+                       tokenizer_factory=native_tokenizer_factory(v, m))
+    """
+    import functools
+    return functools.partial(_build_native_tokenizer, vocab_path, merges_path)
+
+
 def default_gpt2_tokenizer():
     """Module-level (spawn-picklable) factory for the stock GPT-2 tokenizer."""
     from transformers import GPT2TokenizerFast

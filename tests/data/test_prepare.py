@@ -54,3 +54,29 @@ def test_chunking_boundary_single_chunk(tmp_path):
         eos_id=255, num_workers=4, chunk_docs=1024)   # 1 chunk, 4 workers
     want = encode_corpus(_TEXTS[:5], _toy_tokenizer(), eos_id=255)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_native_tokenizer_factory_end_to_end(tmp_path):
+    """Offline native BPE (C++ merge loop) through the multiprocess pipeline:
+    factory pickles into spawn workers, ids match the slow tokenizer."""
+    import json
+
+    from backpacks_flash_attn_tpu.data.prepare import native_tokenizer_factory
+    from backpacks_flash_attn_tpu.utils.tokenizer import GPT2Tokenizer
+
+    corpus = ["the quick brown fox", "hello hello world", "az " * 20]
+    slow = GPT2Tokenizer.train_toy(corpus * 3, vocab_size=350)
+    vocab_p, merges_p = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vocab_p.write_text(json.dumps(slow.encoder))
+    merges = sorted(slow.bpe_ranks.items(), key=lambda kv: kv[1])
+    merges_p.write_text("#version\n" + "\n".join(
+        f"{a} {b}" for (a, b), _ in merges) + "\n")
+
+    factory = native_tokenizer_factory(str(vocab_p), str(merges_p))
+    want = encode_corpus(corpus, slow, eos_id=slow.eos_token_id,
+                         dtype=np.uint16)
+    got = encode_corpus_parallel(
+        corpus, str(tmp_path / "c.npy"), tokenizer_factory=factory,
+        eos_id=slow.eos_token_id, dtype=np.uint16, num_workers=2,
+        chunk_docs=1)
+    np.testing.assert_array_equal(np.asarray(got), want)
