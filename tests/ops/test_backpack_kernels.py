@@ -85,3 +85,36 @@ def test_fused_in_backpack_forward(rng):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(leaves_e[path]), atol=2e-4, rtol=2e-3,
             err_msg=jax.tree_util.keystr(path))
+
+def test_fused_with_interventions_and_remat(rng):
+    """The intervention hooks (sense_weights, sense_edit) and remat feed the
+    fused path too — parity vs the einsum path for each."""
+    from backpacks_flash_attn_tpu.config import BackpackConfig
+    from backpacks_flash_attn_tpu.models import backpack as bp
+
+    cfg = BackpackConfig(vocab_size=64, n_positions=32, n_embd=32, n_layer=1,
+                         n_head=2, num_senses=2, pad_vocab_size_multiple=8)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(1))
+    ids = jnp.asarray(rng.integers(0, 64, (2, 32)))
+    w = jnp.asarray(rng.uniform(0.2, 2.0, (cfg.num_senses,)), jnp.float32)
+    edit = (jnp.asarray([int(ids[0, 3])]),
+            _rand(rng, (1, cfg.num_senses, cfg.n_embd), jnp.float32))
+
+    for kw in ({"sense_weights": w}, {"sense_edit": edit}, {"remat": True}):
+        out_f = bp.backpack_forward(params, cfg, ids, use_flash=True, **kw)
+        out_e = bp.backpack_forward(params, cfg, ids, use_flash=False, **kw)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                                   atol=2e-4, rtol=2e-4, err_msg=str(kw.keys()))
+
+    # remat grad parity through the checkpointed fused kernel
+    def loss(params, use_flash):
+        lg = bp.backpack_forward(params, cfg, ids, use_flash=use_flash,
+                                 remat=True)
+        return jnp.mean(jax.nn.log_softmax(lg)[..., 0] ** 2)
+
+    gf = jax.grad(loss)(params, True)
+    ge = dict(jax.tree_util.tree_leaves_with_path(jax.grad(loss)(params, False)))
+    for path, g in jax.tree_util.tree_leaves_with_path(gf):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ge[path]),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=jax.tree_util.keystr(path))
