@@ -120,6 +120,12 @@ class ServingEngine:
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
         self.prefill_dispatches = 0   # observability: admission batching
+        import collections
+        import time as _time
+        self._clock = _time.perf_counter
+        self._stats = collections.Counter()
+        self._window_hist = collections.Counter()
+        self._t_first_step = None
         self._meta: Dict[int, tuple] = {}
         self._prompts: Dict[int, np.ndarray] = {}
         self._results: Dict[int, RequestResult] = {}
@@ -491,11 +497,16 @@ class ServingEngine:
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit whatever fits, then run ONE decode step for all active slots.
         Returns [(request_id, token, finished)] for this step's emissions."""
-        self._admit_all()
+        if self._t_first_step is None:
+            self._t_first_step = self._clock()
+        t0 = self._clock()
+        admitted = self._admit_all()
+        self._stats["admissions"] += len(admitted)
         if self.sched.num_active == 0:
             return []
         self._rng, sub = jax.random.split(self._rng)
         window = self._window()
+        self._window_hist[window] += 1
         if self._uses_negative:
             step = self._neg_step_fn(window)
             ctable = (self.control_table if self.control_table is not None
@@ -531,6 +542,10 @@ class ServingEngine:
             out.append((rid, int(toks[slot]), finished))
             if finished:
                 self._finish(slot)
+                self._stats["completed"] += 1
+        self._stats["decode_steps"] += 1
+        self._stats["tokens_emitted"] += len(out)
+        self._stats["step_time_ns"] += int((self._clock() - t0) * 1e9)
         return out
 
     def run(self) -> Dict[int, RequestResult]:
@@ -539,3 +554,26 @@ class ServingEngine:
             self.step()
         out, self._results = self._results, {}
         return out
+
+    # --------------------------------------------------------- observability
+
+    def stats(self) -> Dict[str, object]:
+        """Host-side serving metrics since engine start: counters, window
+        histogram, and derived rates (a vLLM-style /metrics surface; the
+        reference has no serving runtime to compare)."""
+        s = dict(self._stats)
+        s["prefill_dispatches"] = self.prefill_dispatches
+        s["active_slots"] = self.sched.num_active
+        s["pending_requests"] = self.sched.num_pending
+        s["window_histogram"] = dict(sorted(self._window_hist.items()))
+        wall = (self._clock() - self._t_first_step
+                if self._t_first_step is not None else 0.0)
+        s["wall_s"] = wall
+        s["tokens_per_s"] = (self._stats["tokens_emitted"] / wall
+                             if wall > 0 else 0.0)
+        steps = self._stats["decode_steps"]
+        s["mean_step_ms"] = (self._stats["step_time_ns"] / steps / 1e6
+                             if steps else 0.0)
+        s["mean_batch"] = (self._stats["tokens_emitted"] / steps
+                           if steps else 0.0)
+        return s

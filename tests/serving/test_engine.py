@@ -315,3 +315,27 @@ def test_batched_prefill_mixed_buckets_and_padding(setup):
             logits, cache = bp.backpack_forward_with_cache(
                 params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
                 use_flash=False)
+
+
+def test_engine_stats_surface(setup):
+    """stats() counters reconcile with the work actually served."""
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=32,
+                        cache_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    n_new = 4
+    rids = [eng.submit(rng.integers(0, cfg.vocab_size, n).tolist(),
+                       max_new_tokens=n_new) for n in (3, 7, 5)]
+    res = eng.run()
+    s = eng.stats()
+    assert s["admissions"] == 3 and s["completed"] == 3
+    assert s["pending_requests"] == 0 and s["active_slots"] == 0
+    emitted = sum(len(res[r].tokens) for r in rids)
+    # prefill emits each request's first token; decode steps emit the rest
+    assert s["tokens_emitted"] + s["admissions"] == emitted
+    assert s["decode_steps"] >= n_new - 1
+    assert s["prefill_dispatches"] >= 1
+    assert sum(s["window_histogram"].values()) == s["decode_steps"]
+    assert s["wall_s"] > 0 and s["tokens_per_s"] > 0
+    assert s["mean_step_ms"] > 0
+    assert 0 < s["mean_batch"] <= 4
