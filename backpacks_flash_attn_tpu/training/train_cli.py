@@ -185,6 +185,8 @@ def run(rc: RunConfig) -> Dict[str, Any]:
     if profile_ctx:
         jax.profiler.stop_trace()
         print(f"profile written to {profile_ctx}")
+        from ..utils.benchmark import print_trace_summary
+        print_trace_summary(profile_ctx, top=10, steps=steps)
 
     # final checkpoint + validation perplexity
     if rc.mode == "train":
