@@ -60,7 +60,7 @@ def make_loop(cfg, n_steps, window):
     return jax.jit(run, donate_argnums=(1,))
 
 
-def measure(cfg, params, batch, granularity, reps):
+def measure(cfg, params, batch, granularity, reps, profile_dir=None):
     segs = segments(granularity)
     steps = sum(n for n, _ in segs)
     prompt = jnp.ones((batch, PROMPT), jnp.int32)
@@ -86,6 +86,13 @@ def measure(cfg, params, batch, granularity, reps):
         t0 = time.time()
         _ = np.asarray(run_all(cache, token))
         best = min(best, time.time() - t0)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        _ = np.asarray(run_all(cache, token))
+        jax.profiler.stop_trace()
+        from backpacks_flash_attn_tpu.utils.benchmark import \
+            print_trace_summary
+        print_trace_summary(profile_dir, top=15, steps=steps)
     return batch * steps / best, compile_s
 
 
@@ -95,6 +102,10 @@ def main():
                     help="comma list of batch:window_granularity")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--json", default="")
+    ap.add_argument("--profile", default="",
+                    help="config (e.g. 128:128) to trace + digest (per-fusion "
+                         "GB/s vs the ~819 GB/s v5e spec)")
+    ap.add_argument("--trace-dir", default="/tmp/decode_trace")
     args = ap.parse_args()
 
     cfg = backpack_small(vocab_size=50257)
@@ -108,7 +119,9 @@ def main():
         batch, gran = int(batch_s), int(gran_s)
         print(f"== batch={batch} granularity={gran} "
               f"({len(segments(gran))} segments)", flush=True)
-        tps, compile_s = measure(cfg, qparams, batch, gran, args.reps)
+        tps, compile_s = measure(
+            cfg, qparams, batch, gran, args.reps,
+            profile_dir=args.trace_dir if args.profile == spec else None)
         results[spec] = {"tokens_per_s": tps, "compile_s": compile_s}
         print(f"   {tps:,.0f} tok/s/chip  (compile+warm {compile_s:.0f}s)",
               flush=True)

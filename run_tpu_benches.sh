@@ -10,7 +10,7 @@ timeout 10000 python bench_train.py --steps 8 --reps 3 \
     --variants none:1,dots:1,full:1,none:4 --json /tmp/bench_train_r2.json
 date
 # 2. decode levers: batch x window-granularity (VERDICT item 3)
-timeout 10000 python bench_decode_sweep.py \
+timeout 10000 python bench_decode_sweep.py --profile 128:64 \
     --configs 128:128,128:64,256:128,256:64 --json /tmp/bench_decode_r2.json
 date
 # 3. the official headline bench (sanity reproduction)
