@@ -7,7 +7,8 @@ cd /root/repo
 date
 # 1. training-MFU variant matrix (VERDICT next-round item 1)
 timeout 10000 python bench_train.py --steps 8 --reps 3 \
-    --variants none:1,dots:1,full:1,none:4 --json /tmp/bench_train_r2.json
+    --variants none:1,dots:1,full:1,none:4 --profile none:1 \
+    --json /tmp/bench_train_r2.json
 date
 # 2. decode levers: batch x window-granularity (VERDICT item 3)
 timeout 10000 python bench_decode_sweep.py --profile 128:64 \
