@@ -29,30 +29,45 @@ class GenerationOutput(NamedTuple):
 
 
 def _select_next(logits: jax.Array, rng: Optional[jax.Array],
-                 temperature: float, top_k: int) -> jax.Array:
-    """Greedy if rng is None, else temperature (+ optional top-k) sampling."""
+                 temperature: float, top_k: int,
+                 top_p: float = 1.0) -> jax.Array:
+    """Greedy if rng is None, else temperature (+ optional top-k and/or
+    nucleus top-p) sampling. (The reference samples plain multinomial,
+    training/src/utils/generation.py:22-47.)"""
     if rng is None:
         return jnp.argmax(logits, axis=-1)
     logits = logits / max(temperature, 1e-6)
     if top_k > 0:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        # keep the smallest prefix of descending-prob tokens with cumulative
+        # probability > top_p (the last kept token crosses the threshold)
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p          # first token always kept
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1)
 
 
 def _decode_loop(step_fn: Callable, cache, first_logits, input_ids, max_length,
-                 rng, temperature, top_k, output_scores):
+                 rng, temperature, top_k, top_p, output_scores):
     b, prompt_len = input_ids.shape
     n_steps = max_length - prompt_len
     next_token = _select_next(first_logits, rng if rng is None else
-                              jax.random.fold_in(rng, 0), temperature, top_k)
+                              jax.random.fold_in(rng, 0), temperature, top_k,
+                              top_p)
 
     def body(carry, i):
         cache, token = carry
         logits, cache = step_fn(token[:, None], cache)
         logits = logits[:, -1]
         step_rng = None if rng is None else jax.random.fold_in(rng, i + 1)
-        new_token = _select_next(logits, step_rng, temperature, top_k)
+        new_token = _select_next(logits, step_rng, temperature, top_k,
+                                 top_p)
         out = (token, logits) if output_scores else (token, ())
         return (cache, new_token), out
 
@@ -69,12 +84,13 @@ def _decode_loop(step_fn: Callable, cache, first_logits, input_ids, max_length,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_length", "greedy", "temperature", "top_k", "output_scores",
-    "use_flash", "cache_dtype"))
+    "cfg", "max_length", "greedy", "temperature", "top_k", "top_p",
+    "output_scores", "use_flash", "cache_dtype"))
 def generate_backpack(params, cfg: BackpackConfig, input_ids: jax.Array,
                       max_length: int, *, rng: Optional[jax.Array] = None,
                       greedy: Optional[bool] = None, temperature: float = 1.0,
-                      top_k: int = 0, output_scores: bool = False,
+                      top_k: int = 0, top_p: float = 1.0,
+                      output_scores: bool = False,
                       use_flash: bool = True,
                       sense_weights: Optional[jax.Array] = None,
                       sense_edit=None,
@@ -94,17 +110,18 @@ def generate_backpack(params, cfg: BackpackConfig, input_ids: jax.Array,
                                 sense_edit=sense_edit)
     logits, cache = step_fn(input_ids, cache)
     return _decode_loop(step_fn, cache, logits[:, -1], input_ids, max_length,
-                        None if greedy else rng, temperature, top_k,
+                        None if greedy else rng, temperature, top_k, top_p,
                         output_scores)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_length", "greedy", "temperature", "top_k", "output_scores",
-    "use_flash", "cache_dtype"))
+    "cfg", "max_length", "greedy", "temperature", "top_k", "top_p",
+    "output_scores", "use_flash", "cache_dtype"))
 def generate_gpt(params, cfg: GPTConfig, input_ids: jax.Array,
                  max_length: int, *, rng: Optional[jax.Array] = None,
                  greedy: bool = True, temperature: float = 1.0,
-                 top_k: int = 0, output_scores: bool = False,
+                 top_k: int = 0, top_p: float = 1.0,
+                 output_scores: bool = False,
                  use_flash: bool = True,
                  cache_dtype=jnp.bfloat16) -> GenerationOutput:
     """KV-cached GPT generation (reference: flash_attn/utils/generation.py:23-57)."""
@@ -120,7 +137,7 @@ def generate_gpt(params, cfg: GPTConfig, input_ids: jax.Array,
         return gpt_lib.lm_logits(params, cfg, h), c
 
     return _decode_loop(step, cache, logits[:, -1], input_ids, max_length,
-                        None if greedy else rng, temperature, top_k,
+                        None if greedy else rng, temperature, top_k, top_p,
                         output_scores)
 
 

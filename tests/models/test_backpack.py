@@ -168,3 +168,44 @@ def test_chunked_prefill_matches_one_shot(setup):
             params, cfg, ids[:, t:t + 1], cache_b, use_flash=False)
         np.testing.assert_allclose(np.asarray(db), np.asarray(da),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_top_p_sampling_restricts_support(setup):
+    """Nucleus sampling: every sampled token lies in the smallest
+    cumulative-top_p prefix; top_p=1.0 reproduces plain sampling."""
+    import numpy as np
+    from backpacks_flash_attn_tpu.utils.generation import _select_next
+
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.random.default_rng(0).normal(0, 3.0, (64, 50)),
+                         jnp.float32)
+    probs = np.asarray(jax.nn.softmax(logits, -1), np.float64)
+    top_p = 0.6
+    # allowed set per row: descending-prob prefix with cum - p < top_p
+    order = np.argsort(-probs, axis=-1)
+    allowed = []
+    for r in range(probs.shape[0]):
+        cum = np.cumsum(probs[r][order[r]])
+        keep_n = int(np.searchsorted(cum, top_p) + 1)
+        allowed.append(set(order[r][:keep_n].tolist()))
+    for seed in range(5):
+        toks = np.asarray(_select_next(logits, jax.random.PRNGKey(seed),
+                                       1.0, 0, top_p))
+        for r, t in enumerate(toks):
+            assert int(t) in allowed[r], (r, int(t))
+    # top_p=1.0 is bit-identical to the unrestricted path
+    a = _select_next(logits, jax.random.PRNGKey(9), 1.0, 0, 1.0)
+    b = _select_next(logits, jax.random.PRNGKey(9), 1.0, 0)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_with_top_p(setup):
+    cfg, params, _ = setup
+    from backpacks_flash_attn_tpu.utils import generation as gen
+    ids = jnp.asarray([[3, 1, 4, 1]], jnp.int32)
+    out = gen.generate_backpack(params, cfg, ids, 10,
+                                rng=jax.random.PRNGKey(0), greedy=False,
+                                temperature=1.0, top_p=0.8, use_flash=False,
+                                cache_dtype=jnp.float32)
+    assert out.sequences.shape == (1, 10)
+    assert bool(jnp.all(out.sequences[:, :4] == ids))
