@@ -124,6 +124,9 @@ class ServingEngine:
         import time as _time
         self._clock = _time.perf_counter
         self._stats = collections.Counter()
+        self.top_ps = np.ones((max_slots,), np.float32)
+        self._uses_top_p = False
+        self._meta_top_p = {}
         self._window_hist = collections.Counter()
         self._t_first_step = None
         self._meta: Dict[int, tuple] = {}
@@ -136,7 +139,7 @@ class ServingEngine:
     # ------------------------------------------------------------ submit
 
     def submit(self, prompt, *, max_new_tokens: int = 64,
-               temperature: float = 0.0,
+               temperature: float = 0.0, top_p: float = 1.0,
                sense_weights: Optional[np.ndarray] = None,
                control: bool = False, negative: bool = False) -> int:
         """Queue a request. Returns its id, or raises if the prompt can never
@@ -160,11 +163,32 @@ class ServingEngine:
             raise ValueError(
                 f"prompt of {len(prompt)} tokens cannot fit max_seqlen="
                 f"{self.max_seqlen}")
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         self._prompts[rid] = prompt
         self._meta[rid] = (temperature, sense_weights, control, negative)
+        self._meta_top_p[rid] = top_p
         return rid
 
     # ------------------------------------------------------------ internals
+
+    @staticmethod
+    def _sample_tokens(last, temps, rng, top_ps=None):
+        """Per-slot greedy/temperature(+nucleus) sampling (one batched op).
+        top_ps None compiles the unrestricted path (no per-step vocab sort)."""
+        greedy = jnp.argmax(last, -1)
+        logits = last / jnp.maximum(temps, 1e-6)[:, None]
+        if top_ps is not None:
+            # keep the smallest descending-prob prefix with cum > top_p
+            sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_l, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < top_ps[:, None]
+            cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                             keepdims=True)
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+        sampled = jax.random.categorical(rng, logits, axis=-1)
+        return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
 
     def _prefill_fn(self, bucket: int, controlled: bool = False):
         key = (bucket, controlled)
@@ -215,35 +239,37 @@ class ServingEngine:
         return self.max_seqlen
 
     def _step_fn(self, weighted: bool, window: int):
-        key = (weighted, window)
+        key = (weighted, window, self._uses_top_p)
         if key not in self._jit_steps:
             cfg, use_flash = self.cfg, self.use_flash
             win = None if window >= self.max_seqlen else window
+            use_top_p = self._uses_top_p
+            sample = self._sample_tokens
 
-            def step(params, toks, cache, temps, rng, weights):
+            def step(params, toks, cache, temps, top_ps, rng, weights):
                 kw = {"sense_weights": weights} if weighted else {}
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, toks, cache, use_flash=use_flash,
                     window=win, **kw)
-                last = logits[:, -1]
-                greedy = jnp.argmax(last, -1)
-                sampled = jax.random.categorical(
-                    rng, last / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
-                nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+                nxt = sample(logits[:, -1], temps, rng,
+                             top_ps if use_top_p else None)
                 return nxt[:, None], cache
 
             self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
         return self._jit_steps[key]
 
     def _ctl_step_fn(self, window: int):
-        if window not in self._jit_steps_controlled:
+        key = (window, self._uses_top_p)
+        if key not in self._jit_steps_controlled:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
             ann = self.annealing_scale
             win = None if window >= self.max_seqlen else window
+            use_top_p = self._uses_top_p
+            sample = self._sample_tokens
 
-            def step(params, toks, cache, istate, temps, rng, req_w, cmask,
-                     table):
+            def step(params, toks, cache, istate, temps, top_ps, rng, req_w,
+                     cmask, table):
                 istate, w = iv.advance_weighted_state(
                     params, cfg, toks, cache, istate, table, anneal=True,
                     annealing_scale=ann, window=win)
@@ -252,16 +278,13 @@ class ServingEngine:
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, toks, cache, use_flash=use_flash,
                     sense_weights=w, window=win)
-                last = logits[:, -1]
-                greedy = jnp.argmax(last, -1)
-                sampled = jax.random.categorical(
-                    rng, last / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
-                nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+                nxt = sample(logits[:, -1], temps, rng,
+                             top_ps if use_top_p else None)
                 return nxt[:, None], cache, istate
 
-            self._jit_steps_controlled[window] = jax.jit(
+            self._jit_steps_controlled[key] = jax.jit(
                 step, donate_argnums=(2, 3))
-        return self._jit_steps_controlled[window]
+        return self._jit_steps_controlled[key]
 
     def _neg_prefill_fn(self, bucket: int):
         key = ("negative", bucket)
@@ -294,16 +317,18 @@ class ServingEngine:
         """Decode step when any negative-weighted slot is active; also
         carries per-request sense weights and (if present) annealed control
         slots, so all three intervention modes share the batch."""
-        key = (window, self._uses_control)
+        key = (window, self._uses_control, self._uses_top_p)
         if key not in self._jit_steps_negative:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
             ann_ctl = self.annealing_scale
             uses_control = self._uses_control
             win = None if window >= self.max_seqlen else window
+            use_top_p = self._uses_top_p
+            sample = self._sample_tokens
 
-            def step(params, toks, cache, nstate, istate, temps, rng, req_w,
-                     cmask, nmask, ctable, ntable):
+            def step(params, toks, cache, nstate, istate, temps, top_ps, rng,
+                     req_w, cmask, nmask, ctable, ntable):
                 if uses_control:
                     istate, w = iv.advance_weighted_state(
                         params, cfg, toks, cache, istate, ctable, anneal=True,
@@ -318,11 +343,8 @@ class ServingEngine:
                     annealing_scale=self.negative_annealing_scale,
                     quantile=self.negative_quantile, use_flash=use_flash,
                     negative_mask=nmask, sense_weights=w, window=win)
-                last = logits[:, -1]
-                greedy = jnp.argmax(last, -1)
-                sampled = jax.random.categorical(
-                    rng, last / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
-                nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+                nxt = sample(logits[:, -1], temps, rng,
+                             top_ps if use_top_p else None)
                 return nxt[:, None], cache, nstate, istate
 
             self._jit_steps_negative[key] = jax.jit(step,
@@ -386,11 +408,18 @@ class ServingEngine:
         self.host_lengths[slot] = plen
         self.temps[slot] = temp
         self.sense_weights[slot] = w
+        top_p = self._meta_top_p.pop(rid, 1.0)
+        self.top_ps[slot] = top_p
+        if top_p < 1.0:
+            self._uses_top_p = True
         if sw is not None:
             self._uses_weights = True
         if temp > 0:
             self._rng, sub = jax.random.split(self._rng)
-            tok = int(jax.random.categorical(sub, last_logits / temp))
+            tok = int(self._sample_tokens(
+                last_logits[None], jnp.asarray([temp], jnp.float32), sub,
+                jnp.asarray([top_p], jnp.float32) if top_p < 1.0 else None
+            )[0])
         else:
             tok = int(jnp.argmax(last_logits))
         self.tokens = self.tokens.at[slot, 0].set(tok)
@@ -490,6 +519,7 @@ class ServingEngine:
             finished=True)
         self.control_mask[slot] = False
         self.negative_mask[slot] = False
+        self.top_ps[slot] = 1.0
         self.sched.release(slot)
 
     # ------------------------------------------------------------ stepping
@@ -513,7 +543,8 @@ class ServingEngine:
                       else jnp.ones((1, self.cfg.num_senses), jnp.float32))
             self.tokens, self.cache, self.nstate, self.istate = step(
                 self.params, self.tokens, self.cache, self.nstate,
-                self.istate, jnp.asarray(self.temps), sub,
+                self.istate, jnp.asarray(self.temps),
+                jnp.asarray(self.top_ps), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask),
                 jnp.asarray(self.negative_mask), ctable,
@@ -522,14 +553,14 @@ class ServingEngine:
             step = self._ctl_step_fn(window)
             self.tokens, self.cache, self.istate = step(
                 self.params, self.tokens, self.cache, self.istate,
-                jnp.asarray(self.temps), sub,
+                jnp.asarray(self.temps), jnp.asarray(self.top_ps), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask), self.control_table)
         else:
             step = self._step_fn(self._uses_weights, window)
             self.tokens, self.cache = step(
                 self.params, self.tokens, self.cache,
-                jnp.asarray(self.temps), sub,
+                jnp.asarray(self.temps), jnp.asarray(self.top_ps), sub,
                 jnp.asarray(self.sense_weights))
         toks = np.asarray(self.tokens[:, 0])
         out = []

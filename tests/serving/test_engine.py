@@ -339,3 +339,39 @@ def test_engine_stats_surface(setup):
     assert s["wall_s"] > 0 and s["tokens_per_s"] > 0
     assert s["mean_step_ms"] > 0
     assert 0 < s["mean_batch"] <= 4
+
+
+def test_engine_per_request_top_p(setup):
+    """Per-request nucleus sampling: a top_p request is served next to plain
+    greedy/sampling ones; top_p=1.0 path is untouched; runs reproduce."""
+    cfg, params = setup
+    prompt = [2, 7, 1]
+
+    def run(top_p, seed=0):
+        eng = ServingEngine(params, cfg, max_slots=3, max_seqlen=32,
+                            cache_dtype=jnp.float32, use_flash=False,
+                            eos_id=-1, seed=seed)
+        r_greedy = eng.submit(prompt, max_new_tokens=6)
+        r_p = eng.submit(prompt, max_new_tokens=6, temperature=1.0,
+                         top_p=top_p)
+        res = eng.run()
+        return res[r_greedy].tokens, res[r_p].tokens
+
+    g1, p_small = run(0.3)
+    g2, p_full = run(1.0)
+    assert g1 == g2 == _direct_greedy(cfg, params, prompt, 6)  # greedy slot
+    assert run(0.3) == (g1, p_small)                           # reproducible
+    # tiny nucleus behaves like (near-)greedy more often than the full dist
+    g3, p_tiny = run(1e-6)
+    assert p_tiny == g3                    # nucleus of 1e-6 = argmax only
+
+
+def test_engine_top_p_validation(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=16,
+                        cache_dtype=jnp.float32, use_flash=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.submit([1, 2], top_p=0.0)
+    with _pytest.raises(ValueError):
+        eng.submit([1, 2], top_p=1.5)
