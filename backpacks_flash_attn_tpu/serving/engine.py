@@ -13,9 +13,9 @@ uniform batch with a Python loop that re-runs the full forward per token
     retire and their slots are immediately reusable
   * scheduling (queue, slots, budgets, EOS) lives in the native C++
     scheduler (csrc/scheduler.cpp) via ctypes, off the device-dispatch path
-  * per-request sampling (temperature/top-k via a (b,) temperature vector)
-    and per-request sense-weight interventions ((b, nv) control vectors —
-    the §2.4 capability, served)
+  * per-request sampling (greedy / temperature / nucleus top-p via (b,)
+    vectors) and per-request sense-weight interventions ((b, nv) control
+    vectors — the §2.4 capability, served)
 """
 
 from __future__ import annotations
@@ -133,8 +133,8 @@ class ServingEngine:
         self._prompts: Dict[int, np.ndarray] = {}
         self._results: Dict[int, RequestResult] = {}
         self._jit_prefill = {}
-        self._jit_steps = {}        # keyed (weighted, window)
-        self._jit_steps_controlled = {}   # keyed window
+        self._jit_steps = {}        # keyed (weighted, window, top_p?)
+        self._jit_steps_controlled = {}   # keyed (window, top_p?)
 
     # ------------------------------------------------------------ submit
 
