@@ -56,13 +56,17 @@ class HarnessLM:
         self.eot = eot_token_id
         self.buckets = sorted({min(b, max_length) for b in buckets})
         self.generate_fn = generate_fn
+        self._engine = None
         self._score_jit = {}
 
     # ---------------------------------------------------------- constructors
 
     @classmethod
     def backpack(cls, params, cfg, tokenizer, *, use_flash: bool = True,
-                 **kw) -> "HarnessLM":
+                 engine: bool = False, **kw) -> "HarnessLM":
+        """engine=True serves generate_until through the continuous-batching
+        ServingEngine (one admission per request, shared decode steps)
+        instead of one jitted generation per prompt."""
         from ..models import backpack as bp
         from ..utils import generation as gen
 
@@ -74,7 +78,15 @@ class HarnessLM:
                                          use_flash=use_flash).sequences
 
         kw.setdefault("max_length", cfg.n_positions)
-        return cls(apply_fn, params, tokenizer, generate_fn=generate_fn, **kw)
+        self = cls(apply_fn, params, tokenizer, generate_fn=generate_fn, **kw)
+        if engine:
+            from ..serving.engine import ServingEngine
+            self._engine = ServingEngine(
+                params, cfg, max_slots=self.batch_size,
+                max_seqlen=self.max_length, use_flash=use_flash,
+                eos_id=self.eot,
+                cache_dtype=jax.tree.leaves(params)[0].dtype)
+        return self
 
     @classmethod
     def gpt(cls, params, cfg, tokenizer, *, use_flash: bool = True,
@@ -181,6 +193,8 @@ class HarnessLM:
                        ) -> List[str]:
         """[(context, {"until": [stops], "max_gen_toks": n})] -> completions,
         greedy, truncated at the first stop sequence."""
+        if self._engine is not None:
+            return self._generate_until_served(requests)
         if self.generate_fn is None:
             raise ValueError("this HarnessLM was built without a generate_fn")
         out = []
@@ -193,6 +207,30 @@ class HarnessLM:
             seq = self.generate_fn(self.params, ids,
                                    len(toks) + max_new)
             text = self.tok.decode(np.asarray(seq[0, len(toks):]).tolist())
+            for s in stops:
+                idx = text.find(s)
+                if idx >= 0:
+                    text = text[:idx]
+            out.append(text)
+        return out
+
+    def _generate_until_served(self, requests) -> List[str]:
+        """Continuous-batching generation: every request is admitted to the
+        ServingEngine and decoded in shared steps (greedy, EOS = eot)."""
+        rids, metas = [], []
+        for ctx, kwargs in requests:
+            max_new = int(kwargs.get("max_gen_toks", 32))
+            toks = (self.tok.encode(ctx) or [self.eot])
+            toks = toks[-(self.max_length - max_new):]
+            rids.append(self._engine.submit(toks, max_new_tokens=max_new))
+            metas.append(list(kwargs.get("until", [])))
+        results = self._engine.run()
+        out = []
+        for rid, stops in zip(rids, metas):
+            toks = results[rid].tokens
+            if toks and toks[-1] == self.eot:   # engine stops AT eos
+                toks = toks[:-1]
+            text = self.tok.decode(toks)
             for s in stops:
                 idx = text.find(s)
                 if idx >= 0:

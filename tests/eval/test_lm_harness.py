@@ -126,3 +126,18 @@ def test_gpt_constructor():
     res = adapter.loglikelihood([("ab", "c"), ("d", "e"), ("f", "g")])
     assert len(res) == 3
     assert all(np.isfinite(lp) for lp, _ in res)
+
+
+def test_generate_until_served_matches_loop(lm):
+    """engine=True continuous-batching generation == the per-prompt loop
+    (both greedy; no EOS in toy vocab range so lengths are full)."""
+    adapter, params, cfg = lm
+    served = lh.HarnessLM.backpack(params, cfg, ToyTok(), use_flash=False,
+                                   batch_size=4, eot_token_id=0,
+                                   buckets=(16, 32), engine=True)
+    reqs = [("abc", {"until": [], "max_gen_toks": 5}),
+            ("fg h", {"until": [], "max_gen_toks": 5}),
+            ("a", {"until": [], "max_gen_toks": 5})]
+    want = adapter.generate_until(reqs)
+    got = served.generate_until(reqs)
+    assert got == want
