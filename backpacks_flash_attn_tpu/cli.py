@@ -8,6 +8,7 @@ training/src/modulate_generate.py (knowledge-editing REPL), as one CLI:
     python -m backpacks_flash_attn_tpu.cli \
         --checkpoint last.ckpt --model backpack-small \
         [--vocab vocab.json --merges merges.txt] [--int8] [--temperature 0.8]
+        [--top-p 0.95]
 
 Without tokenizer files, prompts are space-separated token ids. Commands
 inside the REPL:
@@ -114,7 +115,7 @@ class Repl:
             return self.decode(gen[0])
         out = generation.generate_backpack(
             self.params, self.cfg, ids, max_length=ids.shape[1] + n,
-            temperature=self.args.temperature,
+            temperature=self.args.temperature, top_p=self.args.top_p,
             rng=sub if self.args.temperature > 0 else None,
             sense_edit=self.sense_edit)
         return self.decode(np.asarray(out.sequences)[0, ids.shape[1]:])
@@ -175,6 +176,8 @@ def main(argv=None):
     p.add_argument("--merges", default=None)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="nucleus sampling cutoff (1.0 = off)")
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
