@@ -211,7 +211,8 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                      sense_weights: Optional[jax.Array] = None,
                      sense_edit: Optional[Tuple[jax.Array, jax.Array]] = None,
                      return_parts: bool = False, remat=False,
-                     scan_unroll: int = 1):
+                     scan_unroll: int = 1,
+                     fused_ctx: Optional[bool] = None):
     """Training-shape forward -> logits (b, s, vocab)
     (reference: BackpackLMHeadModel.forward, backpack.py:297-351).
 
@@ -225,7 +226,9 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     blocks AND the (b, nv, s, s) alpha tensor in the backward pass — alpha
     is the dominant training activation (0.5GB at batch 32 for
     backpack-small) and is cheap to recompute. scan_unroll unrolls the
-    layer scans (see gpt.gpt_forward).
+    layer scans (see gpt.gpt_forward). fused_ctx overrides whether the
+    combine uses the fused Pallas kernel (default: follows use_flash) —
+    the A/B knob for bench_train.py's einsum-alpha baseline.
     """
     r_gpt, r_content = (jax.random.split(rng) if rng is not None else (None, None))
     contextl = gpt_lib.gpt_forward(params["gpt"], cfg, input_ids, train=train,
@@ -243,7 +246,9 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
             content = content * sense_weights[..., None].astype(content.dtype)
 
     # out[b,t,d] = sum_k alpha[b,k,t,j] content[b,j,k,d]  (backpack.py:313)
-    if use_flash and not return_parts:
+    if fused_ctx is None:
+        fused_ctx = use_flash
+    if fused_ctx and not return_parts:
         # fused Pallas path: qk scores -> causal softmax -> alpha @ content
         # in one pass per sense head; alpha (b, nv, s, s) never exists
         # (SURVEY.md §7.2 Phase 3). The einsum below remains the oracle

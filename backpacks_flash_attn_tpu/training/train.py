@@ -96,18 +96,19 @@ class TrainState(NamedTuple):
 
 def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
                  label_smoothing: float = 0.0, remat=False,
-                 scan_unroll: int = 1) -> Callable:
+                 scan_unroll: int = 1, fused_ctx=None) -> Callable:
     """batch: {'input_ids': (b, s+1)} — the LM splits x=ids[:, :-1],
     y=ids[:, 1:] (the reference's chunked LM dataset contract,
     training/src/datamodules/datasets/lm_dataset.py:10-32)."""
     fwd = (bp.backpack_forward if model == "backpack"
            else functools.partial(gpt_lib.gpt_lm_forward))
+    extra = {"fused_ctx": fused_ctx} if model == "backpack" else {}
 
     def loss_fn(params, batch, rng):
         ids = batch["input_ids"]
         x, y = ids[:, :-1], ids[:, 1:]
         logits = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash,
-                     remat=remat, scan_unroll=scan_unroll)
+                     remat=remat, scan_unroll=scan_unroll, **extra)
         return cross_entropy_loss(logits, y, label_smoothing=label_smoothing)
 
     return loss_fn
@@ -115,7 +116,8 @@ def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
 
 def make_train_step(cfg, tx, *, model: str = "backpack",
                     use_flash: bool = True, remat=False, scan_unroll: int = 1,
-                    donate: bool = True, grad_zero2_mesh=None) -> Callable:
+                    donate: bool = True, grad_zero2_mesh=None,
+                    fused_ctx=None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics); jit it with
     the desired shardings (see make_sharded_train_step).
 
@@ -126,7 +128,7 @@ def make_train_step(cfg, tx, *, model: str = "backpack",
     the apply step (the pjit analogue of the reference's gradient-sharding
     DDP strategy, training/src/utils/ddp_zero2.py:21-128)."""
     loss_fn = make_loss_fn(cfg, model=model, use_flash=use_flash, remat=remat,
-                           scan_unroll=scan_unroll)
+                           scan_unroll=scan_unroll, fused_ctx=fused_ctx)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

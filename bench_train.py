@@ -33,10 +33,11 @@ from backpacks_flash_attn_tpu.training import train as train_lib
 V5E_PEAK_BF16 = 197e12
 
 
-def build_step(cfg, tx, remat, unroll, steps):
+def build_step(cfg, tx, remat, unroll, steps, fused_ctx=None):
     step_fn = train_lib.make_train_step(cfg, tx, model="backpack",
                                         use_flash=True, remat=remat,
-                                        scan_unroll=unroll)
+                                        scan_unroll=unroll,
+                                        fused_ctx=fused_ctx)
 
     def run(state, batch, rng):
         def body(s, _):
@@ -83,14 +84,21 @@ def main():
 
     results = {}
     for spec in args.variants.split(","):
-        remat_s, unroll_s = spec.split(":")
+        parts = spec.split(":")
+        remat_s, unroll_s = parts[0], parts[1]
+        # optional third field: 'einsum' = unfused alpha baseline (the
+        # round-1 O(s^2)-alpha path; flash attention stays ON) for a clean
+        # fused-contextualization A/B
+        fused_ctx = None if "einsum" not in parts[2:] else False
         remat = {"none": False, "full": True}.get(remat_s, remat_s)
         unroll = int(unroll_s)
-        print(f"== variant remat={remat_s} unroll={unroll}", flush=True)
+        print(f"== variant remat={remat_s} unroll={unroll} "
+              f"fused_ctx={fused_ctx is None}", flush=True)
         state = train_lib.TrainState(
             jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
             jnp.zeros((), jnp.int32))
-        fn = build_step(cfg, tx, remat, unroll, args.steps)
+        fn = build_step(cfg, tx, remat, unroll, args.steps,
+                        fused_ctx=fused_ctx)
         t0 = time.time()
         state, losses = fn(state, batch, rng)
         _ = np.asarray(losses)
