@@ -27,7 +27,7 @@ from backpacks_flash_attn_tpu.models import backpack as bp
 from backpacks_flash_attn_tpu.models import quantized as qz
 
 PROMPT = 32
-MAX_LEN = 512
+MAX_LEN = 512     # backpack-test smoke uses 8/32 (see --model)
 
 
 def segments(granularity: int):
@@ -102,13 +102,21 @@ def main():
                     help="comma list of batch:window_granularity")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--json", default="")
+    ap.add_argument("--model", default="backpack-small",
+                    help="backpack-small, or backpack-test for a CPU smoke")
     ap.add_argument("--profile", default="",
                     help="config (e.g. 128:128) to trace + digest (per-fusion "
                          "GB/s vs the ~819 GB/s v5e spec)")
     ap.add_argument("--trace-dir", default="/tmp/decode_trace")
     args = ap.parse_args()
 
-    cfg = backpack_small(vocab_size=50257)
+    global PROMPT, MAX_LEN
+    if args.model == "backpack-test":
+        from backpacks_flash_attn_tpu.config import backpack_test
+        cfg = backpack_test()
+        PROMPT, MAX_LEN = 8, 32
+    else:
+        cfg = backpack_small(vocab_size=50257)
     params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     qparams = qz.quantize_backpack_params(params, cfg, bits=8)
     del params
