@@ -281,3 +281,22 @@ def test_flash_attn_bias(bshape, causal):
     for name, gk, gr in zip("qkvb", vjp_k(ct), vjp_r(ct)):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                    atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_flash_cross_attention_lengths():
+    """Cross-attention shape (q_len != kv_len, non-causal) — the reference's
+    FlashCrossAttention capability (flash_attn/modules/mha.py:329-351); here
+    it is the same kernel with distinct q/kv lengths."""
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, sq, skv, h, d = 2, 48, 160, 3, 64
+    q = jax.random.normal(k1, (b, sq, h, d), jnp.float32)
+    k = jax.random.normal(k2, (b, skv, h, d), jnp.float32)
+    v = jax.random.normal(k3, (b, skv, h, d), jnp.float32)
+    out = flash_attention(q, k, v, causal=False, block_q=64, block_k=64)
+    scale = d ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
