@@ -127,6 +127,49 @@ def gpt2_large(**kw) -> GPTConfig:
     return GPTConfig(n_embd=1280, n_head=20, n_layer=36, **kw)
 
 
+def gpt2_xlarge(**kw) -> GPTConfig:
+    return GPTConfig(n_embd=1600, n_head=25, n_layer=48, **kw)
+
+
+# GPT-3-style Pile configs (reference: training/configs/experiment/pile/
+# gpt3{s,m,l,xl}-flash[-rotary][-8k].yaml, gpt3-2.7B-flash-hdim128-rotary):
+# GPT-2 widths at 2048 (or 8192) context; rotary variants use fraction 0.5
+# with learned positions dropped, the long-context shapes the flash kernel's
+# O(s) memory makes trainable.
+def _gpt3(embd, head, layer, *, seqlen=2048, rotary=False, **kw):
+    kw.setdefault("pad_vocab_size_multiple", 8)
+    if rotary:
+        kw.setdefault("rotary_emb_fraction", 0.5)
+        kw.setdefault("n_positions", 0)       # rotary replaces learned pos
+        # (seqlen is then a cache/dataset-size choice, not a config field)
+    else:
+        kw.setdefault("n_positions", seqlen)
+    kw.setdefault("n_embd", embd)
+    kw.setdefault("n_head", head)
+    kw.setdefault("n_layer", layer)
+    return GPTConfig(**kw)
+
+
+def gpt3_small(**kw) -> GPTConfig:     # 125M
+    return _gpt3(768, 12, 12, **kw)
+
+
+def gpt3_medium(**kw) -> GPTConfig:    # 355M
+    return _gpt3(1024, 16, 24, **kw)
+
+
+def gpt3_large(**kw) -> GPTConfig:     # 760M
+    return _gpt3(1536, 16, 24, **kw)
+
+
+def gpt3_xl(**kw) -> GPTConfig:        # 1.3B
+    return _gpt3(2048, 16, 24, **kw)
+
+
+def gpt3_2_7b(**kw) -> GPTConfig:      # 2.7B, head_dim 80 (or 128 w/ 20 heads)
+    return _gpt3(2560, 32, 32, **kw)
+
+
 # tiny configs for tests
 def backpack_test(**kw) -> BackpackConfig:
     kw.setdefault("vocab_size", 512)

@@ -142,3 +142,27 @@ def test_attn_dwconv_matches_torch_conv1d():
     np.testing.assert_allclose(np.asarray(base[:, :6]), np.asarray(pert[:, :6]),
                                atol=1e-5)
     assert np.abs(np.asarray(base[:, 6:]) - np.asarray(pert[:, 6:])).max() > 1e-4
+
+
+def test_gpt3_config_family():
+    """GPT-3-style Pile configs (reference: configs/experiment/pile/
+    gpt3*-flash[-rotary].yaml): 2048 context, rotary variants drop learned
+    positions and rotate half the head dim."""
+    from backpacks_flash_attn_tpu import config as C
+    for name, embd in (("gpt3_small", 768), ("gpt3_medium", 1024),
+                       ("gpt3_large", 1536), ("gpt3_xl", 2048),
+                       ("gpt3_2_7b", 2560)):
+        cfg = getattr(C, name)()
+        assert cfg.n_embd == embd and cfg.n_positions == 2048, name
+        r = getattr(C, name)(rotary=True)
+        assert r.n_positions == 0 and r.rotary_emb_fraction == 0.5, name
+    assert C.gpt3_small(seqlen=8192).n_positions == 8192   # the -8k variants
+
+    # tiny rotary forward exercises the no-learned-positions path
+    cfg = C.gpt3_small(rotary=True, vocab_size=512, n_embd=64, n_head=4,
+                       n_layer=2)
+    import jax
+    from backpacks_flash_attn_tpu.models import gpt as g
+    p = g.init_gpt(cfg, jax.random.PRNGKey(0))
+    h = g.gpt_forward(p, cfg, jnp.ones((1, 16), jnp.int32), use_flash=False)
+    assert h.shape == (1, 16, 64)
