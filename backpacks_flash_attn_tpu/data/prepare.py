@@ -161,3 +161,60 @@ def prepare_hf_dataset(dataset_name: str, *, cache_dir: str, tag: str,
         ds[text_column], path, tokenizer_factory=tokenizer_factory,
         eos_id=eos_id, dtype=dtype, num_workers=num_workers,
         chunk_docs=chunk_docs)
+
+
+def main(argv=None) -> None:
+    """CLI: prepare a flat token corpus (reference prepare_data entry,
+    language_modeling_hf.py:80-95).
+
+        python -m backpacks_flash_attn_tpu.data.prepare \
+            --text-file docs.txt --out corpus.npy \
+            [--vocab vocab.json --merges merges.txt] [--workers 8]
+        python -m backpacks_flash_attn_tpu.data.prepare \
+            --dataset openwebtext --cache-dir data --tag owt   # needs hub
+    """
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--text-file",
+                   help="local newline-delimited documents (offline path)")
+    p.add_argument("--out", help="output .npy (required with --text-file)")
+    p.add_argument("--dataset", help="HF dataset name (network-gated)")
+    p.add_argument("--dataset-config", default=None)
+    p.add_argument("--split", default="train")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--cache-dir", default="data")
+    p.add_argument("--tag", default=None)
+    p.add_argument("--vocab", help="vocab.json for the offline native BPE")
+    p.add_argument("--merges", help="merges.txt for the offline native BPE")
+    p.add_argument("--eos-id", type=int, default=EOS_GPT2)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--chunk-docs", type=int, default=1024)
+    a = p.parse_args(argv)
+    if bool(a.text_file) == bool(a.dataset):
+        p.error("exactly one of --text-file / --dataset")
+
+    factory = (native_tokenizer_factory(a.vocab, a.merges)
+               if a.vocab and a.merges else None)
+    if a.text_file:
+        if not a.out:
+            p.error("--out is required with --text-file")
+        if factory is None:
+            p.error("--text-file needs --vocab/--merges (raw text must be "
+                    "tokenized; without them texts are treated as id lists)")
+        with open(a.text_file, encoding="utf-8") as f:
+            texts = [line.rstrip("\n") for line in f if line.strip()]
+        toks = encode_corpus_parallel(
+            texts, a.out, tokenizer_factory=factory, eos_id=a.eos_id,
+            num_workers=a.workers, chunk_docs=a.chunk_docs)
+        print(f"{a.out}: {len(toks):,} tokens from {len(texts):,} documents")
+    else:
+        toks = prepare_hf_dataset(
+            a.dataset, cache_dir=a.cache_dir, tag=a.tag or a.dataset,
+            split=a.split, text_column=a.text_column,
+            dataset_config=a.dataset_config, tokenizer_factory=factory,
+            eos_id=a.eos_id, num_workers=a.workers, chunk_docs=a.chunk_docs)
+    print(f"prepared {len(toks):,} tokens")
+
+
+if __name__ == "__main__":
+    main()

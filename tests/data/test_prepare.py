@@ -80,3 +80,36 @@ def test_native_tokenizer_factory_end_to_end(tmp_path):
         eos_id=slow.eos_token_id, dtype=np.uint16, num_workers=2,
         chunk_docs=1)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_prepare_cli_text_file(tmp_path):
+    """python -m ...data.prepare --text-file: offline raw-text -> corpus."""
+    import json
+
+    from backpacks_flash_attn_tpu.data import prepare as prep
+    from backpacks_flash_attn_tpu.utils.tokenizer import GPT2Tokenizer
+
+    corpus = ["aa bb cc", "bb cc dd"]
+    slow = GPT2Tokenizer.train_toy(corpus * 3, vocab_size=320)
+    (tmp_path / "vocab.json").write_text(json.dumps(slow.encoder))
+    ms = sorted(slow.bpe_ranks.items(), key=lambda kv: kv[1])
+    (tmp_path / "merges.txt").write_text(
+        "#v\n" + "\n".join(f"{a} {b}" for (a, b), _ in ms) + "\n")
+    (tmp_path / "docs.txt").write_text("\n".join(corpus) + "\n")
+    out = tmp_path / "corpus.npy"
+    prep.main(["--text-file", str(tmp_path / "docs.txt"), "--out", str(out),
+               "--vocab", str(tmp_path / "vocab.json"),
+               "--merges", str(tmp_path / "merges.txt"), "--workers", "0"])
+    got = np.load(str(out))
+    want = encode_corpus(corpus, slow, eos_id=slow.eos_token_id)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prepare_cli_rejects_text_without_tokenizer(tmp_path):
+    import pytest as _pytest
+
+    from backpacks_flash_attn_tpu.data import prepare as prep
+    (tmp_path / "d.txt").write_text("hello\n")
+    with _pytest.raises(SystemExit):
+        prep.main(["--text-file", str(tmp_path / "d.txt"),
+                   "--out", str(tmp_path / "o.npy")])
