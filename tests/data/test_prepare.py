@@ -99,7 +99,8 @@ def test_prepare_cli_text_file(tmp_path):
     out = tmp_path / "corpus.npy"
     prep.main(["--text-file", str(tmp_path / "docs.txt"), "--out", str(out),
                "--vocab", str(tmp_path / "vocab.json"),
-               "--merges", str(tmp_path / "merges.txt"), "--workers", "0"])
+               "--merges", str(tmp_path / "merges.txt"), "--workers", "0",
+               "--eos-id", str(slow.eos_token_id)])
     got = np.load(str(out))
     want = encode_corpus(corpus, slow, eos_id=slow.eos_token_id)
     np.testing.assert_array_equal(got, want)
