@@ -1,24 +1,47 @@
 #!/bin/bash
-# ONE sequential TPU bench session (NOTES.md: never run concurrent TPU work,
-# never kill mid-flight). Run from /root/repo with NO PYTHONPATH:
+# ONE sequential TPU bench session (NOTES.md: no concurrent TPU work; a
+# process killed mid-compile/mid-flight wedges the tunnel for 25min-2.5h).
+# Each step re-checks tunnel health first: once a step times out (and its
+# kill has likely re-wedged the terminal), later steps are SKIPPED instead
+# of hanging into their own timeouts. Run from /root/repo, NO PYTHONPATH:
 #   nohup bash run_tpu_benches.sh > /tmp/tpu_benches.log 2>&1 &
 set -x
 cd /root/repo
-date
-# 1. training-MFU variant matrix (VERDICT next-round item 1)
-timeout 10000 python bench_train.py --steps 8 --reps 3 \
-    --variants none:1,dots:1,full:1,none:4 --profile none:1 \
+
+healthy () {
+  timeout 300 python - <<'PY'
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((128, 128))
+print("probe:", np.asarray((x @ x).sum()))
+PY
+}
+
+run_step () {  # run_step <timeout_s> <cmd...>
+  local t="$1"; shift
+  if ! healthy; then echo "TUNNEL UNHEALTHY — skipping: $*"; return 1; fi
+  date
+  timeout "$t" "$@"
+  local rc=$?
+  date
+  return $rc
+}
+
+# 1. training-MFU variant matrix (VERDICT next-round item 1); the riskiest
+#    compile (einsum-alpha baseline) is deliberately the LAST variant.
+run_step 6000 python bench_train.py --steps 8 --reps 3 \
+    --variants none:1,dots:1,full:1,none:4,none:1:einsum --profile none:1 \
     --json /tmp/bench_train_r2.json
-date
+
 # 2. decode levers: batch x window-granularity (VERDICT item 3)
-timeout 10000 python bench_decode_sweep.py --profile 128:64 \
+run_step 6000 python bench_decode_sweep.py --profile 128:64 \
     --configs 128:128,128:64,256:128,256:64 --json /tmp/bench_decode_r2.json
-date
+
 # 3. the official headline bench (sanity reproduction)
-timeout 6000 python bench.py
-date
+run_step 3000 python bench.py
+
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT item 8: int4 margin on a less trivial model)
+if healthy; then
 python - <<'PY'
 import numpy as np
 from backpacks_flash_attn_tpu.data.synthetic import bigram_corpus
@@ -26,13 +49,12 @@ toks, floor = bigram_corpus(6_000_000, seed=0)
 np.save("/tmp/bigram6m.npy", toks)
 print("corpus ready, entropy floor ppl:", float(np.exp(floor)))
 PY
-timeout 10000 python -m backpacks_flash_attn_tpu.training.train_cli \
+run_step 7200 python -m backpacks_flash_attn_tpu.training.train_cli \
     --corpus /tmp/bigram6m.npy --model backpack-mini --steps 2500 \
     --batch-size 16 --seqlen 512 --warmup-steps 250 \
     --workdir /tmp/runs/bp-mini-r2
-date
-timeout 4000 python -m backpacks_flash_attn_tpu.eval.quant_gates \
+run_step 2400 bash -c 'python -m backpacks_flash_attn_tpu.eval.quant_gates \
     --workdir /tmp/runs/bp-mini-r2 --corpus /tmp/bigram6m.npy \
-    --model backpack-mini | tee /tmp/gates_mini_r2.json
-date
+    --model backpack-mini | tee /tmp/gates_mini_r2.json'
+fi
 echo ALL-DONE
