@@ -1,0 +1,80 @@
+"""Ring (context-parallel) attention vs the single-device reference.
+
+The reference has no CP (SURVEY.md §2.7); these tests pin the shard_map
+ppermute ring (parallel/ring_attention.py) to the exact outputs and
+gradients of ops.attention.mha_reference on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.ops.attention import mha_reference
+from backpacks_flash_attn_tpu.parallel import ring_attention as ra
+
+
+def _mesh(n):
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:n]), ("seq",))
+
+
+def _qkv(key, b, s, h, d):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return (jax.random.normal(k1, (b, s, h, d), jnp.float32),
+            jax.random.normal(k2, (b, s, h, d), jnp.float32),
+            jax.random.normal(k3, (b, s, h, d), jnp.float32))
+
+
+@pytest.mark.parametrize("n_dev,causal", [(4, True), (8, True), (4, False),
+                                          (2, True)])
+def test_ring_matches_reference(n_dev, causal):
+    q, k, v = _qkv(jax.random.PRNGKey(0), 2, 64, 2, 16)
+    mesh = _mesh(n_dev)
+    attn = ra.make_ring_attention(mesh, causal=causal)
+    with mesh:
+        got = jax.jit(attn)(q, k, v)
+    want = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("remat", [True, False])
+def test_ring_gradients_match_reference(remat):
+    q, k, v = _qkv(jax.random.PRNGKey(1), 1, 32, 2, 8)
+    t = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 2, 8))
+    mesh = _mesh(4)
+    attn = ra.make_ring_attention(mesh, causal=True, remat=remat)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(attn(q, k, v) * t)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) * t)
+
+    with mesh:
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
+
+
+def test_ring_output_independent_of_mesh_size():
+    q, k, v = _qkv(jax.random.PRNGKey(3), 1, 48, 1, 8)
+    outs = []
+    for n in (2, 4):   # 48 divides by both
+        mesh = _mesh(n)
+        with mesh:
+            outs.append(np.asarray(jax.jit(
+                ra.make_ring_attention(mesh))(q, k, v)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-6, rtol=2e-6)
+
+
+def test_ring_custom_scale():
+    q, k, v = _qkv(jax.random.PRNGKey(4), 1, 32, 1, 8)
+    mesh = _mesh(4)
+    with mesh:
+        got = jax.jit(ra.make_ring_attention(mesh, softmax_scale=0.1))(
+            q, k, v)
+    want = mha_reference(q, k, v, causal=True, softmax_scale=0.1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
