@@ -1,0 +1,141 @@
+"""Context-parallel Backpack training: the whole forward sequence-sharded.
+
+Builds on parallel/ring_attention.py (which the reference has no analogue
+of — SURVEY.md §2.7 "CP: none"): every per-token computation (embeddings,
+LayerNorms, MLPs, content network, lm_head, cross-entropy) runs on the local
+sequence chunk, and BOTH attention-shaped contractions ride the K/V ppermute
+ring:
+
+  * the GPT stack's self-attention (q, k, v from the local chunk), and
+  * the Backpack contextualization itself — alpha is attention whose values
+    are the d-wide sense vectors (models/backpack.py combine), so the same
+    ring primitive computes sum_k softmax_j(q_k . k_j) @ content_j with
+    nv "heads" and per-head outputs summed.
+
+Max trainable context therefore scales with mesh.shape['seq'] instead of
+one chip's HBM — the CP counterpart of the reference's single-GPU 64K
+FlashAttention claim (flash_attn_README.md:93).
+
+Loss and gradients are exactly the single-device backpack_forward loss
+(tests/parallel/test_cp_train.py); dropout runs in deterministic (eval)
+math — per-chunk rng derivation is the noted follow-up. Rotary embeddings
+are supported via per-chunk absolute offsets; attn_dwconv (a cross-token
+conv) is not.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import BackpackConfig
+from ..models import backpack as bp
+from ..models import gpt as gpt_lib
+from ..ops import dense, norms, rotary
+from ..ops.cross_entropy import cross_entropy_loss
+from .ring_attention import ring_attention_local
+
+Params = Any
+
+
+def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0):
+    assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
+    eps = cfg.layer_norm_epsilon
+
+    def local_loss(params, ids):
+        i = lax.axis_index("seq")
+        x, y = ids[:, :-1], ids[:, 1:]
+        b, s = x.shape
+        Sx = lax.axis_size("seq")
+        c = s // Sx
+        off = i * c
+        x_loc = lax.dynamic_slice(x, (0, off), (b, c))
+        y_loc = lax.dynamic_slice(y, (0, off), (b, c))
+        pos = off + jnp.arange(c)
+
+        gp = params["gpt"]
+        hidden = gpt_lib.embed(gp, cfg, x_loc, pos[None])
+        hidden, residual = norms.dropout_add_layer_norm(
+            hidden, None, gp["ln_0"]["weight"], gp["ln_0"]["bias"], 0.0, eps)
+        scales = gpt_lib._softmax_scales(cfg)
+
+        def block(carry, xs):
+            h, r = carry
+            lp, scale = xs
+            qkv = dense.linear(h, lp["Wqkv"]).reshape(
+                b, c, 3, cfg.n_head, cfg.head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if cfg.rotary_emb_dim > 0:
+                q, k = rotary.apply_rotary_qk(
+                    q, k, cfg.rotary_emb_dim, seqlen_offset=off,
+                    scale_base=cfg.rotary_emb_scale_base)
+            ctx = ring_attention_local(q, k, v, axis="seq", causal=True,
+                                       softmax_scale=scale)
+            mixer_out = dense.linear(ctx.reshape(b, c, cfg.n_embd),
+                                     lp["out_proj"])
+            h, r = norms.dropout_add_layer_norm(
+                mixer_out, r, lp["norm1"]["weight"], lp["norm1"]["bias"],
+                0.0, eps)
+            mlp_out = dense.mlp(h, lp["mlp"], cfg.activation)
+            h, r = norms.dropout_add_layer_norm(
+                mlp_out, r, lp["norm2"]["weight"], lp["norm2"]["bias"],
+                0.0, eps)
+            return (h, r), None
+
+        (contextl, _), _ = lax.scan(block, (hidden, residual),
+                                    (gp["layers"], scales))
+
+        # Backpack tail: contextualization = ring attention with the d-wide
+        # sense vectors as values, per-sense outputs summed.
+        content = bp.content_forward(params, cfg, x_loc)     # (b, c, nv, d)
+        q_ctx, k_ctx = bp.context_qk(params, cfg, contextl)  # (b, c, nv, dnv)
+        per_sense = ring_attention_local(
+            q_ctx, k_ctx, content, axis="seq", causal=True,
+            softmax_scale=cfg.sense_head_dim ** -0.5)        # (b, c, nv, d)
+        outputs = per_sense.astype(jnp.float32).sum(axis=2).astype(
+            contextl.dtype)
+        logits = gpt_lib.lm_logits(gp, cfg, outputs)
+        loss = cross_entropy_loss(logits, y_loc,
+                                  label_smoothing=label_smoothing)
+        # equal chunk sizes: global token-mean = mean of chunk means
+        return lax.pmean(lax.pmean(loss, "seq"), "data")
+
+    return local_loss
+
+
+def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
+                    label_smoothing: float = 0.0):
+    """loss(params, ids (B, s+1)) -> scalar with the sequence sharded over
+    mesh axis 'seq' and the batch over 'data'; params replicated.
+    Differentiable end-to-end (ring transposes are the reverse ring);
+    s must divide by mesh.shape['seq']."""
+    body = _make_local_loss(cfg, label_smoothing=label_smoothing)
+
+    def loss(params, ids):
+        pspecs = jax.tree.map(lambda _: P(), params)
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(pspecs, P("data", None)),
+                           out_specs=P(), check_vma=False)
+        return fn(params, ids)
+
+    return loss
+
+
+def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh):
+    """Context-parallel train step (fwd + bwd + optimizer), jitted over
+    `mesh` ('data', 'seq'). step(params, opt_state, ids) ->
+    (params, opt_state, loss)."""
+    loss_fn = make_cp_loss_fn(cfg, mesh)
+
+    def step(params, opt_state, ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, ids)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))

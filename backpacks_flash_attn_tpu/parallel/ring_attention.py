@@ -49,6 +49,8 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
     S = lax.axis_size(axis)
     i = lax.axis_index(axis)
     b, c, h, d = q.shape
+    dv = v.shape[-1]    # value width may differ (Backpack contextualization
+    # uses dnv-dim q/k against d-dim sense-vector values)
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
     perm = [(r, (r + 1) % S) for r in range(S)]
@@ -77,7 +79,7 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
     step_fn = jax.checkpoint(step) if remat else step
     m0 = jnp.full((b, h, c), NEG, jnp.float32)
     l0 = jnp.zeros((b, h, c), jnp.float32)
-    o0 = jnp.zeros((b, h, c, d), jnp.float32)
+    o0 = jnp.zeros((b, h, c, dv), jnp.float32)
     (_, _, _, l, o), _ = lax.scan(step_fn, (k, v, m0, l0, o0),
                                   jnp.arange(S))
     l_safe = jnp.where(l == 0.0, 1.0, l)

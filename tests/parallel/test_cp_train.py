@@ -1,0 +1,95 @@
+"""Context-parallel Backpack training vs the single-device oracle.
+
+The reference has no CP; these tests pin the sequence-sharded forward
+(parallel/cp_train.py — GPT attention AND the Backpack contextualization on
+the ppermute ring) to the exact loss/gradients of backpack_forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.config import BackpackConfig
+from backpacks_flash_attn_tpu.models import backpack as bp
+from backpacks_flash_attn_tpu.ops.cross_entropy import cross_entropy_loss
+from backpacks_flash_attn_tpu.parallel import cp_train as cp
+
+
+def _mesh(data, seq):
+    devs = np.asarray(jax.devices()[:data * seq]).reshape(data, seq)
+    return jax.sharding.Mesh(devs, ("data", "seq"))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = BackpackConfig(vocab_size=512, n_positions=128, n_embd=64, n_head=4,
+                         n_layer=2, num_senses=4,
+                         scale_attn_by_inverse_layer_idx=True,
+                         pad_vocab_size_multiple=8, embd_pdrop=0.0,
+                         resid_pdrop=0.0, attn_pdrop=0.0)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0,
+                             cfg.vocab_size)
+    return cfg, params, ids
+
+
+def _oracle_loss(params, cfg, ids):
+    logits = bp.backpack_forward(params, cfg, ids[:, :-1], use_flash=False)
+    return cross_entropy_loss(logits, ids[:, 1:])
+
+
+@pytest.mark.parametrize("data,seq", [(2, 4), (1, 8), (2, 2)])
+def test_cp_loss_matches_oracle(setup, data, seq):
+    cfg, params, ids = setup
+    mesh = _mesh(data, seq)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh)
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids))
+    want = float(_oracle_loss(params, cfg, ids))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+
+
+def test_cp_grads_match_oracle(setup):
+    cfg, params, ids = setup
+    mesh = _mesh(2, 4)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh)
+    with mesh:
+        g_cp = jax.device_get(jax.jit(jax.grad(loss_fn))(params, ids))
+    g_ref = jax.grad(lambda p: _oracle_loss(p, cfg, ids))(params)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, g in jax.tree_util.tree_leaves_with_path(g_cp):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
+            atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_cp_rotary_variant():
+    """Rotary embeddings work under CP via per-chunk absolute offsets."""
+    cfg = BackpackConfig(vocab_size=256, n_positions=0, n_embd=64, n_head=4,
+                         n_layer=2, num_senses=2, rotary_emb_fraction=0.5,
+                         pad_vocab_size_multiple=8, embd_pdrop=0.0,
+                         resid_pdrop=0.0, attn_pdrop=0.0)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(2))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 33), 0, 256)
+    mesh = _mesh(1, 4)
+    with mesh:
+        got = float(jax.jit(cp.make_cp_loss_fn(cfg, mesh))(params, ids))
+    want = float(_oracle_loss(params, cfg, ids))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+
+
+def test_cp_train_step_reduces_loss(setup):
+    cfg, params, ids = setup
+    from backpacks_flash_attn_tpu.training import train as train_lib
+    mesh = _mesh(2, 4)
+    tx = train_lib.make_optimizer(params, lr=1e-2, warmup_steps=1,
+                                  total_steps=10)
+    step = cp.make_cp_train_step(cfg, tx, mesh)
+    opt_state = jax.jit(tx.init)(params)
+    p = params
+    with mesh:
+        losses = []
+        for _ in range(3):
+            p, opt_state, loss = step(p, opt_state, ids)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
