@@ -169,28 +169,90 @@ def zero1_opt_shardings(opt_state, mesh):
     return jax.tree.map(spec_for, opt_state)
 
 
-def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
-                            use_flash: bool = True, zero1: bool = False,
-                            zero2: bool = False, remat=False,
-                            scan_unroll: int = 1):
-    """jit the train step over the mesh: batch sharded on 'data', params TP-
-    sharded per parallel/mesh.py rules; optimizer state sharded like params,
-    or additionally over 'data' with zero1=True (ZeRO-1). zero2=True also
-    shards the GRADIENTS over 'data' (reduce-scatter instead of all-reduce)
-    before the optimizer — implies zero1."""
+def fsdp_param_shardings(params, cfg, mesh):
+    """ZeRO-3/FSDP: extend each param's TP spec with 'data' on its first
+    free divisible axis — params live sharded across the data axis and XLA
+    inserts the per-layer all-gathers (forward/backward) and gradient
+    reduce-scatters that hand-written FSDP implementations issue manually.
+    Goes beyond the reference, whose deepest sharding is ZeRO-2
+    (utils/ddp_zero2.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import param_shardings
 
-    zero1 = zero1 or zero2
+    base = param_shardings(params, cfg, mesh)
+    data_size = mesh.shape["data"]
+
+    def widen(leaf, shard):
+        spec = shard.spec
+        if not hasattr(leaf, "shape") or data_size <= 1:
+            return shard
+        parts = list(spec) + [None] * (len(leaf.shape) - len(spec))
+        for axis, dim in enumerate(leaf.shape):
+            if (parts[axis] is None and dim >= data_size
+                    and dim % data_size == 0):
+                parts[axis] = "data"
+                return NamedSharding(mesh, P(*parts))
+        return shard
+
+    return jax.tree.map(widen, params, base)
+
+
+def make_sharded_train_step(cfg, tx, mesh, *, model: str = "backpack",
+                            use_flash: bool = True, zero1: bool = False,
+                            zero2: bool = False, zero3: bool = False,
+                            remat=False, scan_unroll: int = 1):
+    """jit the train step over the mesh: batch sharded on 'data', params TP-
+    sharded per parallel/mesh.py rules; optimizer state sharded like params,
+    or additionally over 'data' with zero1=True (ZeRO-1). zero2=True also
+    shards the GRADIENTS over 'data' (reduce-scatter instead of all-reduce)
+    before the optimizer — implies zero1. zero3=True shards the PARAMS
+    themselves over 'data' (FSDP; implies zero1 — moments shard with their
+    params)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import param_shardings
+
+    zero1 = (zero1 or zero2) and not zero3
     step_fn = make_train_step(cfg, tx, model=model, use_flash=use_flash,
                               remat=remat, scan_unroll=scan_unroll,
                               grad_zero2_mesh=mesh if zero2 else None)
     batch_sharding = {"input_ids": NamedSharding(mesh, P("data", None))}
 
+    def _shard_like_params(opt_shapes, p_shard):
+        """Shardings for an optimizer state: param-structured subtrees (the
+        Adam moments) get the param shardings, everything else replicates."""
+        pstruct = jax.tree.structure(p_shard)
+        rep = NamedSharding(mesh, P())
+
+        def walk(node):
+            try:
+                if jax.tree.structure(node) == pstruct:
+                    return p_shard
+            except Exception:
+                pass
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return type(node)(*[walk(x) for x in node])
+            if isinstance(node, (list, tuple)):
+                return type(node)(walk(x) for x in node)
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return rep
+
+        return walk(opt_shapes)
+
     def sharded_init(params):
-        p_shard = param_shardings(params, cfg, mesh)
+        p_shard = (fsdp_param_shardings(params, cfg, mesh) if zero3
+                   else param_shardings(params, cfg, mesh))
         params = jax.device_put(params, p_shard)
+        if zero3:
+            # ZeRO-3: moments shard exactly like their (FSDP-sharded) params
+            shapes = jax.eval_shape(tx.init, params)
+            opt_state = jax.jit(
+                tx.init, out_shardings=_shard_like_params(shapes, p_shard)
+            )(params)
+            return TrainState(params=params, opt_state=opt_state,
+                              step=jnp.zeros((), jnp.int32))
         # optimizer moments inherit param shardings via propagation from the
         # committed param arrays (XLA keeps them aligned with the params);
         # zero1 overrides them with data-axis shards.

@@ -63,6 +63,7 @@ class RunConfig:
                                       # dynamic-update-slice activation stacking)
     zero1: bool = False               # shard optimizer moments over dp
     zero2: bool = False               # + reduce-scatter grads (implies zero1)
+    zero3: bool = False               # FSDP: shard the params themselves
     ema_decay: float = 0.0            # 0 disables EMA
     ckpt_every: int = 1000
     keep_last: int = 3
@@ -113,7 +114,8 @@ def run(rc: RunConfig) -> Dict[str, Any]:
                                   schedule=rc.lr_schedule)
     step_fn, sharded_init = train_lib.make_sharded_train_step(
         cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat,
-        scan_unroll=rc.scan_unroll, zero1=rc.zero1, zero2=rc.zero2)
+        scan_unroll=rc.scan_unroll, zero1=rc.zero1, zero2=rc.zero2,
+        zero3=rc.zero3)
 
     sampler = lmd.SamplerState(seed=rc.seed)
     ema = ema_lib.init_ema(params) if rc.ema_decay > 0 else None
