@@ -1,0 +1,98 @@
+"""Switch-style mixture-of-experts MLP with expert parallelism.
+
+The reference has no MoE (SURVEY.md §2.7 "EP: none"); this is the
+TPU-native building block for the one mesh axis the rest of parallel/
+doesn't cover. The formulation is Mesh-TensorFlow/GSPMD-style: routing is
+expressed as dense one-hot dispatch/combine einsums so the whole layer is
+static-shaped and XLA inserts the expert all-to-alls purely from sharding
+annotations (experts' leading axis P('expert')):
+
+  router:   logits = x @ W_r            (b, s, E)
+  top-1:    gate_e = softmax(logits)[argmax]; position-in-expert by cumsum;
+            tokens beyond the static capacity C = ceil(s/E * cf) are DROPPED
+            (output 0 for them — the Switch Transformer contract)
+  dispatch: (b, s, E, C) one-hot;  expert_in = einsum('bsec,bsd->ebcd')
+  experts:  per-expert FFN on (E, b, C, d) — leading dim shards over mesh
+  combine:  out = einsum('ebcd,bsec->bsd', expert_out, dispatch * gate)
+
+Also returns the Switch load-balancing auxiliary loss
+E * sum_e fraction_routed_e * mean_prob_e (== 1 at perfect balance).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import dense
+
+
+def init_switch_moe(key: jax.Array, d: int, inner: int, n_experts: int, *,
+                    std: float = 0.02, dtype=jnp.float32) -> Dict:
+    k_r, k1, k2 = jax.random.split(key, 3)
+    return {
+        "router": (jax.random.normal(k_r, (d, n_experts)) * std
+                   ).astype(dtype),
+        "fc1": {"kernel": (jax.random.normal(k1, (n_experts, d, inner))
+                           * std).astype(dtype),
+                "bias": jnp.zeros((n_experts, inner), dtype)},
+        "fc2": {"kernel": (jax.random.normal(k2, (n_experts, inner, d))
+                           * std).astype(dtype),
+                "bias": jnp.zeros((n_experts, d), dtype)},
+    }
+
+
+def switch_moe(x: jax.Array, params: Dict, *,
+               capacity_factor: float = 1.25,
+               activation: str = "gelu_new"
+               ) -> Tuple[jax.Array, jax.Array]:
+    """x (b, s, d) -> (out (b, s, d), aux_loss scalar). Top-1 routing with a
+    static per-row capacity; see module docstring."""
+    b, s, d = x.shape
+    E = params["router"].shape[-1]
+    C = max(int(math.ceil(s / E * capacity_factor)), 1)
+
+    logits = jnp.einsum("bsd,de->bse", x.astype(jnp.float32),
+                        params["router"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    expert = jnp.argmax(probs, axis=-1)                    # (b, s)
+    gate = jnp.take_along_axis(probs, expert[..., None], -1)[..., 0]
+    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # (b, s, E)
+
+    # position of each token within its expert's capacity buffer
+    pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0        # (b, s, E)
+    kept = (pos >= 0) & (pos < C)
+    dispatch = (jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)
+                * kept[..., None])                         # (b, s, E, C)
+
+    expert_in = jnp.einsum("bsec,bsd->ebcd", dispatch,
+                           x.astype(jnp.float32)).astype(x.dtype)
+    act = dense.ACTIVATIONS[activation]
+    h = jnp.einsum("ebcd,edh->ebch", expert_in, params["fc1"]["kernel"])
+    h = act(h + params["fc1"]["bias"][:, None, None, :])
+    expert_out = (jnp.einsum("ebch,ehd->ebcd", h, params["fc2"]["kernel"])
+                  + params["fc2"]["bias"][:, None, None, :])
+
+    combine = dispatch * gate[..., None, None]             # (b, s, E, C)
+    out = jnp.einsum("ebcd,bsec->bsd", expert_out.astype(jnp.float32),
+                     combine).astype(x.dtype)
+
+    # Switch load-balancing loss (Fedus et al. 2021, eq. 4)
+    frac_routed = jnp.mean(onehot, axis=(0, 1))            # (E,)
+    mean_prob = jnp.mean(probs, axis=(0, 1))               # (E,)
+    aux = E * jnp.sum(frac_routed * mean_prob)
+    return out, aux
+
+
+def moe_param_specs(params: Dict):
+    """PartitionSpecs for expert parallelism: expert-stacked FFN kernels
+    shard their leading axis over 'expert'; the router replicates."""
+    from jax.sharding import PartitionSpec as P
+    return {
+        "router": P(),
+        "fc1": {"kernel": P("expert", None, None), "bias": P("expert", None)},
+        "fc2": {"kernel": P("expert", None, None), "bias": P("expert", None)},
+    }
