@@ -276,26 +276,33 @@ def _flash_ref(q, k, v, scale, causal):
     return jnp.einsum("bhts,bhsd->bhtd", p, vf).astype(q.dtype)
 
 
-def _bwd_mask(q0, k0, block_q, block_k, q_len, kv_len, causal):
-    """Valid-position mask for one (block_q, block_k) tile of recomputed p."""
+def _bwd_mask(q0, k0, block_q, block_k, q_len, kv_len, causal, q_off=0):
+    """Valid-position mask for one (block_q, block_k) tile of recomputed p.
+
+    q_off shifts only the CAUSAL comparison (query row t sits at absolute
+    position q_off + q0 + t, mirroring the forward's chunked-prefill
+    q_offsets); the q_len/kv_len padding checks stay in local coordinates."""
     q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     mask = jnp.logical_and(q_pos < q_len, k_pos < kv_len)
     if causal:
-        mask = jnp.logical_and(mask, k_pos <= q_pos)
+        mask = jnp.logical_and(mask, k_pos <= q_pos + q_off)
     return mask
 
 
-def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, bias_ref, dq_ref, *dbias_ref,
+def _flash_bwd_dq_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
+                         lse_ref, delta_ref, bias_ref, dq_ref, *dbias_ref,
                          block_q: int, block_k: int,
                          q_len: int, kv_len: int, causal: bool,
                          dropout_p: float, has_bias: bool, force_f32: bool):
     """Grid (b, h, n_q_blocks): recompute p tile-by-tile from the saved LSE and
     accumulate dq = sum_j ds_j @ k_j (reference bwd recompute strategy:
-    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h)."""
+    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h). qoff_ref: (b,)
+    per-sequence absolute q offsets, same semantics as the forward's (used by
+    the ring-attention backward; 0 for ordinary self-attention)."""
     qi = pl.program_id(2)
     bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    q_off = qoff_ref[pl.program_id(0)]
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
     q = q_ref[0, 0].astype(cdt)                       # (bq, d) pre-scaled
@@ -305,7 +312,7 @@ def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
     if causal:
-        max_k = jnp.minimum((qi + 1) * block_q, kv_len)
+        max_k = jnp.minimum(q_off + (qi + 1) * block_q, kv_len)
         num_k_blocks = pl.cdiv(max_k, block_k)
     if has_bias:
         # causal early-exit leaves later tiles unwritten: zero the strip first
@@ -319,7 +326,7 @@ def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         if has_bias:
             s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         mask = _bwd_mask(qi * block_q, j * block_k, block_q, block_k,
-                         q_len, kv_len, causal)
+                         q_len, kv_len, causal, q_off=q_off)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -340,8 +347,8 @@ def _flash_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, bias_ref, dk_ref, dv_ref, *,
+def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, bias_ref, dk_ref, dv_ref, *,
                           block_q: int, block_k: int, q_len: int,
                           kv_len: int, n_q_blocks: int, causal: bool,
                           dropout_p: float, has_bias: bool, force_f32: bool):
@@ -349,11 +356,17 @@ def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     at the causal diagonal) accumulating dv = p^T dO and dk = ds^T q."""
     ki = pl.program_id(2)
     bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    q_off = qoff_ref[pl.program_id(0)]
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
     k = k_ref[0, 0].astype(cdt)                       # (bk, d)
     v = v_ref[0, 0].astype(cdt)                       # (bk, d)
-    j0 = (ki * block_k) // block_q if causal else 0
+    # First q tile that can see key column ki*block_k: absolute q position is
+    # q_off + local row, so with q_off > 0 (ring full-attention chunk pairs)
+    # the start moves up; with q_off < 0 it moves past n_q_blocks and the
+    # whole tile contributes nothing.
+    j0 = (jnp.maximum((ki * block_k - q_off) // block_q, 0)
+          if causal else 0)
 
     def body(j, carry):
         dk_acc, dv_acc = carry
@@ -366,7 +379,7 @@ def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         if has_bias:
             s = s + bias_ref[0, 0, pl.ds(j * block_q, block_q), :]
         mask = _bwd_mask(j * block_q, ki * block_k, block_q, block_k,
-                         q_len, kv_len, causal)
+                         q_len, kv_len, causal, q_off=q_off)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -397,12 +410,15 @@ def _flash_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
-               dropout_p=0.0, bias=None):
+               dropout_p=0.0, bias=None, q_offsets=None):
     """Tiled Pallas backward: q/k/v/out/g (b, h, s, d); lse (b, h, sq) f32.
     Returns (dq, dk, dv) in the input dtypes. O(s*d) HBM traffic per pass like
     the forward — never materializes the s x s matrix (the previous XLA
     recompute backward did, and its O(s^2) graph hung the compiler at large
-    batch)."""
+    batch). q_offsets: (b,) absolute q positions like the forward's — passing
+    the GLOBAL lse/out of a longer attention plus an offset makes this compute
+    the exact per-chunk-pair gradient contributions (the ring-attention
+    backward building block)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
@@ -429,6 +445,11 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
 
     if seed is None:
         seed = jnp.zeros((2,), jnp.uint32)
+    if q_offsets is None:
+        q_offsets = jnp.zeros((b,), jnp.int32)
+    else:
+        q_offsets = jnp.broadcast_to(
+            jnp.asarray(q_offsets, jnp.int32).reshape(-1), (b,))
     has_bias = bias is not None
     if has_bias:
         bias = jnp.asarray(bias, jnp.float32)
@@ -476,23 +497,24 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     dq_res = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, **common),
         grid=(b, h, n_qb),
-        in_specs=[sspec, qspec, kfull, kfull, qspec, rblk, rblk, bias_q_blk],
+        in_specs=[sspec, sspec, qspec, kfull, kfull, qspec, rblk, rblk,
+                  bias_q_blk],
         out_specs=dq_specs,
         out_shape=dq_outs,
         interpret=_interpret(),
-    )(seed, qp, kp, vp, gp, lse_p, delta, bias_p)
+    )(seed, q_offsets, qp, kp, vp, gp, lse_p, delta, bias_p)
     dq, dbias = (dq_res if has_bias else (dq_res[0], None))
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb, **common),
         grid=(b, h, n_kb),
-        in_specs=[sspec, qfull, kspec, kspec, qfull, rfull, rfull,
+        in_specs=[sspec, sspec, qfull, kspec, kspec, qfull, rfull, rfull,
                   bias_k_blk],
         out_specs=[kspec, kspec],
         out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
         interpret=_interpret(),
-    )(seed, qp, kp, vp, gp, lse_p, delta, bias_p)
+    )(seed, q_offsets, qp, kp, vp, gp, lse_p, delta, bias_p)
 
     dq = dq[:, :, :sq, :d]
     if not (isinstance(scale, float) and scale == 1.0):

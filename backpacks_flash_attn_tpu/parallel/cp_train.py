@@ -38,14 +38,25 @@ from ..models import backpack as bp
 from ..models import gpt as gpt_lib
 from ..ops import dense, norms, rotary
 from ..ops.cross_entropy import cross_entropy_loss
-from .ring_attention import ring_attention_local
+from .ring_attention import (ring_attention_local,
+                             ring_flash_attention_local)
 
 Params = Any
 
 
-def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0):
+def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
+                     attn_impl: str = "einsum"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
     eps = cfg.layer_norm_epsilon
+    # GPT self-attention can ride the Pallas ring (equal q/k/v widths);
+    # the contextualization stage keeps the einsum ring (dnv-wide q/k
+    # against d-wide sense values — see ring_flash_attention_local).
+    if attn_impl == "flash":
+        self_attn = ring_flash_attention_local
+    elif attn_impl == "einsum":
+        self_attn = ring_attention_local
+    else:
+        raise ValueError(f"unknown attn_impl: {attn_impl!r}")
 
     def local_loss(params, ids):
         i = lax.axis_index("seq")
@@ -74,8 +85,8 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0):
                 q, k = rotary.apply_rotary_qk(
                     q, k, cfg.rotary_emb_dim, seqlen_offset=off,
                     scale_base=cfg.rotary_emb_scale_base)
-            ctx = ring_attention_local(q, k, v, axis="seq", causal=True,
-                                       softmax_scale=scale)
+            ctx = self_attn(q, k, v, axis="seq", causal=True,
+                            softmax_scale=scale)
             mixer_out = dense.linear(ctx.reshape(b, c, cfg.n_embd),
                                      lp["out_proj"])
             h, r = norms.dropout_add_layer_norm(
@@ -109,12 +120,14 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0):
 
 
 def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
-                    label_smoothing: float = 0.0):
+                    label_smoothing: float = 0.0,
+                    attn_impl: str = "einsum"):
     """loss(params, ids (B, s+1)) -> scalar with the sequence sharded over
     mesh axis 'seq' and the batch over 'data'; params replicated.
     Differentiable end-to-end (ring transposes are the reverse ring);
     s must divide by mesh.shape['seq']."""
-    body = _make_local_loss(cfg, label_smoothing=label_smoothing)
+    body = _make_local_loss(cfg, label_smoothing=label_smoothing,
+                            attn_impl=attn_impl)
 
     def loss(params, ids):
         pspecs = jax.tree.map(lambda _: P(), params)
@@ -126,11 +139,12 @@ def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
     return loss
 
 
-def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh):
+def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
+                       attn_impl: str = "einsum"):
     """Context-parallel train step (fwd + bwd + optimizer), jitted over
     `mesh` ('data', 'seq'). step(params, opt_state, ids) ->
     (params, opt_state, loss)."""
-    loss_fn = make_cp_loss_fn(cfg, mesh)
+    loss_fn = make_cp_loss_fn(cfg, mesh, attn_impl=attn_impl)
 
     def step(params, opt_state, ids):
         loss, grads = jax.value_and_grad(loss_fn)(params, ids)

@@ -19,23 +19,38 @@ j*c + u vs chunk i's queries at i*c + t): j > i steps are fully masked and
 contribute nothing (the classic causal-ring bubble; a production schedule
 would use striped/zigzag layout to balance it).
 
-The per-step inner attention is blockwise jnp einsum — O(c^2) scores for
-ONE chunk pair at a time (already an S^2 memory reduction vs full
-attention), fully differentiable, with each ring step jax.checkpoint'ed so
-the backward recomputes score blocks instead of saving S of them. Swapping
-the inner block for the Pallas flash kernel needs a custom ring backward
-(the kernel's LSE path is forward-only) — a known follow-up, not a
-correctness gap.
+Two inner-block implementations:
+
+  * impl="einsum" — blockwise jnp einsum, O(c^2) scores for ONE chunk pair
+    at a time (already an S^2 memory reduction vs full attention), fully
+    differentiable, with each ring step jax.checkpoint'ed so the backward
+    recomputes score blocks instead of saving S of them. Supports distinct
+    q/k vs value widths (the Backpack contextualization shape).
+  * impl="flash" — the Pallas flash kernel per chunk pair with a custom
+    ring backward (ring flash attention): the forward merges per-chunk
+    (o_j, lse_j) partials with a mesh-level online softmax and never
+    materializes even the per-pair score block in HBM; the backward re-runs
+    the ring feeding the GLOBAL (out, lse) into the tiled per-pair flash
+    backward kernels (ops/flash_attention._flash_bwd with q_offsets), so
+    each step yields the exact additive gradient contribution, dq
+    accumulates locally in f32 and dk/dv accumulators travel the ring back
+    to their owner chunk. Cross-chunk causality rides the kernel's
+    chunked-prefill q_offsets: pair (i, j) runs causal with
+    q_off = (i - j) * c — j < i degrades to full attention, j == i is the
+    diagonal, j > i masks everything (zero contribution).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.flash_attention import _flash_bwd, _flash_fwd
 
 NEG = -1e30
 
@@ -87,20 +102,142 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return jnp.swapaxes(out, 1, 2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_flash_core(q, k, v, axis, causal, block_q, block_k):
+    out, _ = _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k)[0]
+    return out
+
+
+def _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k):
+    """Local (b, c, h, d) chunks -> ((out, lse), residuals). Per ring step
+    one Pallas forward produces this chunk pair's normalized partial o_j and
+    its lse_j; the mesh-level merge is the flash rescale
+    o <- o*exp(m-m') + o_j*exp(lse_j-m') applied across steps."""
+    S = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    b, c, h, d = q.shape
+    qt = jnp.swapaxes(q, 1, 2)                       # (b, h, c, d) pre-scaled
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    perm = [(r, (r + 1) % S) for r in range(S)]
+
+    def step(carry, r):
+        k_r, v_r, m_acc, l_acc, o_acc = carry
+        j = (i - r) % S
+        qoff = jnp.full((b,), (i - j) * c, jnp.int32)
+        o_j, lse_j = _flash_fwd(qt, k_r, v_r, None, 1.0, causal,
+                                block_q, block_k, q_offsets=qoff)
+        m_new = jnp.maximum(m_acc, lse_j)            # (b, h, c)
+        corr = jnp.exp(m_acc - m_new)
+        w = jnp.exp(lse_j - m_new)                   # 0 for empty pairs
+        o_acc = (o_acc * corr[..., None]
+                 + o_j.astype(jnp.float32) * w[..., None])
+        l_acc = l_acc * corr + w
+        k_r = lax.ppermute(k_r, axis, perm)
+        v_r = lax.ppermute(v_r, axis, perm)
+        return (k_r, v_r, m_new, l_acc, o_acc), None
+
+    m0 = jnp.full((b, h, c), NEG, jnp.float32)
+    l0 = jnp.zeros((b, h, c), jnp.float32)
+    o0 = jnp.zeros((b, h, c, d), jnp.float32)
+    (_, _, m, l, o), _ = lax.scan(step, (kt, vt, m0, l0, o0), jnp.arange(S))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out_t = (o / l_safe[..., None]).astype(q.dtype)  # (b, h, c, d)
+    lse = m + jnp.log(l_safe)                        # GLOBAL row lse
+    out = jnp.swapaxes(out_t, 1, 2)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _ring_flash_fwd_rule(q, k, v, axis, causal, block_q, block_k):
+    (out, _), res = _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k)
+    return out, res
+
+
+def _ring_flash_bwd_rule(axis, causal, block_q, block_k, res, g):
+    """Re-run the ring: each (q_i, k_j, v_j) pair's tiled flash backward is
+    fed the GLOBAL out/lse, so p recomputed as exp(s - lse) is the true
+    global softmax restricted to this chunk — its dq/dk/dv are exact additive
+    contributions. dk/dv accumulators rotate WITH k/v and are home after S
+    hops."""
+    q, k, v, out, lse = res
+    S = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    b, c, h, d = q.shape
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    ot = jnp.swapaxes(out, 1, 2)
+    gt = jnp.swapaxes(g, 1, 2)
+    perm = [(r, (r + 1) % S) for r in range(S)]
+
+    def step(carry, r):
+        k_r, v_r, dk_r, dv_r, dq_acc = carry
+        j = (i - r) % S
+        qoff = jnp.full((b,), (i - j) * c, jnp.int32)
+        dq_p, dk_p, dv_p, _ = _flash_bwd(qt, k_r, v_r, ot, lse, gt, None,
+                                         1.0, causal, block_q, block_k,
+                                         q_offsets=qoff)
+        dq_acc = dq_acc + dq_p.astype(jnp.float32)
+        dk_r = dk_r + dk_p.astype(jnp.float32)
+        dv_r = dv_r + dv_p.astype(jnp.float32)
+        k_r = lax.ppermute(k_r, axis, perm)
+        v_r = lax.ppermute(v_r, axis, perm)
+        dk_r = lax.ppermute(dk_r, axis, perm)
+        dv_r = lax.ppermute(dv_r, axis, perm)
+        return (k_r, v_r, dk_r, dv_r, dq_acc), None
+
+    z = jnp.zeros((b, h, c, d), jnp.float32)
+    (_, _, dk, dv, dq), _ = lax.scan(
+        step, (kt, vt, z, z, z), jnp.arange(S))
+    return (jnp.swapaxes(dq, 1, 2).astype(q.dtype),
+            jnp.swapaxes(dk, 1, 2).astype(k.dtype),
+            jnp.swapaxes(dv, 1, 2).astype(v.dtype))
+
+
+_ring_flash_core.defvjp(_ring_flash_fwd_rule, _ring_flash_bwd_rule)
+
+
+def ring_flash_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                               axis: str = "seq", causal: bool = True,
+                               softmax_scale: Optional[float] = None,
+                               block_q: int = 512,
+                               block_k: int = 512) -> jax.Array:
+    """Per-device body (call inside shard_map): ring flash attention with the
+    Pallas kernel inner block and an exact custom ring backward. q/k/v
+    (b, c, h, d) local chunks -> (b, c, h, d) local outputs of GLOBAL
+    attention. Requires equal q/k/v head widths (use impl='einsum' for the
+    Backpack contextualization's d-wide values)."""
+    scale = (softmax_scale if softmax_scale is not None
+             else q.shape[-1] ** -0.5)
+    # Fold the scale outside the custom_vjp so plain AD provides the
+    # chain-rule factor on dq (same pattern as ops.flash_attention).
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    return _ring_flash_core(q, k, v, axis, causal, block_q, block_k)
+
+
 def make_ring_attention(mesh: Mesh, *, axis: str = "seq",
                         causal: bool = True,
                         softmax_scale: Optional[float] = None,
-                        remat: bool = True):
+                        remat: bool = True, impl: str = "einsum",
+                        block_q: int = 512, block_k: int = 512):
     """attn(q, k, v) over GLOBAL (b, s, h, d) arrays whose sequence axis is
     sharded P(axis) on `mesh`. Differentiable end-to-end (the ppermute
-    transposes are the reverse ring). s must divide by mesh.shape[axis]."""
+    transposes are the reverse ring; impl='flash' supplies its own exact
+    ring backward). s must divide by mesh.shape[axis]."""
+    if impl == "flash":
+        local = lambda q, k, v: ring_flash_attention_local(
+            q, k, v, axis=axis, causal=causal, softmax_scale=softmax_scale,
+            block_q=block_q, block_k=block_k)
+    elif impl == "einsum":
+        local = lambda q, k, v: ring_attention_local(
+            q, k, v, axis=axis, causal=causal,
+            softmax_scale=softmax_scale, remat=remat)
+    else:
+        raise ValueError(f"unknown ring attention impl: {impl!r}")
 
     def attn(q, k, v):
         fn = jax.shard_map(
-            lambda q, k, v: ring_attention_local(
-                q, k, v, axis=axis, causal=causal,
-                softmax_scale=softmax_scale, remat=remat),
-            mesh=mesh,
+            local, mesh=mesh,
             in_specs=(P(None, axis, None, None),) * 3,
             out_specs=P(None, axis, None, None), check_vma=False)
         return fn(q, k, v)

@@ -93,3 +93,22 @@ def test_cp_train_step_reduces_loss(setup):
             p, opt_state, loss = step(p, opt_state, ids)
             losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_cp_flash_attn_impl_matches_oracle(setup):
+    """GPT self-attention on the Pallas flash ring (attn_impl='flash'):
+    loss AND gradients still match the single-device oracle exactly."""
+    cfg, params, ids = setup
+    mesh = _mesh(1, 4)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, attn_impl="flash")
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids))
+        g_cp = jax.device_get(jax.jit(jax.grad(loss_fn))(params, ids))
+    want = float(_oracle_loss(params, cfg, ids))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+    g_ref = jax.grad(lambda p: _oracle_loss(p, cfg, ids))(params)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, g in jax.tree_util.tree_leaves_with_path(g_cp):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
+            atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))

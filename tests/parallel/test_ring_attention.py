@@ -78,3 +78,70 @@ def test_ring_custom_scale():
     want = mha_reference(q, k, v, causal=True, softmax_scale=0.1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("n_dev,causal", [(4, True), (8, True), (4, False),
+                                          (2, True)])
+def test_ring_flash_matches_reference(n_dev, causal):
+    q, k, v = _qkv(jax.random.PRNGKey(5), 2, 64, 2, 16)
+    mesh = _mesh(n_dev)
+    attn = ra.make_ring_attention(mesh, causal=causal, impl="flash")
+    with mesh:
+        got = jax.jit(attn)(q, k, v)
+    want = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_flash_gradients_match_reference():
+    q, k, v = _qkv(jax.random.PRNGKey(6), 1, 32, 2, 8)
+    t = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 2, 8))
+    mesh = _mesh(4)
+    attn = ra.make_ring_attention(mesh, causal=True, impl="flash")
+
+    def loss_ring(q, k, v):
+        return jnp.sum(attn(q, k, v) * t)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) * t)
+
+    with mesh:
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
+
+
+def test_ring_flash_noncausal_gradients():
+    q, k, v = _qkv(jax.random.PRNGKey(8), 1, 32, 1, 8)
+    t = jax.random.normal(jax.random.PRNGKey(9), (1, 32, 1, 8))
+    mesh = _mesh(4)
+    attn = ra.make_ring_attention(mesh, causal=False, impl="flash")
+
+    def loss_ring(q, k, v):
+        return jnp.sum(attn(q, k, v) * t)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=False) * t)
+
+    with mesh:
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
+
+
+def test_ring_flash_custom_scale_and_mesh_independence():
+    q, k, v = _qkv(jax.random.PRNGKey(10), 1, 48, 1, 8)
+    outs = []
+    for n in (2, 4):
+        mesh = _mesh(n)
+        with mesh:
+            outs.append(np.asarray(jax.jit(ra.make_ring_attention(
+                mesh, impl="flash", softmax_scale=0.1))(q, k, v)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-6, rtol=2e-6)
+    want = mha_reference(q, k, v, causal=True, softmax_scale=0.1)
+    np.testing.assert_allclose(outs[0], np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
