@@ -243,3 +243,209 @@ def make_ring_attention(mesh: Mesh, *, axis: str = "seq",
         return fn(q, k, v)
 
     return attn
+
+
+# ---------------------------------------------------------------------------
+# Zigzag (load-balanced) causal ring attention
+#
+# The plain causal ring leaves a bubble: at ring step r, device i's chunk
+# pair (i, j) is fully masked whenever j > i, so device 0 idles S-1 of S
+# steps while device S-1 works every step — the synchronous ring's step time
+# is the busiest device's, and utilization is ~(S+1)/2S. The zigzag layout
+# (each device owns sequence chunks i AND 2S-1-i of width s/(2S)) gives every
+# device the same visible-key count at every step, so the causal early-exit
+# inside the Pallas kernel turns the balance into real wall-clock: ~2x over
+# the plain causal ring at large S.
+#
+# Data layout: zigzag_permute reorders the GLOBAL sequence so that a plain
+# contiguous P(axis) shard of the permuted array is exactly (chunk_i,
+# chunk_{2S-1-i}); for CP training you would keep ids/activations in zigzag
+# order end-to-end and pay the gather once per batch.
+# ---------------------------------------------------------------------------
+
+
+def zigzag_order(s: int, S: int):
+    """Permutation p with p[t_new] = t_old: position t of the permuted
+    sequence holds old position p[t]. Device i's contiguous shard of the
+    permuted sequence = (chunk_i, chunk_{2S-1-i}), chunks of width s/(2S)."""
+    assert s % (2 * S) == 0, (s, S)
+    c2 = s // (2 * S)
+    idx = []
+    for i in range(S):
+        idx.extend(range(i * c2, (i + 1) * c2))
+        idx.extend(range((2 * S - 1 - i) * c2, (2 * S - i) * c2))
+    return jnp.asarray(idx, jnp.int32)
+
+
+def zigzag_permute(x: jax.Array, S: int, axis: int = 1) -> jax.Array:
+    return jnp.take(x, zigzag_order(x.shape[axis], S), axis=axis)
+
+
+def zigzag_unpermute(x: jax.Array, S: int, axis: int = 1) -> jax.Array:
+    order = zigzag_order(x.shape[axis], S)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=jnp.int32))
+    return jnp.take(x, inv, axis=axis)
+
+
+def _zz_chunk_ids(i, r, S):
+    """Global chunk indices owned locally (q) and held at ring step r (kv)."""
+    j = (i - r) % S
+    return (i, 2 * S - 1 - i), (j, 2 * S - 1 - j)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _zigzag_core(q, k, v, axis, block_q, block_k):
+    return _zigzag_fwd(q, k, v, axis, block_q, block_k)[0][0]
+
+
+def _zigzag_fwd(q, k, v, axis, block_q, block_k):
+    """Local (b, 2*c2, h, d) zigzag shards -> GLOBAL causal attention
+    outputs for the local rows. Per ring step, each of the 4 (q sub-chunk,
+    kv sub-chunk) pairs is one Pallas forward with q_off = (Q - K) * c2;
+    fully-masked pairs cost one early-exited kernel launch and contribute
+    exp(NEG_INF) = 0 to the merge."""
+    S = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    b, c2x2, h, d = q.shape
+    c2 = c2x2 // 2
+    qt = jnp.swapaxes(q, 1, 2)                     # (b, h, 2c2, d) pre-scaled
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    qs = [qt[:, :, :c2], qt[:, :, c2:]]
+    perm = [(r, (r + 1) % S) for r in range(S)]
+
+    def step(carry, r):
+        k_r, v_r, m, l, o = carry
+        (qa, qb), (ka, kb) = _zz_chunk_ids(i, r, S)
+        m_n, l_n, o_n = list(m), list(l), list(o)
+        for si, qc in enumerate((qa, qb)):
+            for ki_, kc in enumerate((ka, kb)):
+                qoff = jnp.full((b,), (qc - kc) * c2, jnp.int32)
+                o_j, lse_j = _flash_fwd(
+                    qs[si], k_r[:, :, ki_ * c2:(ki_ + 1) * c2],
+                    v_r[:, :, ki_ * c2:(ki_ + 1) * c2], None, 1.0, True,
+                    block_q, block_k, q_offsets=qoff)
+                m_new = jnp.maximum(m_n[si], lse_j)
+                corr = jnp.exp(m_n[si] - m_new)
+                w = jnp.exp(lse_j - m_new)
+                o_n[si] = (o_n[si] * corr[..., None]
+                           + o_j.astype(jnp.float32) * w[..., None])
+                l_n[si] = l_n[si] * corr + w
+                m_n[si] = m_new
+        k_r = lax.ppermute(k_r, axis, perm)
+        v_r = lax.ppermute(v_r, axis, perm)
+        return (k_r, v_r, tuple(m_n), tuple(l_n), tuple(o_n)), None
+
+    m0 = jnp.full((b, h, c2), NEG, jnp.float32)
+    l0 = jnp.zeros((b, h, c2), jnp.float32)
+    o0 = jnp.zeros((b, h, c2, d), jnp.float32)
+    (_, _, m, l, o), _ = lax.scan(
+        step, (kt, vt, (m0, m0), (l0, l0), (o0, o0)), jnp.arange(S))
+    outs, lses = [], []
+    for si in range(2):
+        l_safe = jnp.where(l[si] == 0.0, 1.0, l[si])
+        outs.append((o[si] / l_safe[..., None]).astype(q.dtype))
+        lses.append(m[si] + jnp.log(l_safe))
+    out_t = jnp.concatenate(outs, axis=2)          # (b, h, 2c2, d)
+    lse = jnp.concatenate(lses, axis=2)            # (b, h, 2c2) GLOBAL
+    out = jnp.swapaxes(out_t, 1, 2)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _zigzag_fwd_rule(q, k, v, axis, block_q, block_k):
+    (out, _), res = _zigzag_fwd(q, k, v, axis, block_q, block_k)
+    return out, res
+
+
+def _zigzag_bwd_rule(axis, block_q, block_k, res, g):
+    """Same 4-pair schedule with the tiled flash backward fed the GLOBAL
+    out/lse per q sub-chunk; dk/dv accumulators for both kv sub-chunks
+    rotate with k/v and are home after S hops."""
+    q, k, v, out, lse = res
+    S = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    b, c2x2, h, d = q.shape
+    c2 = c2x2 // 2
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    ot = jnp.swapaxes(out, 1, 2)
+    gt = jnp.swapaxes(g, 1, 2)
+    sub = lambda x, si: x[:, :, si * c2:(si + 1) * c2]
+    perm = [(r, (r + 1) % S) for r in range(S)]
+
+    def step(carry, r):
+        k_r, v_r, dk_r, dv_r, dq = carry
+        (qa, qb), (ka, kb) = _zz_chunk_ids(i, r, S)
+        dq_n = list(dq)
+        for si, qc in enumerate((qa, qb)):
+            for ki_, kc in enumerate((ka, kb)):
+                qoff = jnp.full((b,), (qc - kc) * c2, jnp.int32)
+                dq_p, dk_p, dv_p, _ = _flash_bwd(
+                    sub(qt, si), sub(k_r, ki_), sub(v_r, ki_), sub(ot, si),
+                    lse[:, :, si * c2:(si + 1) * c2], sub(gt, si), None,
+                    1.0, True, block_q, block_k, q_offsets=qoff)
+                dq_n[si] = dq_n[si] + dq_p.astype(jnp.float32)
+                dk_r = dk_r.at[:, :, ki_ * c2:(ki_ + 1) * c2].add(
+                    dk_p.astype(jnp.float32))
+                dv_r = dv_r.at[:, :, ki_ * c2:(ki_ + 1) * c2].add(
+                    dv_p.astype(jnp.float32))
+        k_r = lax.ppermute(k_r, axis, perm)
+        v_r = lax.ppermute(v_r, axis, perm)
+        dk_r = lax.ppermute(dk_r, axis, perm)
+        dv_r = lax.ppermute(dv_r, axis, perm)
+        return (k_r, v_r, dk_r, dv_r, tuple(dq_n)), None
+
+    z2 = jnp.zeros((b, h, 2 * c2, d), jnp.float32)
+    z1 = jnp.zeros((b, h, c2, d), jnp.float32)
+    (_, _, dk, dv, dq), _ = lax.scan(
+        step, (kt, vt, z2, z2, (z1, z1)), jnp.arange(S))
+    dq_full = jnp.concatenate(dq, axis=2)
+    return (jnp.swapaxes(dq_full, 1, 2).astype(q.dtype),
+            jnp.swapaxes(dk, 1, 2).astype(k.dtype),
+            jnp.swapaxes(dv, 1, 2).astype(v.dtype))
+
+
+_zigzag_core.defvjp(_zigzag_fwd_rule, _zigzag_bwd_rule)
+
+
+def zigzag_ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                                axis: str = "seq",
+                                softmax_scale: Optional[float] = None,
+                                block_q: int = 512,
+                                block_k: int = 512) -> jax.Array:
+    """Per-device body (call inside shard_map): load-balanced causal ring
+    flash attention over ZIGZAG-ordered local shards (b, 2*s/(2S), h, d).
+    Causal only — the balance trick is meaningless without the causal
+    bubble (use impl='flash' for non-causal rings)."""
+    scale = (softmax_scale if softmax_scale is not None
+             else q.shape[-1] ** -0.5)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    return _zigzag_core(q, k, v, axis, block_q, block_k)
+
+
+def make_zigzag_ring_attention(mesh: Mesh, *, axis: str = "seq",
+                               softmax_scale: Optional[float] = None,
+                               block_q: int = 512, block_k: int = 512,
+                               permute_io: bool = True):
+    """attn(q, k, v) over GLOBAL (b, s, h, d) arrays in NATURAL sequence
+    order (permute_io=True pays a gather each way; pipelines that keep
+    activations zigzag-ordered end-to-end should pass False and P(axis)-shard
+    the permuted arrays themselves). s must divide by 2 * mesh.shape[axis]."""
+    S = mesh.shape[axis]
+
+    def attn(q, k, v):
+        if permute_io:
+            q, k, v = (zigzag_permute(x, S) for x in (q, k, v))
+        fn = jax.shard_map(
+            lambda q, k, v: zigzag_ring_attention_local(
+                q, k, v, axis=axis, softmax_scale=softmax_scale,
+                block_q=block_q, block_k=block_k),
+            mesh=mesh,
+            in_specs=(P(None, axis, None, None),) * 3,
+            out_specs=P(None, axis, None, None), check_vma=False)
+        out = fn(q, k, v)
+        return zigzag_unpermute(out, S) if permute_io else out
+
+    return attn

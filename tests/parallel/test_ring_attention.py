@@ -145,3 +145,52 @@ def test_ring_flash_custom_scale_and_mesh_independence():
     want = mha_reference(q, k, v, causal=True, softmax_scale=0.1)
     np.testing.assert_allclose(outs[0], np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_zigzag_permute_roundtrip():
+    x = jnp.arange(2 * 48 * 3).reshape(2, 48, 3).astype(jnp.float32)
+    for S in (2, 4):
+        y = ra.zigzag_unpermute(ra.zigzag_permute(x, S), S)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_zigzag_matches_reference(n_dev):
+    q, k, v = _qkv(jax.random.PRNGKey(11), 2, 64, 2, 16)
+    mesh = _mesh(n_dev)
+    attn = ra.make_zigzag_ring_attention(mesh)
+    with mesh:
+        got = jax.jit(attn)(q, k, v)
+    want = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_zigzag_gradients_match_reference():
+    q, k, v = _qkv(jax.random.PRNGKey(12), 1, 32, 2, 8)
+    t = jax.random.normal(jax.random.PRNGKey(13), (1, 32, 2, 8))
+    mesh = _mesh(4)
+    attn = ra.make_zigzag_ring_attention(mesh)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(attn(q, k, v) * t)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) * t)
+
+    with mesh:
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
+
+
+def test_zigzag_custom_scale_matches_flash_ring():
+    q, k, v = _qkv(jax.random.PRNGKey(14), 1, 32, 1, 8)
+    mesh = _mesh(4)
+    with mesh:
+        zz = np.asarray(jax.jit(ra.make_zigzag_ring_attention(
+            mesh, softmax_scale=0.2))(q, k, v))
+    want = mha_reference(q, k, v, causal=True, softmax_scale=0.2)
+    np.testing.assert_allclose(zz, np.asarray(want), atol=2e-5, rtol=2e-5)
