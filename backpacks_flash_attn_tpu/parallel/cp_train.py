@@ -17,10 +17,15 @@ one chip's HBM — the CP counterpart of the reference's single-GPU 64K
 FlashAttention claim (flash_attn_README.md:93).
 
 Loss and gradients are exactly the single-device backpack_forward loss
-(tests/parallel/test_cp_train.py); dropout runs in deterministic (eval)
-math — per-chunk rng derivation is the noted follow-up. Rotary embeddings
-are supported via per-chunk absolute offsets; attn_dwconv (a cross-token
-conv) is not.
+(tests/parallel/test_cp_train.py). train=True enables the per-token dropout
+sites (embedding / residual / content-network) with per-(data, seq)-shard
+rng derivation via fold_in — masks are independent across chunks and
+deterministic given the step rng, but by construction NOT bit-identical to
+the single-device mask layout. Attention-probability dropout (attn_pdrop)
+stays unsupported under CP: the in-kernel counter-hash would need global
+k-position offsets threaded through the ring. Rotary embeddings are
+supported via per-chunk absolute offsets; attn_dwconv (a cross-token conv)
+is not.
 """
 
 from __future__ import annotations
@@ -45,8 +50,11 @@ Params = Any
 
 
 def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
-                     attn_impl: str = "einsum"):
+                     attn_impl: str = "einsum", train: bool = False):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
+    if train:
+        assert cfg.attn_pdrop == 0.0, \
+            "attention-probability dropout is unsupported under CP"
     eps = cfg.layer_norm_epsilon
     # GPT self-attention can ride the Pallas ring (equal q/k/v widths);
     # the contextualization stage keeps the einsum ring (dnv-wide q/k
@@ -58,7 +66,7 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
     else:
         raise ValueError(f"unknown attn_impl: {attn_impl!r}")
 
-    def local_loss(params, ids):
+    def local_loss(params, ids, rng=None):
         i = lax.axis_index("seq")
         x, y = ids[:, :-1], ids[:, 1:]
         b, s = x.shape
@@ -69,15 +77,30 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
         y_loc = lax.dynamic_slice(y, (0, off), (b, c))
         pos = off + jnp.arange(c)
 
+        if train and rng is not None:
+            # one independent stream per (data shard, seq chunk)
+            shard = lax.axis_index("data") * Sx + i
+            r_loc = jax.random.fold_in(rng, shard)
+            r_emb, r_content, r_layers = jax.random.split(r_loc, 3)
+            layer_rngs = jax.random.split(r_layers, (cfg.n_layer, 2))
+        else:
+            r_emb = r_content = layer_rngs = None
+
         gp = params["gpt"]
         hidden = gpt_lib.embed(gp, cfg, x_loc, pos[None])
         hidden, residual = norms.dropout_add_layer_norm(
-            hidden, None, gp["ln_0"]["weight"], gp["ln_0"]["bias"], 0.0, eps)
+            hidden, None, gp["ln_0"]["weight"], gp["ln_0"]["bias"],
+            cfg.embd_pdrop if train else 0.0, eps, rng=r_emb,
+            deterministic=not train)
         scales = gpt_lib._softmax_scales(cfg)
 
         def block(carry, xs):
             h, r = carry
-            lp, scale = xs
+            if layer_rngs is not None:
+                lp, scale, lrng = xs
+                r1, r2 = lrng[0], lrng[1]
+            else:
+                (lp, scale), r1, r2 = xs, None, None
             qkv = dense.linear(h, lp["Wqkv"]).reshape(
                 b, c, 3, cfg.n_head, cfg.head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -91,19 +114,23 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
                                      lp["out_proj"])
             h, r = norms.dropout_add_layer_norm(
                 mixer_out, r, lp["norm1"]["weight"], lp["norm1"]["bias"],
-                0.0, eps)
+                cfg.resid_pdrop if train else 0.0, eps, rng=r1,
+                deterministic=not train)
             mlp_out = dense.mlp(h, lp["mlp"], cfg.activation)
             h, r = norms.dropout_add_layer_norm(
                 mlp_out, r, lp["norm2"]["weight"], lp["norm2"]["bias"],
-                0.0, eps)
+                cfg.resid_pdrop if train else 0.0, eps, rng=r2,
+                deterministic=not train)
             return (h, r), None
 
-        (contextl, _), _ = lax.scan(block, (hidden, residual),
-                                    (gp["layers"], scales))
+        xs = ((gp["layers"], scales, layer_rngs)
+              if layer_rngs is not None else (gp["layers"], scales))
+        (contextl, _), _ = lax.scan(block, (hidden, residual), xs)
 
         # Backpack tail: contextualization = ring attention with the d-wide
         # sense vectors as values, per-sense outputs summed.
-        content = bp.content_forward(params, cfg, x_loc)     # (b, c, nv, d)
+        content = bp.content_forward(params, cfg, x_loc, train=train,
+                                     rng=r_content)              # (b,c,nv,d)
         q_ctx, k_ctx = bp.context_qk(params, cfg, contextl)  # (b, c, nv, dnv)
         per_sense = ring_attention_local(
             q_ctx, k_ctx, content, axis="seq", causal=True,
@@ -121,17 +148,24 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
 
 def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
                     label_smoothing: float = 0.0,
-                    attn_impl: str = "einsum"):
-    """loss(params, ids (B, s+1)) -> scalar with the sequence sharded over
-    mesh axis 'seq' and the batch over 'data'; params replicated.
+                    attn_impl: str = "einsum", train: bool = False):
+    """loss(params, ids (B, s+1)[, rng]) -> scalar with the sequence sharded
+    over mesh axis 'seq' and the batch over 'data'; params replicated.
     Differentiable end-to-end (ring transposes are the reverse ring);
-    s must divide by mesh.shape['seq']."""
+    s must divide by mesh.shape['seq']. train=True enables dropout and the
+    loss takes a step rng as its third argument (replicated; per-shard
+    streams are derived inside via fold_in)."""
     body = _make_local_loss(cfg, label_smoothing=label_smoothing,
-                            attn_impl=attn_impl)
+                            attn_impl=attn_impl, train=train)
 
-    def loss(params, ids):
+    def loss(params, ids, rng=None):
         pspecs = jax.tree.map(lambda _: P(), params)
-        fn = jax.shard_map(body, mesh=mesh,
+        if train:
+            fn = jax.shard_map(body, mesh=mesh,
+                               in_specs=(pspecs, P("data", None), P()),
+                               out_specs=P(), check_vma=False)
+            return fn(params, ids, rng)
+        fn = jax.shard_map(lambda p, x: body(p, x), mesh=mesh,
                            in_specs=(pspecs, P("data", None)),
                            out_specs=P(), check_vma=False)
         return fn(params, ids)
@@ -140,16 +174,24 @@ def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
 
 
 def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
-                       attn_impl: str = "einsum"):
+                       attn_impl: str = "einsum", train: bool = False):
     """Context-parallel train step (fwd + bwd + optimizer), jitted over
-    `mesh` ('data', 'seq'). step(params, opt_state, ids) ->
-    (params, opt_state, loss)."""
-    loss_fn = make_cp_loss_fn(cfg, mesh, attn_impl=attn_impl)
+    `mesh` ('data', 'seq'). step(params, opt_state, ids[, rng]) ->
+    (params, opt_state, loss). train=True runs the dropout sites with the
+    given step rng."""
+    loss_fn = make_cp_loss_fn(cfg, mesh, attn_impl=attn_impl, train=train)
 
-    def step(params, opt_state, ids):
-        loss, grads = jax.value_and_grad(loss_fn)(params, ids)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if train:
+        def step(params, opt_state, ids, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, ids, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+    else:
+        def step(params, opt_state, ids):
+            loss, grads = jax.value_and_grad(loss_fn)(params, ids)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))

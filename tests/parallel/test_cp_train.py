@@ -112,3 +112,59 @@ def test_cp_flash_attn_impl_matches_oracle(setup):
         np.testing.assert_allclose(
             np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
             atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_cp_train_mode_dropout():
+    """train=True: per-(data,seq)-shard dropout streams — deterministic in
+    the step rng, different across rngs, and matching the eval path when all
+    dropout probabilities are zero."""
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                         n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                         embd_pdrop=0.1, resid_pdrop=0.1, attn_pdrop=0.0)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 33), 0, 256)
+    mesh = _mesh(2, 4)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True)
+    eval_fn = cp.make_cp_loss_fn(cfg, mesh, train=False)
+    r1, r2 = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+    with mesh:
+        a = float(jax.jit(loss_fn)(params, ids, r1))
+        a2 = float(jax.jit(loss_fn)(params, ids, r1))
+        b = float(jax.jit(loss_fn)(params, ids, r2))
+        ev = float(jax.jit(eval_fn)(params, ids))
+    assert a == a2, (a, a2)
+    assert a != b, (a, b)
+    assert a != ev and b != ev, (a, b, ev)
+
+    # p=0 train mode must reproduce the eval loss exactly
+    cfg0 = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                          n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                          embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    params0 = bp.init_backpack(cfg0, jax.random.PRNGKey(2))
+    lf0 = cp.make_cp_loss_fn(cfg0, mesh, train=True)
+    ef0 = cp.make_cp_loss_fn(cfg0, mesh, train=False)
+    with mesh:
+        t0 = float(jax.jit(lf0)(params0, ids, r1))
+        e0 = float(jax.jit(ef0)(params0, ids))
+    assert t0 == pytest.approx(e0, rel=1e-6), (t0, e0)
+
+
+def test_cp_train_step_with_dropout_reduces_loss():
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                         n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                         embd_pdrop=0.05, resid_pdrop=0.05, attn_pdrop=0.0)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(3))
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 33), 0, 256)
+    from backpacks_flash_attn_tpu.training import train as train_lib
+    mesh = _mesh(2, 4)
+    tx = train_lib.make_optimizer(params, lr=1e-2, warmup_steps=1,
+                                  total_steps=10)
+    step = cp.make_cp_train_step(cfg, tx, mesh, train=True)
+    opt_state = jax.jit(tx.init)(params)
+    p, losses = params, []
+    with mesh:
+        for n in range(4):
+            p, opt_state, loss = step(p, opt_state, ids,
+                                      jax.random.PRNGKey(100 + n))
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
