@@ -521,10 +521,20 @@ def backpack_forward_with_cache(
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     else:
-        # prefill: materialize the alpha rows for the s new queries.
+        # prefill / multi-token continuation (speculative verification):
+        # materialize the alpha rows for the s new queries.
         # (E,)->(b,nv,...) relayouts happen once per prefill, not per step.
-        ctx_k4 = ctx_k.reshape(b, nv, dnv_pad, max_s)
-        content4 = content.reshape(b, nv, max_s, d)
+        ctx_k_r, content_r = ctx_k, content
+        cks_r, cs_r = ctx_k_scale, content_scale
+        S = max_s
+        if window is not None and window < max_s:
+            # same caller guarantee as the decode branch: offset + s <= window
+            S = window
+            ctx_k_r, content_r = ctx_k[:, :, :S], content[:, :S]
+            cks_r = cks_r[:, :S] if cks_r is not None else None
+            cs_r = cs_r[:, :S] if cs_r is not None else None
+        ctx_k4 = ctx_k_r.reshape(b, nv, dnv_pad, S)
+        content4 = content_r.reshape(b, nv, S, d)
         q_pad = (jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dnv_pad - dnv)))
                  if dnv_pad != dnv else q)
         scores = jnp.einsum("bthd,bhds->bhts", q_pad,
@@ -532,9 +542,9 @@ def backpack_forward_with_cache(
                             preferred_element_type=jnp.float32)
         if cache.quantized:
             # per-position key dequant scales factor out of the contraction
-            scores = scores * ctx_k_scale.reshape(b, nv, max_s)[:, :, None, :]
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (s, max_s), 1)
+            scores = scores * cks_r.reshape(b, nv, S)[:, :, None, :]
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (s, S), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (s, S), 1)
         if vec:
             causal = kpos[None] <= (qpos[None] + offset[:, None, None])
             scores = jnp.where(causal[:, None], scores, MASK_VALUE)
@@ -544,12 +554,12 @@ def backpack_forward_with_cache(
         alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
         if cache.quantized:
             # fold per-(sense, pos) dequant scales into alpha's key axis
-            alpha = alpha * content_scale.reshape(b, nv, max_s)[:, :, None, :
-                                                                ].astype(alpha.dtype)
+            alpha = alpha * cs_r.reshape(b, nv, S)[:, :, None, :
+                                                   ].astype(alpha.dtype)
         w = _weights_es()
         if w is not None:
-            alpha = alpha * w.reshape(b, nv, max_s)[:, :, None, :
-                                                    ].astype(alpha.dtype)
+            alpha = alpha * w.reshape(b, nv, max_s)[:, :, :S][:, :, None, :
+                                                              ].astype(alpha.dtype)
         outputs = jnp.einsum("bkts,bksd->btd", alpha,
                              content4.astype(contextl.dtype),
                              preferred_element_type=jnp.float32

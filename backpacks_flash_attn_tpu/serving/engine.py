@@ -46,6 +46,31 @@ def _bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
+def prompt_lookup_draft(hist: np.ndarray, k: int,
+                        max_ngram: int = 3) -> np.ndarray:
+    """Prompt-lookup draft (host-side, numpy): find the most recent previous
+    occurrence of hist's trailing n-gram and propose the k tokens that
+    followed it; back off to shorter n-grams, then to repeating the last
+    token (a free guess — the speculative dispatch is (1+k)-wide regardless
+    of draft quality). hist: (L,) int tokens, L >= 1."""
+    L = hist.shape[0]
+    draft = np.full((k,), hist[-1] if L else 0, np.int32)
+    for n in range(min(max_ngram, L - 1), 0, -1):
+        pat = hist[L - n:L]
+        if L - 1 < n:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(hist[:L - 1], n)
+        hits = np.nonzero((win == pat).all(axis=1))[0]
+        if hits.size == 0:
+            continue
+        p = int(hits[-1])
+        cont = hist[p + n:p + n + k]
+        if cont.size:
+            draft[:cont.size] = cont
+            return draft
+    return draft
+
+
 class ServingEngine:
     def __init__(self, params, cfg: BackpackConfig, *, max_slots: int = 8,
                  max_seqlen: int = 512, cache_dtype=jnp.bfloat16,
@@ -58,7 +83,8 @@ class ServingEngine:
                  negative_table: Optional[np.ndarray] = None,
                  negative_quantile: float = 0.02,
                  negative_anneal: bool = False,
-                 negative_annealing_scale: float = 0.34):
+                 negative_annealing_scale: float = 0.34,
+                 spec_tokens: int = 0, spec_ngram: int = 3):
         """control_table: optional (vocab, nv) multiplicative weight table
         (eval/control.control_weights). Requests submitted with control=True
         decode with the full annealed topic-control intervention while
@@ -71,7 +97,23 @@ class ServingEngine:
         (models/interventions.negative_decode_step; reference
         NegativeWeightedBackpackLMHeadModel + test_toxicity.py). Its sparse
         per-position bottom-quantile cache is allocated lazily on the first
-        negative admission (it costs O(slots * S * nv * quantile * V))."""
+        negative admission (it costs O(slots * S * nv * quantile * V)).
+
+        spec_tokens > 0 enables prompt-lookup speculative decoding (the
+        reference has nothing comparable; cf. vLLM's ngram speculator): each
+        step the host proposes spec_tokens draft tokens per slot from the
+        newest spec_ngram-gram's previous occurrence in that slot's own
+        history, and ONE multi-token verification forward (the chunked-
+        prefill path, per-slot q_offsets) scores all of them. Greedy slots
+        accept the longest prefix of drafts matching the model's argmax —
+        output EXACTLY equals plain greedy decoding, but self-repetitive
+        text (code, lists, quotes) emits several tokens per step. Sampling
+        slots (temperature > 0) keep exact semantics by taking one token per
+        step from the same dispatch. Decode attention cost per step rises
+        from 1 to spec_tokens+1 query rows (still one cache read), so
+        speculation pays off whenever the mean acceptance is above ~0 on a
+        memory-bound decode. Incompatible with control/negative slots: the
+        engine falls back to plain stepping while any are active."""
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -128,6 +170,13 @@ class ServingEngine:
         self._uses_top_p = False
         self._meta_top_p = {}
         self._window_hist = collections.Counter()
+        self.spec_tokens = int(spec_tokens)
+        self.spec_ngram = int(spec_ngram)
+        # per-slot token history (prompt + emitted) for prompt-lookup drafts
+        self.host_tokens = np.zeros((max_slots, max_seqlen + spec_tokens + 2),
+                                    np.int32)
+        self.hist_len = np.zeros((max_slots,), np.int64)
+        self._jit_spec_steps = {}
         self._t_first_step = None
         self._meta: Dict[int, tuple] = {}
         self._prompts: Dict[int, np.ndarray] = {}
@@ -227,12 +276,14 @@ class ServingEngine:
             self._jit_prefill[key] = jax.jit(prefill)
         return self._jit_prefill[key]
 
-    def _window(self) -> int:
+    def _window(self, extra: int = 1) -> int:
         """Smallest length bucket covering every active slot after this
-        step (host-tracked positions; no device fetch)."""
+        step (host-tracked positions; no device fetch). `extra` is the
+        number of new cache rows this dispatch writes (1 for plain decode,
+        spec_tokens+1 for a speculative verification)."""
         active = [self.host_lengths[sl] for sl in range(self.max_slots)
                   if self.sched.slot_active(sl)]
-        need = (max(active) if active else 0) + 1
+        need = (max(active) if active else 0) + extra
         for b in self.window_buckets:
             if b >= need:
                 return b
@@ -257,6 +308,66 @@ class ServingEngine:
 
             self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
         return self._jit_steps[key]
+
+    def _spec_step_fn(self, window: int):
+        """Speculative verification step: ONE (b, 1+k) forward through the
+        chunked-prefill cache path (per-slot q_offsets) scores the in-flight
+        token plus k drafts. Greedy slots accept the longest draft prefix
+        matching the model argmax and emit acc+1 tokens (bit-identical to
+        plain greedy decoding); sampling slots emit 1 token drawn from the
+        position-0 logits (exactly the plain step's distribution). Cache
+        length counters are rolled back to old + acc + 1 so rejected rows
+        are masked out and overwritten by the next dispatch."""
+        key = (window, self._uses_weights, self._uses_top_p)
+        if key not in self._jit_spec_steps:
+            cfg, use_flash = self.cfg, self.use_flash
+            weighted = self._uses_weights
+            win = None if window >= self.max_seqlen else window
+            use_top_p = self._uses_top_p
+            sample = self._sample_tokens
+            k = self.spec_tokens
+
+            def step(params, toks, drafts, cache, temps, top_ps, rng,
+                     weights):
+                inp = jnp.concatenate([toks, drafts], axis=1)   # (b, 1+k)
+                old_len = cache.length
+                kw = {"sense_weights": weights} if weighted else {}
+                logits, cache = bp.backpack_forward_with_cache(
+                    params, cfg, inp, cache, use_flash=use_flash,
+                    window=win, **kw)
+                preds = jnp.argmax(logits, -1).astype(jnp.int32)  # (b, 1+k)
+                match = (preds[:, :-1] == drafts).astype(jnp.int32)
+                acc = jnp.cumprod(match, axis=1).sum(axis=1)      # (b,)
+                greedy = temps <= 0
+                acc = jnp.where(greedy, acc, 0)
+                bonus = jnp.take_along_axis(preds, acc[:, None], axis=1)[:, 0]
+                sampled0 = sample(logits[:, 0], temps, rng,
+                                  top_ps if use_top_p else None)
+                head = jnp.where(greedy, bonus, sampled0)
+                tpos = jnp.arange(k + 1)[None]
+                dpad = jnp.pad(drafts, ((0, 0), (0, 1)))
+                emitted = jnp.where(
+                    tpos < acc[:, None], dpad,
+                    jnp.where(tpos == acc[:, None], head[:, None], 0))
+                n_emit = (acc + 1).astype(jnp.int32)
+                new_len = old_len + n_emit
+                cache = cache._replace(
+                    length=new_len, gpt=cache.gpt._replace(length=new_len))
+                return emitted, n_emit, head[:, None], cache
+
+            self._jit_spec_steps[key] = jax.jit(step, donate_argnums=(3,))
+        return self._jit_spec_steps[key]
+
+    def _build_drafts(self) -> np.ndarray:
+        """Per-slot prompt-lookup drafts over the host-tracked histories."""
+        drafts = np.zeros((self.max_slots, self.spec_tokens), np.int32)
+        for slot in range(self.max_slots):
+            if not self.sched.slot_active(slot):
+                continue
+            hist = self.host_tokens[slot, :int(self.hist_len[slot])]
+            drafts[slot] = prompt_lookup_draft(hist, self.spec_tokens,
+                                               self.spec_ngram)
+        return drafts
 
     def _ctl_step_fn(self, window: int):
         key = (window, self._uses_top_p)
@@ -423,6 +534,9 @@ class ServingEngine:
         else:
             tok = int(jnp.argmax(last_logits))
         self.tokens = self.tokens.at[slot, 0].set(tok)
+        self.host_tokens[slot, :plen] = self._prompts[rid]
+        self.host_tokens[slot, plen] = tok
+        self.hist_len[slot] = plen + 1
         if self.sched.on_token(slot, tok):
             self._finish(slot)
 
@@ -535,6 +649,49 @@ class ServingEngine:
         if self.sched.num_active == 0:
             return []
         self._rng, sub = jax.random.split(self._rng)
+        k = self.spec_tokens
+        max_active_len = max(
+            (int(self.host_lengths[sl]) for sl in range(self.max_slots)
+             if self.sched.slot_active(sl)), default=0)
+        # Speculative path: plain slots only, and never within k+1 rows of
+        # the cache end (the verification writes k+1 rows per slot; a
+        # clamped dynamic_update_slice would corrupt valid rows).
+        if (k > 0 and not self.control_mask.any()
+                and not self.negative_mask.any()
+                and max_active_len + k + 1 <= self.max_seqlen):
+            window = self._window(extra=k + 1)
+            self._window_hist[window] += 1
+            drafts = self._build_drafts()
+            step = self._spec_step_fn(window)
+            emitted, n_emit, self.tokens, self.cache = step(
+                self.params, self.tokens, jnp.asarray(drafts), self.cache,
+                jnp.asarray(self.temps), jnp.asarray(self.top_ps), sub,
+                jnp.asarray(self.sense_weights))
+            em = np.asarray(emitted)
+            ne = np.asarray(n_emit)
+            out = []
+            for slot in range(self.max_slots):
+                if not self.sched.slot_active(slot):
+                    continue
+                take = int(ne[slot])
+                self.host_lengths[slot] += take
+                self._stats["draft_proposed"] += k
+                self._stats["draft_accepted"] += take - 1
+                rid = self.sched.slot_request(slot)
+                for t in range(take):
+                    tok = int(em[slot, t])
+                    self.host_tokens[slot, self.hist_len[slot]] = tok
+                    self.hist_len[slot] += 1
+                    finished = self.sched.on_token(slot, tok)
+                    out.append((rid, tok, finished))
+                    if finished:
+                        self._finish(slot)
+                        self._stats["completed"] += 1
+                        break
+            self._stats["decode_steps"] += 1
+            self._stats["tokens_emitted"] += len(out)
+            self._stats["step_time_ns"] += int((self._clock() - t0) * 1e9)
+            return out
         window = self._window()
         self._window_hist[window] += 1
         if self._uses_negative:
@@ -568,6 +725,8 @@ class ServingEngine:
             if not self.sched.slot_active(slot):
                 continue
             self.host_lengths[slot] += 1
+            self.host_tokens[slot, self.hist_len[slot]] = int(toks[slot])
+            self.hist_len[slot] += 1
             rid = self.sched.slot_request(slot)
             finished = self.sched.on_token(slot, int(toks[slot]))
             out.append((rid, int(toks[slot]), finished))
@@ -607,4 +766,7 @@ class ServingEngine:
                              if steps else 0.0)
         s["mean_batch"] = (self._stats["tokens_emitted"] / steps
                            if steps else 0.0)
+        if self._stats["draft_proposed"]:
+            s["draft_acceptance"] = (self._stats["draft_accepted"]
+                                     / self._stats["draft_proposed"])
         return s

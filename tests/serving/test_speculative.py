@@ -1,0 +1,154 @@
+"""Prompt-lookup speculative decoding (serving/engine.py spec_tokens > 0).
+
+Greedy speculative output must be semantically identical to plain greedy
+decoding (verified by teacher-forced scoring, same tolerance rationale as
+test_engine.py: random-init argmax near-ties flip under different GEMM
+shapes); acceptance must turn multi-token emission into fewer decode steps
+on self-repetitive sequences."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from backpacks_flash_attn_tpu.config import backpack_test
+from backpacks_flash_attn_tpu.models import backpack as bp
+from backpacks_flash_attn_tpu.serving.engine import (ServingEngine,
+                                                     prompt_lookup_draft)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = backpack_test()
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_prompt_lookup_draft_unit():
+    hist = np.asarray([5, 6, 7, 8, 5, 6, 7], np.int32)
+    # trailing 3-gram (5,6,7) recurs at p=0 -> continuation [8, 5, 6]
+    np.testing.assert_array_equal(prompt_lookup_draft(hist, 3, 3),
+                                  [8, 5, 6])
+    # continuation shorter than k: padded with the last token
+    np.testing.assert_array_equal(prompt_lookup_draft(hist, 6, 3),
+                                  [8, 5, 6, 7, 7, 7])
+    # no recurring n-gram at any n: repeat the last token
+    np.testing.assert_array_equal(
+        prompt_lookup_draft(np.asarray([1, 2, 3], np.int32), 2, 3), [3, 3])
+    # backoff: 3-gram unseen but the trailing 1-gram (2) recurs -> [9, ...]
+    h2 = np.asarray([2, 9, 4, 7, 2], np.int32)
+    np.testing.assert_array_equal(prompt_lookup_draft(h2, 2, 3), [9, 4])
+    # single-token history
+    np.testing.assert_array_equal(
+        prompt_lookup_draft(np.asarray([4], np.int32), 2, 3), [4, 4])
+
+
+def _teacher_force_check(cfg, params, prompt, got):
+    cache = bp.init_backpack_cache(cfg, 1, 64, dtype=jnp.float32)
+    logits, cache = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompt, jnp.int32)[None], cache,
+        use_flash=False)
+    for t, tok in enumerate(got):
+        row = np.asarray(logits[0, -1], np.float64)
+        assert row[tok] >= row.max() - 1e-4, (t, tok, row.max(), row[tok])
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+            use_flash=False)
+
+
+@pytest.mark.parametrize("spec_tokens", [2, 4])
+def test_speculative_greedy_matches_oracle(setup, spec_tokens):
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (4, 9, 6)]
+    eng = ServingEngine(params, cfg, max_slots=3, max_seqlen=64,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=spec_tokens)
+    rids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert len(results[rid].tokens) == 10
+        _teacher_force_check(cfg, params, p, results[rid].tokens)
+
+
+def test_speculative_accepts_on_repetitive_sequence(setup):
+    """Greedy decoding from a random init falls into argmax cycles; the
+    prompt-lookup draft then predicts the cycle and steps emit >1 token."""
+    cfg, params = setup
+    prompt = [7, 3, 7, 3, 7, 3]
+    plain = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
+                          cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    r0 = plain.submit(prompt, max_new_tokens=24)
+    plain_tokens = plain.run()[r0].tokens
+    spec = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
+                         cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                         spec_tokens=4)
+    r1 = spec.submit(prompt, max_new_tokens=24)
+    spec_tokens_out = spec.run()[r1].tokens
+    assert len(spec_tokens_out) == len(plain_tokens) == 24
+    st = spec.stats()
+    # the speculative engine must finish in strictly fewer decode steps
+    assert st["decode_steps"] < plain.stats()["decode_steps"]
+    assert st["draft_acceptance"] > 0.0
+    _teacher_force_check(cfg, params, prompt, spec_tokens_out)
+
+
+def test_speculative_eos_mid_draft(setup):
+    """EOS accepted inside a draft must stop the request AT the EOS token."""
+    cfg, params = setup
+    prompt = [3, 1, 4]
+    plain = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
+                          cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    r0 = plain.submit(prompt, max_new_tokens=12)
+    want = plain.run()[r0].tokens
+    idx = next((i for i in range(1, 12) if want[i] not in want[:i]), None)
+    if idx is None:
+        pytest.skip("degenerate sequence: every token repeats immediately")
+    eos = want[idx]
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=eos,
+                        spec_tokens=4)
+    rid = eng.submit(prompt, max_new_tokens=12)
+    res = eng.run()[rid]
+    assert res.tokens == want[:idx + 1]
+
+
+def test_speculative_with_sampling_slots(setup):
+    """temperature>0 slots under a speculative engine: exact per-step
+    sampling (one token per dispatch), reproducible per seed, sharing the
+    batch with greedy slots that do speculate."""
+    cfg, params = setup
+    prompt = [1, 2, 3, 1, 2, 3]
+
+    def run(seed):
+        eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=64,
+                            cache_dtype=jnp.float32, use_flash=False,
+                            eos_id=-1, seed=seed, spec_tokens=3)
+        r_greedy = eng.submit(prompt, max_new_tokens=8)
+        r_samp = eng.submit(prompt, max_new_tokens=8, temperature=1.0)
+        res = eng.run()
+        return res[r_greedy].tokens, res[r_samp].tokens
+
+    g0, s0 = run(0)
+    g0b, s0b = run(0)
+    _, s1 = run(1)
+    assert (g0, s0) == (g0b, s0b)
+    assert s0 != s1
+    assert len(g0) == len(s0) == 8
+    _teacher_force_check(cfg, params, prompt, g0)
+
+
+def test_speculative_near_cache_end_falls_back(setup):
+    """Slots within spec_tokens+1 rows of max_seqlen must not corrupt the
+    cache: the engine falls back to plain stepping and completes exactly."""
+    cfg, params = setup
+    prompt = list(range(1, 9))
+    max_seqlen = 16     # prompt 8 + 8 new = exactly the buffer
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=max_seqlen,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=4)
+    rid = eng.submit(prompt, max_new_tokens=8)
+    got = eng.run()[rid].tokens
+    assert len(got) == 8
+    _teacher_force_check(cfg, params, prompt, got)
