@@ -44,38 +44,71 @@ from ..models import gpt as gpt_lib
 from ..ops import dense, norms, rotary
 from ..ops.cross_entropy import cross_entropy_loss
 from .ring_attention import (ring_attention_local,
-                             ring_flash_attention_local)
+                             ring_flash_attention_local,
+                             zigzag_ring_attention_local,
+                             zigzag_ring_attention_local_einsum)
 
 Params = Any
 
 
 def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
-                     attn_impl: str = "einsum", train: bool = False):
+                     attn_impl: str = "einsum", train: bool = False,
+                     layout: str = "natural"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
     if train:
         assert cfg.attn_pdrop == 0.0, \
             "attention-probability dropout is unsupported under CP"
     eps = cfg.layer_norm_epsilon
+    zigzag = layout == "zigzag"
+    if layout not in ("natural", "zigzag"):
+        raise ValueError(f"unknown layout: {layout!r}")
     # GPT self-attention can ride the Pallas ring (equal q/k/v widths);
     # the contextualization stage keeps the einsum ring (dnv-wide q/k
     # against d-wide sense values — see ring_flash_attention_local).
+    # layout="zigzag" swaps in the load-balanced variants (each device owns
+    # chunks i and 2S-1-i, so the causal mask density — the useful MXU
+    # work — is equal on every device at every ring step).
     if attn_impl == "flash":
-        self_attn = ring_flash_attention_local
+        impl = (zigzag_ring_attention_local if zigzag
+                else ring_flash_attention_local)
+        self_attn = lambda q, k, v, sc: impl(q, k, v, axis="seq",
+                                             softmax_scale=sc)
     elif attn_impl == "einsum":
-        self_attn = ring_attention_local
+        eimpl = (zigzag_ring_attention_local_einsum if zigzag
+                 else ring_attention_local)
+        self_attn = lambda q, k, v, sc: eimpl(q, k, v, axis="seq",
+                                              softmax_scale=sc)
     else:
         raise ValueError(f"unknown attn_impl: {attn_impl!r}")
+    cimpl = (zigzag_ring_attention_local_einsum if zigzag
+             else ring_attention_local)
+    ctx_attn = lambda q, k, v, sc: cimpl(q, k, v, axis="seq",
+                                         softmax_scale=sc)
 
     def local_loss(params, ids, rng=None):
         i = lax.axis_index("seq")
         x, y = ids[:, :-1], ids[:, 1:]
         b, s = x.shape
         Sx = lax.axis_size("seq")
-        c = s // Sx
-        off = i * c
-        x_loc = lax.dynamic_slice(x, (0, off), (b, c))
-        y_loc = lax.dynamic_slice(y, (0, off), (b, c))
-        pos = off + jnp.arange(c)
+        if zigzag:
+            c2 = s // (2 * Sx)
+            c = 2 * c2
+            off_a = i * c2
+            off_b = (2 * Sx - 1 - i) * c2
+            x_loc = jnp.concatenate(
+                [lax.dynamic_slice(x, (0, off_a), (b, c2)),
+                 lax.dynamic_slice(x, (0, off_b), (b, c2))], axis=1)
+            y_loc = jnp.concatenate(
+                [lax.dynamic_slice(y, (0, off_a), (b, c2)),
+                 lax.dynamic_slice(y, (0, off_b), (b, c2))], axis=1)
+            pos = jnp.concatenate([off_a + jnp.arange(c2),
+                                   off_b + jnp.arange(c2)])
+        else:
+            c = s // Sx
+            off = i * c
+            x_loc = lax.dynamic_slice(x, (0, off), (b, c))
+            y_loc = lax.dynamic_slice(y, (0, off), (b, c))
+            pos = off + jnp.arange(c)
 
         if train and rng is not None:
             # one independent stream per (data shard, seq chunk)
@@ -105,11 +138,23 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
                 b, c, 3, cfg.n_head, cfg.head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             if cfg.rotary_emb_dim > 0:
-                q, k = rotary.apply_rotary_qk(
-                    q, k, cfg.rotary_emb_dim, seqlen_offset=off,
-                    scale_base=cfg.rotary_emb_scale_base)
-            ctx = self_attn(q, k, v, axis="seq", causal=True,
-                            softmax_scale=scale)
+                if zigzag:
+                    # the two sub-chunks sit at different absolute offsets
+                    qa, ka = rotary.apply_rotary_qk(
+                        q[:, :c2], k[:, :c2], cfg.rotary_emb_dim,
+                        seqlen_offset=off_a,
+                        scale_base=cfg.rotary_emb_scale_base)
+                    qb, kb = rotary.apply_rotary_qk(
+                        q[:, c2:], k[:, c2:], cfg.rotary_emb_dim,
+                        seqlen_offset=off_b,
+                        scale_base=cfg.rotary_emb_scale_base)
+                    q = jnp.concatenate([qa, qb], axis=1)
+                    k = jnp.concatenate([ka, kb], axis=1)
+                else:
+                    q, k = rotary.apply_rotary_qk(
+                        q, k, cfg.rotary_emb_dim, seqlen_offset=off,
+                        scale_base=cfg.rotary_emb_scale_base)
+            ctx = self_attn(q, k, v, scale)
             mixer_out = dense.linear(ctx.reshape(b, c, cfg.n_embd),
                                      lp["out_proj"])
             h, r = norms.dropout_add_layer_norm(
@@ -132,9 +177,8 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
         content = bp.content_forward(params, cfg, x_loc, train=train,
                                      rng=r_content)              # (b,c,nv,d)
         q_ctx, k_ctx = bp.context_qk(params, cfg, contextl)  # (b, c, nv, dnv)
-        per_sense = ring_attention_local(
-            q_ctx, k_ctx, content, axis="seq", causal=True,
-            softmax_scale=cfg.sense_head_dim ** -0.5)        # (b, c, nv, d)
+        per_sense = ctx_attn(q_ctx, k_ctx, content,
+                             cfg.sense_head_dim ** -0.5)     # (b, c, nv, d)
         outputs = per_sense.astype(jnp.float32).sum(axis=2).astype(
             contextl.dtype)
         logits = gpt_lib.lm_logits(gp, cfg, outputs)
@@ -148,15 +192,19 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
 
 def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
                     label_smoothing: float = 0.0,
-                    attn_impl: str = "einsum", train: bool = False):
+                    attn_impl: str = "einsum", train: bool = False,
+                    layout: str = "natural"):
     """loss(params, ids (B, s+1)[, rng]) -> scalar with the sequence sharded
     over mesh axis 'seq' and the batch over 'data'; params replicated.
     Differentiable end-to-end (ring transposes are the reverse ring);
-    s must divide by mesh.shape['seq']. train=True enables dropout and the
-    loss takes a step rng as its third argument (replicated; per-shard
-    streams are derived inside via fold_in)."""
+    s must divide by mesh.shape['seq'] (by 2x under layout='zigzag').
+    train=True enables dropout and the loss takes a step rng as its third
+    argument (replicated; per-shard streams are derived inside via
+    fold_in). layout='zigzag' uses the load-balanced chunk assignment
+    (chunks i and 2S-1-i per device) for equal causal work per ring step."""
     body = _make_local_loss(cfg, label_smoothing=label_smoothing,
-                            attn_impl=attn_impl, train=train)
+                            attn_impl=attn_impl, train=train,
+                            layout=layout)
 
     def loss(params, ids, rng=None):
         pspecs = jax.tree.map(lambda _: P(), params)
@@ -174,12 +222,14 @@ def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
 
 
 def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
-                       attn_impl: str = "einsum", train: bool = False):
+                       attn_impl: str = "einsum", train: bool = False,
+                       layout: str = "natural"):
     """Context-parallel train step (fwd + bwd + optimizer), jitted over
     `mesh` ('data', 'seq'). step(params, opt_state, ids[, rng]) ->
     (params, opt_state, loss). train=True runs the dropout sites with the
     given step rng."""
-    loss_fn = make_cp_loss_fn(cfg, mesh, attn_impl=attn_impl, train=train)
+    loss_fn = make_cp_loss_fn(cfg, mesh, attn_impl=attn_impl,
+                              train=train, layout=layout)
 
     if train:
         def step(params, opt_state, ids, rng):

@@ -449,3 +449,61 @@ def make_zigzag_ring_attention(mesh: Mesh, *, axis: str = "seq",
         return zigzag_unpermute(out, S) if permute_io else out
 
     return attn
+
+
+def zigzag_ring_attention_local_einsum(q: jax.Array, k: jax.Array,
+                                       v: jax.Array, *, axis: str = "seq",
+                                       softmax_scale: Optional[float] = None,
+                                       remat: bool = True) -> jax.Array:
+    """Einsum inner-block zigzag ring (causal): local shards are ZIGZAG
+    ordered (chunks i and 2S-1-i of width c2 = s/(2S), concatenated). Unlike
+    the Pallas variant's 4 sub-pair kernel calls, the einsum block covers
+    both sub-chunks at once — the causal mask just compares GLOBAL position
+    vectors, and the mask density (hence useful MXU work) is equal on every
+    device at every step, which is the whole point of the layout. Supports
+    distinct q/k vs value widths (the Backpack contextualization shape), so
+    it is the zigzag counterpart of ring_attention_local."""
+    S = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    b, c, h, d = q.shape
+    c2 = c // 2
+    dv = v.shape[-1]
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    perm = [(r, (r + 1) % S) for r in range(S)]
+    ar = jnp.arange(c2)
+
+    def posvec(idx):
+        return jnp.concatenate([idx * c2 + ar, (2 * S - 1 - idx) * c2 + ar])
+
+    qpos = posvec(i)
+
+    def step(carry, r):
+        k_r, v_r, m_acc, l_acc, o_acc = carry
+        j = (i - r) % S
+        kpos = posvec(j)
+        s_blk = jnp.einsum("bqhd,bkhd->bhqk", qf, k_r,
+                           preferred_element_type=jnp.float32)
+        mask = kpos[None, :] <= qpos[:, None]
+        s_blk = jnp.where(mask[None, None], s_blk, NEG)
+        m_new = jnp.maximum(m_acc, jnp.max(s_blk, axis=-1))
+        p = jnp.where(mask[None, None], jnp.exp(s_blk - m_new[..., None]),
+                      0.0)
+        corr = jnp.exp(m_acc - m_new)
+        l_new = l_acc * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v_r.dtype), v_r,
+                        preferred_element_type=jnp.float32)
+        o_new = o_acc * corr[..., None] + pv
+        k_r = lax.ppermute(k_r, axis, perm)
+        v_r = lax.ppermute(v_r, axis, perm)
+        return (k_r, v_r, m_new, l_new, o_new), None
+
+    step_fn = jax.checkpoint(step) if remat else step
+    m0 = jnp.full((b, h, c), NEG, jnp.float32)
+    l0 = jnp.zeros((b, h, c), jnp.float32)
+    o0 = jnp.zeros((b, h, c, dv), jnp.float32)
+    (_, _, _, l, o), _ = lax.scan(step_fn, (k, v, m0, l0, o0),
+                                  jnp.arange(S))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = (o / l_safe[..., None]).astype(q.dtype)
+    return jnp.swapaxes(out, 1, 2)

@@ -168,3 +168,39 @@ def test_cp_train_step_with_dropout_reduces_loss():
                                       jax.random.PRNGKey(100 + n))
             losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("attn_impl", ["einsum", "flash"])
+def test_cp_zigzag_layout_matches_oracle(setup, attn_impl):
+    """layout='zigzag' (load-balanced chunks i and 2S-1-i per device): loss
+    and gradients still match the single-device oracle exactly."""
+    cfg, params, ids = setup
+    mesh = _mesh(1, 4)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, layout="zigzag",
+                                 attn_impl=attn_impl)
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids))
+        g_cp = jax.device_get(jax.jit(jax.grad(loss_fn))(params, ids))
+    want = float(_oracle_loss(params, cfg, ids))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+    g_ref = jax.grad(lambda p: _oracle_loss(p, cfg, ids))(params)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, g in jax.tree_util.tree_leaves_with_path(g_cp):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
+            atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_cp_zigzag_rotary_variant():
+    cfg = BackpackConfig(vocab_size=256, n_positions=0, n_embd=64, n_head=4,
+                         n_layer=2, num_senses=2, rotary_emb_fraction=0.5,
+                         pad_vocab_size_multiple=8, embd_pdrop=0.0,
+                         resid_pdrop=0.0, attn_pdrop=0.0)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(2))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 33), 0, 256)
+    mesh = _mesh(2, 2)
+    with mesh:
+        got = float(jax.jit(cp.make_cp_loss_fn(cfg, mesh, layout="zigzag"))(
+            params, ids))
+    want = float(_oracle_loss(params, cfg, ids))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
