@@ -39,6 +39,11 @@ run_step 6000 python bench_decode_sweep.py --profile 128:64 \
 # 3. the official headline bench (sanity reproduction)
 run_step 3000 python bench.py
 
+# 3b. speculative verification step cost (serving spec_tokens lever):
+#     rel_cost = t_verify/t_plain sets the speculation speedup
+#     (1 + acceptance*k)/rel_cost
+run_step 3000 python bench_spec_step.py --json /tmp/bench_spec_r2.json
+
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT item 8: int4 margin on a less trivial model)
 if healthy; then

@@ -86,7 +86,10 @@ def test_cp_train_step_reduces_loss(setup):
                                   total_steps=10)
     step = cp.make_cp_train_step(cfg, tx, mesh)
     opt_state = jax.jit(tx.init)(params)
-    p = params
+    # the train step DONATES params/opt_state; never hand it the module
+    # fixture's arrays (a later test on the same xdist worker would find
+    # them deleted)
+    p = jax.tree.map(jnp.copy, params)
     with mesh:
         losses = []
         for _ in range(3):
