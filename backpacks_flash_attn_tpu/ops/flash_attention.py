@@ -74,8 +74,9 @@ def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
     return x < thr
 
 
-def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
-                      v_ref, bias_ref, o_ref, lse_ref, *, block_k: int,
+def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
+                      seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                      lse_ref, *, block_k: int,
                       kv_len: int, causal: bool, block_q: int,
                       blocksparse: bool, dropout_p: float, has_bias: bool):
     # q arrives pre-scaled (softmax scale may be a traced per-layer value,
@@ -88,12 +89,20 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
            else jnp.bfloat16)
     q = q_ref[0, 0].astype(cdt)                  # (block_q, d)
     seq_len = lens_ref[pl.program_id(0)]
-    # per-sequence query offset: row i of this call sits at absolute position
-    # q_off + i (chunked prefill continuing a cache at a nonzero offset)
-    q_off = qoff_ref[pl.program_id(0)]
+    # per-sequence offsets: q row i sits at absolute position q_off + i and
+    # key column u at k_off + u (chunked prefill / ring chunk pairs). The
+    # causal mask only sees the RELATIVE offset; the dropout hash uses the
+    # absolute positions so masks are a pure function of global coordinates
+    # (ring == single-device).
+    q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
     # program_id inside a fori_loop body breaks interpret-mode lowering;
-    # compute the dropout stream id at kernel top level.
-    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    # compute the dropout stream id at kernel top level. boff globalizes the
+    # batch-row stream under data sharding (row b here is global row
+    # boff + b).
+    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
+          + pl.program_id(1))
+    dq0 = qoff_ref[pl.program_id(0)] + qi * block_q
+    dk_off = koff_ref[pl.program_id(0)]
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
     if causal:
@@ -127,8 +136,9 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
         if dropout_p > 0.0:
             # applied to the un-normalized probs; l/lse stay pre-dropout so
             # the bwd recompute sees the exact softmax (reference semantics:
-            # dropout after softmax, fmha_fprop_kernel_1xN.h).
-            keep = _dropout_keep(seed_ref, bh, qi * block_q, j * block_k,
+            # dropout after softmax, fmha_fprop_kernel_1xN.h). Positions are
+            # GLOBAL (absolute q/k offsets included).
+            keep = _dropout_keep(seed_ref, bh, dq0, dk_off + j * block_k,
                                  block_q, block_k, dropout_p)
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -160,13 +170,17 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, bmask_ref, seed_ref, q_ref, k_ref,
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
                blockmask=None, dropout_p=0.0, seed=None, q_offsets=None,
-               bias=None):
+               bias=None, k_offsets=None, bh_offset=None):
     """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
     `scale` may be traced; it is folded into q before the kernel launch.
     blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask.
     seed: (2,) uint32 dropout counter seed (required when dropout_p > 0).
     q_offsets: (b,) absolute position of q row 0 per sequence (chunked
-    prefill); causal masking becomes k_pos <= q_off + i."""
+    prefill); causal masking becomes k_pos <= q_off + i.
+    k_offsets: (b,) absolute position of key column 0 (ring chunk pairs);
+    causality uses the relative offset, the dropout hash the absolute ones.
+    bh_offset: scalar global index of batch row 0 (data-sharded dropout
+    streams)."""
     if not (isinstance(scale, float) and scale == 1.0):
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     b, h, sq, d = q.shape
@@ -199,6 +213,13 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
     else:
         q_offsets = jnp.broadcast_to(
             jnp.asarray(q_offsets, jnp.int32).reshape(-1), (b,))
+    if k_offsets is None:
+        k_offsets = jnp.zeros((b,), jnp.int32)
+    else:
+        k_offsets = jnp.broadcast_to(
+            jnp.asarray(k_offsets, jnp.int32).reshape(-1), (b,))
+    bh_offset = jnp.reshape(
+        jnp.asarray(0 if bh_offset is None else bh_offset, jnp.int32), (1,))
 
     has_bias = bias is not None
     if has_bias:
@@ -233,6 +254,8 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (b,) lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (b,) query offsets
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (b,) key offsets
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) batch-row offset
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flat blockmask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (2,) dropout seed
             pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -249,7 +272,8 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seq_lengths, q_offsets, bm, seed, qp, kp, vp, bias)
+    )(seq_lengths, q_offsets, k_offsets, bh_offset, bm, seed, qp, kp, vp,
+      bias)
     return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
@@ -290,19 +314,23 @@ def _bwd_mask(q0, k0, block_q, block_k, q_len, kv_len, causal, q_off=0):
     return mask
 
 
-def _flash_bwd_dq_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
+def _flash_bwd_dq_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
+                         k_ref, v_ref, do_ref,
                          lse_ref, delta_ref, bias_ref, dq_ref, *dbias_ref,
                          block_q: int, block_k: int,
                          q_len: int, kv_len: int, causal: bool,
                          dropout_p: float, has_bias: bool, force_f32: bool):
     """Grid (b, h, n_q_blocks): recompute p tile-by-tile from the saved LSE and
     accumulate dq = sum_j ds_j @ k_j (reference bwd recompute strategy:
-    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h). qoff_ref: (b,)
-    per-sequence absolute q offsets, same semantics as the forward's (used by
-    the ring-attention backward; 0 for ordinary self-attention)."""
+    csrc/flash_attn/src/fmha_dgrad_kernel_1xN_loop.h). qoff/koff: (b,)
+    per-sequence absolute q/k offsets, same semantics as the forward's (ring
+    backward; 0 for ordinary self-attention)."""
     qi = pl.program_id(2)
-    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    q_off = qoff_ref[pl.program_id(0)]
+    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
+          + pl.program_id(1))
+    dq0 = qoff_ref[pl.program_id(0)] + qi * block_q
+    dk_off = koff_ref[pl.program_id(0)]
+    q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
     q = q_ref[0, 0].astype(cdt)                       # (bq, d) pre-scaled
@@ -331,7 +359,7 @@ def _flash_bwd_dq_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_p > 0.0:
-            keep = _dropout_keep(seed_ref, bh, qi * block_q, j * block_k,
+            keep = _dropout_keep(seed_ref, bh, dq0, dk_off + j * block_k,
                                  block_q, block_k, dropout_p)
             dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_p)), 0.0)
         ds = p * (dp - delta)
@@ -347,7 +375,8 @@ def _flash_bwd_dq_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
+def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
+                          k_ref, v_ref, do_ref,
                           lse_ref, delta_ref, bias_ref, dk_ref, dv_ref, *,
                           block_q: int, block_k: int, q_len: int,
                           kv_len: int, n_q_blocks: int, causal: bool,
@@ -355,8 +384,11 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
     """Grid (b, h, n_k_blocks): for one K/V tile, loop over Q tiles (starting
     at the causal diagonal) accumulating dv = p^T dO and dk = ds^T q."""
     ki = pl.program_id(2)
-    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    q_off = qoff_ref[pl.program_id(0)]
+    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
+          + pl.program_id(1))
+    dq_base = qoff_ref[pl.program_id(0)]
+    dk0 = koff_ref[pl.program_id(0)] + ki * block_k
+    q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
     k = k_ref[0, 0].astype(cdt)                       # (bk, d)
@@ -384,7 +416,7 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_p > 0.0:
-            keep = _dropout_keep(seed_ref, bh, j * block_q, ki * block_k,
+            keep = _dropout_keep(seed_ref, bh, dq_base + j * block_q, dk0,
                                  block_q, block_k, dropout_p)
             scale_keep = 1.0 / (1.0 - dropout_p)
             p_v = jnp.where(keep, p * scale_keep, 0.0)
@@ -410,7 +442,8 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
-               dropout_p=0.0, bias=None, q_offsets=None):
+               dropout_p=0.0, bias=None, q_offsets=None, k_offsets=None,
+               bh_offset=None):
     """Tiled Pallas backward: q/k/v/out/g (b, h, s, d); lse (b, h, sq) f32.
     Returns (dq, dk, dv) in the input dtypes. O(s*d) HBM traffic per pass like
     the forward — never materializes the s x s matrix (the previous XLA
@@ -450,6 +483,13 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     else:
         q_offsets = jnp.broadcast_to(
             jnp.asarray(q_offsets, jnp.int32).reshape(-1), (b,))
+    if k_offsets is None:
+        k_offsets = jnp.zeros((b,), jnp.int32)
+    else:
+        k_offsets = jnp.broadcast_to(
+            jnp.asarray(k_offsets, jnp.int32).reshape(-1), (b,))
+    bh_offset = jnp.reshape(
+        jnp.asarray(0 if bh_offset is None else bh_offset, jnp.int32), (1,))
     has_bias = bias is not None
     if has_bias:
         bias = jnp.asarray(bias, jnp.float32)
@@ -497,24 +537,26 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     dq_res = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, **common),
         grid=(b, h, n_qb),
-        in_specs=[sspec, sspec, qspec, kfull, kfull, qspec, rblk, rblk,
-                  bias_q_blk],
+        in_specs=[sspec, sspec, sspec, sspec, qspec, kfull, kfull, qspec,
+                  rblk, rblk, bias_q_blk],
         out_specs=dq_specs,
         out_shape=dq_outs,
         interpret=_interpret(),
-    )(seed, q_offsets, qp, kp, vp, gp, lse_p, delta, bias_p)
+    )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p, delta,
+      bias_p)
     dq, dbias = (dq_res if has_bias else (dq_res[0], None))
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb, **common),
         grid=(b, h, n_kb),
-        in_specs=[sspec, sspec, qfull, kspec, kspec, qfull, rfull, rfull,
-                  bias_k_blk],
+        in_specs=[sspec, sspec, sspec, sspec, qfull, kspec, kspec, qfull,
+                  rfull, rfull, bias_k_blk],
         out_specs=[kspec, kspec],
         out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
         interpret=_interpret(),
-    )(seed, q_offsets, qp, kp, vp, gp, lse_p, delta, bias_p)
+    )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p, delta,
+      bias_p)
 
     dq = dq[:, :, :sq, :d]
     if not (isinstance(scale, float) and scale == 1.0):

@@ -21,11 +21,11 @@ Loss and gradients are exactly the single-device backpack_forward loss
 sites (embedding / residual / content-network) with per-(data, seq)-shard
 rng derivation via fold_in — masks are independent across chunks and
 deterministic given the step rng, but by construction NOT bit-identical to
-the single-device mask layout. Attention-probability dropout (attn_pdrop)
-stays unsupported under CP: the in-kernel counter-hash would need global
-k-position offsets threaded through the ring. Rotary embeddings are
-supported via per-chunk absolute offsets; attn_dwconv (a cross-token conv)
-is not.
+the single-device mask layout. Attention-probability dropout (attn_pdrop,
+attn_impl='flash' + layout='natural') rides the kernel's counter-hash with
+GLOBAL q/k offsets and batch-row streams, so CP attention-dropout masks ARE
+the single-device masks (tested exactly). Rotary embeddings are supported
+via per-chunk absolute offsets; attn_dwconv (a cross-token conv) is not.
 """
 
 from __future__ import annotations
@@ -55,9 +55,12 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
                      attn_impl: str = "einsum", train: bool = False,
                      layout: str = "natural"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
-    if train:
-        assert cfg.attn_pdrop == 0.0, \
-            "attention-probability dropout is unsupported under CP"
+    use_attn_drop = train and cfg.attn_pdrop > 0.0
+    if use_attn_drop:
+        # the in-kernel counter-hash dropout is global-position-pure only on
+        # the Pallas path; the einsum/zigzag rings have no in-ring dropout
+        assert attn_impl == "flash" and layout == "natural", \
+            "attn_pdrop under CP needs attn_impl='flash', layout='natural'"
     eps = cfg.layer_norm_epsilon
     zigzag = layout == "zigzag"
     if layout not in ("natural", "zigzag"):
@@ -71,13 +74,18 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
     if attn_impl == "flash":
         impl = (zigzag_ring_attention_local if zigzag
                 else ring_flash_attention_local)
-        self_attn = lambda q, k, v, sc: impl(q, k, v, axis="seq",
-                                             softmax_scale=sc)
+        if use_attn_drop:
+            self_attn = lambda q, k, v, sc, arng, boff: impl(
+                q, k, v, axis="seq", softmax_scale=sc,
+                dropout_p=cfg.attn_pdrop, dropout_rng=arng, bh_offset=boff)
+        else:
+            self_attn = lambda q, k, v, sc, arng, boff: impl(
+                q, k, v, axis="seq", softmax_scale=sc)
     elif attn_impl == "einsum":
         eimpl = (zigzag_ring_attention_local_einsum if zigzag
                  else ring_attention_local)
-        self_attn = lambda q, k, v, sc: eimpl(q, k, v, axis="seq",
-                                              softmax_scale=sc)
+        self_attn = lambda q, k, v, sc, arng, boff: eimpl(
+            q, k, v, axis="seq", softmax_scale=sc)
     else:
         raise ValueError(f"unknown attn_impl: {attn_impl!r}")
     cimpl = (zigzag_ring_attention_local_einsum if zigzag
@@ -118,6 +126,20 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
             layer_rngs = jax.random.split(r_layers, (cfg.n_layer, 2))
         else:
             r_emb = r_content = layer_rngs = None
+        if use_attn_drop and rng is not None:
+            # attention dropout rngs follow the SINGLE-DEVICE derivation
+            # chain (backpack_forward -> gpt_forward -> _block split(.,3)[0])
+            # and are REPLICATED across 'seq' — the global-position hash then
+            # reproduces the unsharded masks exactly; bh_offset globalizes
+            # the batch-row stream across 'data' shards.
+            r_gpt_sd, _ = jax.random.split(rng)
+            _, r_layers_sd = jax.random.split(r_gpt_sd)
+            gpt_layer_rngs = jax.random.split(r_layers_sd, cfg.n_layer)
+            attn_rngs = jax.vmap(
+                lambda kk: jax.random.split(kk, 3)[0])(gpt_layer_rngs)
+            boff = lax.axis_index("data") * b
+        else:
+            attn_rngs, boff = None, 0
 
         gp = params["gpt"]
         hidden = gpt_lib.embed(gp, cfg, x_loc, pos[None])
@@ -129,7 +151,11 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
 
         def block(carry, xs):
             h, r = carry
-            if layer_rngs is not None:
+            arng = None
+            if layer_rngs is not None and attn_rngs is not None:
+                lp, scale, lrng, arng = xs
+                r1, r2 = lrng[0], lrng[1]
+            elif layer_rngs is not None:
                 lp, scale, lrng = xs
                 r1, r2 = lrng[0], lrng[1]
             else:
@@ -154,7 +180,7 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
                     q, k = rotary.apply_rotary_qk(
                         q, k, cfg.rotary_emb_dim, seqlen_offset=off,
                         scale_base=cfg.rotary_emb_scale_base)
-            ctx = self_attn(q, k, v, scale)
+            ctx = self_attn(q, k, v, scale, arng, boff)
             mixer_out = dense.linear(ctx.reshape(b, c, cfg.n_embd),
                                      lp["out_proj"])
             h, r = norms.dropout_add_layer_norm(
@@ -168,8 +194,12 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
                 deterministic=not train)
             return (h, r), None
 
-        xs = ((gp["layers"], scales, layer_rngs)
-              if layer_rngs is not None else (gp["layers"], scales))
+        if layer_rngs is not None and attn_rngs is not None:
+            xs = (gp["layers"], scales, layer_rngs, attn_rngs)
+        elif layer_rngs is not None:
+            xs = (gp["layers"], scales, layer_rngs)
+        else:
+            xs = (gp["layers"], scales)
         (contextl, _), _ = lax.scan(block, (hidden, residual), xs)
 
         # Backpack tail: contextualization = ring attention with the d-wide

@@ -102,13 +102,16 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return jnp.swapaxes(out, 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _ring_flash_core(q, k, v, axis, causal, block_q, block_k):
-    out, _ = _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _ring_flash_core(q, k, v, seed, bh_off, axis, causal, block_q, block_k,
+                     dropout_p):
+    out, _ = _ring_flash_fwd(q, k, v, seed, bh_off, axis, causal, block_q,
+                             block_k, dropout_p)[0]
     return out
 
 
-def _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k):
+def _ring_flash_fwd(q, k, v, seed, bh_off, axis, causal, block_q, block_k,
+                    dropout_p):
     """Local (b, c, h, d) chunks -> ((out, lse), residuals). Per ring step
     one Pallas forward produces this chunk pair's normalized partial o_j and
     its lse_j; the mesh-level merge is the flash rescale
@@ -124,9 +127,16 @@ def _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k):
     def step(carry, r):
         k_r, v_r, m_acc, l_acc, o_acc = carry
         j = (i - r) % S
-        qoff = jnp.full((b,), (i - j) * c, jnp.int32)
+        # absolute offsets: causality uses their difference, the in-kernel
+        # dropout hash the absolute values — masks are a pure function of
+        # GLOBAL (row, q_pos, k_pos), so ring dropout == single-device
+        # flash dropout with the same seed.
+        qoff = jnp.full((b,), i * c, jnp.int32)
+        koff = jnp.full((b,), j * c, jnp.int32)
         o_j, lse_j = _flash_fwd(qt, k_r, v_r, None, 1.0, causal,
-                                block_q, block_k, q_offsets=qoff)
+                                block_q, block_k, q_offsets=qoff,
+                                k_offsets=koff, dropout_p=dropout_p,
+                                seed=seed, bh_offset=bh_off)
         m_new = jnp.maximum(m_acc, lse_j)            # (b, h, c)
         corr = jnp.exp(m_acc - m_new)
         w = jnp.exp(lse_j - m_new)                   # 0 for empty pairs
@@ -145,21 +155,23 @@ def _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k):
     out_t = (o / l_safe[..., None]).astype(q.dtype)  # (b, h, c, d)
     lse = m + jnp.log(l_safe)                        # GLOBAL row lse
     out = jnp.swapaxes(out_t, 1, 2)
-    return (out, lse), (q, k, v, out, lse)
+    return (out, lse), (q, k, v, seed, bh_off, out, lse)
 
 
-def _ring_flash_fwd_rule(q, k, v, axis, causal, block_q, block_k):
-    (out, _), res = _ring_flash_fwd(q, k, v, axis, causal, block_q, block_k)
+def _ring_flash_fwd_rule(q, k, v, seed, bh_off, axis, causal, block_q,
+                         block_k, dropout_p):
+    (out, _), res = _ring_flash_fwd(q, k, v, seed, bh_off, axis, causal,
+                                    block_q, block_k, dropout_p)
     return out, res
 
 
-def _ring_flash_bwd_rule(axis, causal, block_q, block_k, res, g):
+def _ring_flash_bwd_rule(axis, causal, block_q, block_k, dropout_p, res, g):
     """Re-run the ring: each (q_i, k_j, v_j) pair's tiled flash backward is
     fed the GLOBAL out/lse, so p recomputed as exp(s - lse) is the true
     global softmax restricted to this chunk — its dq/dk/dv are exact additive
     contributions. dk/dv accumulators rotate WITH k/v and are home after S
     hops."""
-    q, k, v, out, lse = res
+    q, k, v, seed, bh_off, out, lse = res
     S = lax.axis_size(axis)
     i = lax.axis_index(axis)
     b, c, h, d = q.shape
@@ -173,10 +185,13 @@ def _ring_flash_bwd_rule(axis, causal, block_q, block_k, res, g):
     def step(carry, r):
         k_r, v_r, dk_r, dv_r, dq_acc = carry
         j = (i - r) % S
-        qoff = jnp.full((b,), (i - j) * c, jnp.int32)
-        dq_p, dk_p, dv_p, _ = _flash_bwd(qt, k_r, v_r, ot, lse, gt, None,
+        qoff = jnp.full((b,), i * c, jnp.int32)
+        koff = jnp.full((b,), j * c, jnp.int32)
+        dq_p, dk_p, dv_p, _ = _flash_bwd(qt, k_r, v_r, ot, lse, gt, seed,
                                          1.0, causal, block_q, block_k,
-                                         q_offsets=qoff)
+                                         dropout_p=dropout_p,
+                                         q_offsets=qoff, k_offsets=koff,
+                                         bh_offset=bh_off)
         dq_acc = dq_acc + dq_p.astype(jnp.float32)
         dk_r = dk_r + dk_p.astype(jnp.float32)
         dv_r = dv_r + dv_p.astype(jnp.float32)
@@ -191,7 +206,7 @@ def _ring_flash_bwd_rule(axis, causal, block_q, block_k, res, g):
         step, (kt, vt, z, z, z), jnp.arange(S))
     return (jnp.swapaxes(dq, 1, 2).astype(q.dtype),
             jnp.swapaxes(dk, 1, 2).astype(k.dtype),
-            jnp.swapaxes(dv, 1, 2).astype(v.dtype))
+            jnp.swapaxes(dv, 1, 2).astype(v.dtype), None, None)
 
 
 _ring_flash_core.defvjp(_ring_flash_fwd_rule, _ring_flash_bwd_rule)
@@ -200,19 +215,40 @@ _ring_flash_core.defvjp(_ring_flash_fwd_rule, _ring_flash_bwd_rule)
 def ring_flash_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
                                axis: str = "seq", causal: bool = True,
                                softmax_scale: Optional[float] = None,
+                               dropout_p: float = 0.0,
+                               dropout_rng: Optional[jax.Array] = None,
+                               bh_offset=0,
                                block_q: int = 512,
                                block_k: int = 512) -> jax.Array:
     """Per-device body (call inside shard_map): ring flash attention with the
     Pallas kernel inner block and an exact custom ring backward. q/k/v
     (b, c, h, d) local chunks -> (b, c, h, d) local outputs of GLOBAL
     attention. Requires equal q/k/v head widths (use impl='einsum' for the
-    Backpack contextualization's d-wide values)."""
+    Backpack contextualization's d-wide values).
+
+    dropout_p/dropout_rng: IN-KERNEL attention dropout. The counter-hash
+    masks are a pure function of (seed, global row, global q_pos, global
+    k_pos), so with the same rng the ring produces exactly the masks the
+    single-device flash kernel would — CP attention dropout matches the
+    unsharded model. dropout_rng must be REPLICATED across the ring axis
+    (do not fold_in the seq index); bh_offset is the global index of local
+    batch row 0 (fold in the data-shard offset so rows keep distinct
+    streams under dp x cp meshes)."""
     scale = (softmax_scale if softmax_scale is not None
              else q.shape[-1] ** -0.5)
     # Fold the scale outside the custom_vjp so plain AD provides the
     # chain-rule factor on dq (same pattern as ops.flash_attention).
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    return _ring_flash_core(q, k, v, axis, causal, block_q, block_k)
+    if dropout_p > 0.0:
+        assert dropout_rng is not None, "dropout_p > 0 requires dropout_rng"
+        if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+            dropout_rng = jax.random.key_data(dropout_rng)
+        seed = dropout_rng.astype(jnp.uint32).reshape(-1)[:2]
+    else:
+        seed = jnp.zeros((2,), jnp.uint32)
+    bh_off = jnp.asarray(bh_offset, jnp.int32)
+    return _ring_flash_core(q, k, v, seed, bh_off, axis, causal, block_q,
+                            block_k, dropout_p)
 
 
 def make_ring_attention(mesh: Mesh, *, axis: str = "seq",

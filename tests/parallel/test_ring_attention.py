@@ -194,3 +194,49 @@ def test_zigzag_custom_scale_matches_flash_ring():
             mesh, softmax_scale=0.2))(q, k, v))
     want = mha_reference(q, k, v, causal=True, softmax_scale=0.2)
     np.testing.assert_allclose(zz, np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_ring_flash_dropout_matches_single_device():
+    """In-kernel attention dropout under the ring: the counter-hash masks
+    are a pure function of (seed, global row, global q_pos, global k_pos),
+    so the ring output and gradients match the SINGLE-DEVICE flash kernel
+    with the same rng — CP attention dropout == unsharded attention
+    dropout."""
+    from backpacks_flash_attn_tpu.ops.flash_attention import flash_attention
+    q, k, v = _qkv(jax.random.PRNGKey(20), 2, 64, 2, 16)
+    t = jax.random.normal(jax.random.PRNGKey(21), (2, 64, 2, 16))
+    rng = jax.random.PRNGKey(7)
+    p = 0.3
+    mesh = _mesh(4)
+
+    def ring(q, k, v):
+        fn = jax.shard_map(
+            lambda q, k, v: ra.ring_flash_attention_local(
+                q, k, v, axis="seq", causal=True, dropout_p=p,
+                dropout_rng=rng),
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(None, "seq", None, None),) * 3,
+            out_specs=jax.sharding.PartitionSpec(None, "seq", None, None),
+            check_vma=False)
+        return fn(q, k, v)
+
+    def single(q, k, v):
+        return flash_attention(q, k, v, causal=True, dropout_p=p,
+                               dropout_rng=rng)
+
+    with mesh:
+        got = jax.jit(ring)(q, k, v)
+        g_ring = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(ring(q, k, v) * t),
+            argnums=(0, 1, 2)))(q, k, v)
+    want = single(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(single(q, k, v) * t),
+                     argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    for gr, gf, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
+    # and it is genuinely dropping: different from the no-dropout output
+    nodrop = mha_reference(q, k, v, causal=True)
+    assert float(jnp.max(jnp.abs(want - nodrop))) > 1e-3
