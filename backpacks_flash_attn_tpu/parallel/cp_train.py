@@ -58,9 +58,9 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
     use_attn_drop = train and cfg.attn_pdrop > 0.0
     if use_attn_drop:
         # the in-kernel counter-hash dropout is global-position-pure only on
-        # the Pallas path; the einsum/zigzag rings have no in-ring dropout
-        assert attn_impl == "flash" and layout == "natural", \
-            "attn_pdrop under CP needs attn_impl='flash', layout='natural'"
+        # the Pallas paths (natural and zigzag rings); einsum has none
+        assert attn_impl == "flash", \
+            "attn_pdrop under CP needs attn_impl='flash'"
     eps = cfg.layer_norm_epsilon
     zigzag = layout == "zigzag"
     if layout not in ("natural", "zigzag"):

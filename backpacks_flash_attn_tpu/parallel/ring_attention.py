@@ -330,12 +330,13 @@ def _zz_chunk_ids(i, r, S):
     return (i, 2 * S - 1 - i), (j, 2 * S - 1 - j)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _zigzag_core(q, k, v, axis, block_q, block_k):
-    return _zigzag_fwd(q, k, v, axis, block_q, block_k)[0][0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _zigzag_core(q, k, v, seed, bh_off, axis, block_q, block_k, dropout_p):
+    return _zigzag_fwd(q, k, v, seed, bh_off, axis, block_q, block_k,
+                       dropout_p)[0][0]
 
 
-def _zigzag_fwd(q, k, v, axis, block_q, block_k):
+def _zigzag_fwd(q, k, v, seed, bh_off, axis, block_q, block_k, dropout_p):
     """Local (b, 2*c2, h, d) zigzag shards -> GLOBAL causal attention
     outputs for the local rows. Per ring step, each of the 4 (q sub-chunk,
     kv sub-chunk) pairs is one Pallas forward with q_off = (Q - K) * c2;
@@ -357,11 +358,15 @@ def _zigzag_fwd(q, k, v, axis, block_q, block_k):
         m_n, l_n, o_n = list(m), list(l), list(o)
         for si, qc in enumerate((qa, qb)):
             for ki_, kc in enumerate((ka, kb)):
-                qoff = jnp.full((b,), (qc - kc) * c2, jnp.int32)
+                # absolute offsets: causality uses the difference, the
+                # dropout hash the absolute positions (layout-independent)
+                qoff = jnp.full((b,), qc * c2, jnp.int32)
+                koff = jnp.full((b,), kc * c2, jnp.int32)
                 o_j, lse_j = _flash_fwd(
                     qs[si], k_r[:, :, ki_ * c2:(ki_ + 1) * c2],
                     v_r[:, :, ki_ * c2:(ki_ + 1) * c2], None, 1.0, True,
-                    block_q, block_k, q_offsets=qoff)
+                    block_q, block_k, q_offsets=qoff, k_offsets=koff,
+                    dropout_p=dropout_p, seed=seed, bh_offset=bh_off)
                 m_new = jnp.maximum(m_n[si], lse_j)
                 corr = jnp.exp(m_n[si] - m_new)
                 w = jnp.exp(lse_j - m_new)
@@ -386,19 +391,21 @@ def _zigzag_fwd(q, k, v, axis, block_q, block_k):
     out_t = jnp.concatenate(outs, axis=2)          # (b, h, 2c2, d)
     lse = jnp.concatenate(lses, axis=2)            # (b, h, 2c2) GLOBAL
     out = jnp.swapaxes(out_t, 1, 2)
-    return (out, lse), (q, k, v, out, lse)
+    return (out, lse), (q, k, v, seed, bh_off, out, lse)
 
 
-def _zigzag_fwd_rule(q, k, v, axis, block_q, block_k):
-    (out, _), res = _zigzag_fwd(q, k, v, axis, block_q, block_k)
+def _zigzag_fwd_rule(q, k, v, seed, bh_off, axis, block_q, block_k,
+                     dropout_p):
+    (out, _), res = _zigzag_fwd(q, k, v, seed, bh_off, axis, block_q,
+                                block_k, dropout_p)
     return out, res
 
 
-def _zigzag_bwd_rule(axis, block_q, block_k, res, g):
+def _zigzag_bwd_rule(axis, block_q, block_k, dropout_p, res, g):
     """Same 4-pair schedule with the tiled flash backward fed the GLOBAL
     out/lse per q sub-chunk; dk/dv accumulators for both kv sub-chunks
     rotate with k/v and are home after S hops."""
-    q, k, v, out, lse = res
+    q, k, v, seed, bh_off, out, lse = res
     S = lax.axis_size(axis)
     i = lax.axis_index(axis)
     b, c2x2, h, d = q.shape
@@ -417,11 +424,13 @@ def _zigzag_bwd_rule(axis, block_q, block_k, res, g):
         dq_n = list(dq)
         for si, qc in enumerate((qa, qb)):
             for ki_, kc in enumerate((ka, kb)):
-                qoff = jnp.full((b,), (qc - kc) * c2, jnp.int32)
+                qoff = jnp.full((b,), qc * c2, jnp.int32)
+                koff = jnp.full((b,), kc * c2, jnp.int32)
                 dq_p, dk_p, dv_p, _ = _flash_bwd(
                     sub(qt, si), sub(k_r, ki_), sub(v_r, ki_), sub(ot, si),
-                    lse[:, :, si * c2:(si + 1) * c2], sub(gt, si), None,
-                    1.0, True, block_q, block_k, q_offsets=qoff)
+                    lse[:, :, si * c2:(si + 1) * c2], sub(gt, si), seed,
+                    1.0, True, block_q, block_k, dropout_p=dropout_p,
+                    q_offsets=qoff, k_offsets=koff, bh_offset=bh_off)
                 dq_n[si] = dq_n[si] + dq_p.astype(jnp.float32)
                 dk_r = dk_r.at[:, :, ki_ * c2:(ki_ + 1) * c2].add(
                     dk_p.astype(jnp.float32))
@@ -440,7 +449,7 @@ def _zigzag_bwd_rule(axis, block_q, block_k, res, g):
     dq_full = jnp.concatenate(dq, axis=2)
     return (jnp.swapaxes(dq_full, 1, 2).astype(q.dtype),
             jnp.swapaxes(dk, 1, 2).astype(k.dtype),
-            jnp.swapaxes(dv, 1, 2).astype(v.dtype))
+            jnp.swapaxes(dv, 1, 2).astype(v.dtype), None, None)
 
 
 _zigzag_core.defvjp(_zigzag_fwd_rule, _zigzag_bwd_rule)
@@ -449,16 +458,31 @@ _zigzag_core.defvjp(_zigzag_fwd_rule, _zigzag_bwd_rule)
 def zigzag_ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
                                 axis: str = "seq",
                                 softmax_scale: Optional[float] = None,
+                                dropout_p: float = 0.0,
+                                dropout_rng: Optional[jax.Array] = None,
+                                bh_offset=0,
                                 block_q: int = 512,
                                 block_k: int = 512) -> jax.Array:
     """Per-device body (call inside shard_map): load-balanced causal ring
     flash attention over ZIGZAG-ordered local shards (b, 2*s/(2S), h, d).
     Causal only — the balance trick is meaningless without the causal
-    bubble (use impl='flash' for non-causal rings)."""
+    bubble (use impl='flash' for non-causal rings). In-kernel dropout is
+    global-position-pure (see ring_flash_attention_local): the SAME masks as
+    the single-device kernel, layout notwithstanding; dropout_rng must be
+    replicated across the ring axis."""
     scale = (softmax_scale if softmax_scale is not None
              else q.shape[-1] ** -0.5)
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    return _zigzag_core(q, k, v, axis, block_q, block_k)
+    if dropout_p > 0.0:
+        assert dropout_rng is not None, "dropout_p > 0 requires dropout_rng"
+        if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+            dropout_rng = jax.random.key_data(dropout_rng)
+        seed = dropout_rng.astype(jnp.uint32).reshape(-1)[:2]
+    else:
+        seed = jnp.zeros((2,), jnp.uint32)
+    bh_off = jnp.asarray(bh_offset, jnp.int32)
+    return _zigzag_core(q, k, v, seed, bh_off, axis, block_q, block_k,
+                        dropout_p)
 
 
 def make_zigzag_ring_attention(mesh: Mesh, *, axis: str = "seq",

@@ -246,3 +246,27 @@ def test_cp_attention_dropout_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
             atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_cp_zigzag_attention_dropout_matches_single_device():
+    """The dropout hash keys on GLOBAL positions, so even the zigzag layout
+    reproduces the single-device attention-dropout masks exactly."""
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                         n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                         embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.35)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0, 256)
+    rng = jax.random.PRNGKey(9)
+    mesh = _mesh(2, 2)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl="flash",
+                                 layout="zigzag")
+
+    def oracle(p):
+        logits = bp.backpack_forward(p, cfg, ids[:, :-1], train=True,
+                                     rng=rng, use_flash=True)
+        return cross_entropy_loss(logits, ids[:, 1:])
+
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids, rng))
+    want = float(oracle(params))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
