@@ -275,3 +275,45 @@ def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
             return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_cp_sharded_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
+                               attn_impl: str = "flash",
+                               layout: str = "natural",
+                               label_smoothing: float = 0.0):
+    """Training-CLI-shaped CP step: step(TrainState, batch, rng) ->
+    (TrainState, {'loss', 'grad_norm'}), jitted over a ('data', 'seq') mesh
+    with ids sharded on 'data' and params replicated. Dropout runs in train
+    mode (per-shard streams for the per-token sites; global-position
+    in-kernel masks for attn_pdrop — requires attn_impl='flash' when
+    cfg.attn_pdrop > 0). The sequence axis must divide by mesh.shape['seq']
+    (2x under layout='zigzag')."""
+    from jax.sharding import NamedSharding
+
+    from ..training.train import TrainState
+
+    loss_fn = make_cp_loss_fn(cfg, mesh, label_smoothing=label_smoothing,
+                              attn_impl=attn_impl, layout=layout, train=True)
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch["input_ids"], rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "grad_norm": gnorm})
+
+    rep = NamedSharding(mesh, P())
+    batch_sharding = {"input_ids": NamedSharding(mesh, P("data", None))}
+    jit_step = jax.jit(step, donate_argnums=(0,),
+                       in_shardings=(rep, batch_sharding, rep))
+
+    def sharded_init(params):
+        def init(params):
+            return TrainState(params, tx.init(params),
+                              jnp.zeros((), jnp.int32))
+        return jax.jit(init, out_shardings=rep, donate_argnums=(0,))(params)
+
+    return jit_step, sharded_init

@@ -57,6 +57,9 @@ class RunConfig:
     seed: int = 0
     dp: int = 1
     tp: int = 1
+    cp: int = 1                       # context-parallel ring size ('seq' axis)
+    cp_layout: str = "natural"        # natural | zigzag (load-balanced)
+    cp_attn_impl: str = "flash"       # flash | einsum ring inner block
     use_flash: bool = True
     remat: str = "none"               # none | full | dots (models/gpt.remat_wrap)
     scan_unroll: int = 1              # unroll the layer scans (n_layer = no
@@ -104,18 +107,29 @@ def run(rc: RunConfig) -> Dict[str, Any]:
     train_tokens, val_tokens = tokens[:-n_val], tokens[-n_val:]
 
     cfg, kind, params = build_model(rc)
-    mesh = make_mesh(data=rc.dp, model=rc.tp)
-    tx = train_lib.make_optimizer(params, lr=rc.lr,
-                                  weight_decay=rc.weight_decay,
-                                  warmup_steps=rc.warmup_steps,
-                                  total_steps=rc.steps,
-                                  grad_clip=rc.grad_clip,
-                                  accum_steps=rc.accum_steps,
-                                  schedule=rc.lr_schedule)
-    step_fn, sharded_init = train_lib.make_sharded_train_step(
-        cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat,
-        scan_unroll=rc.scan_unroll, zero1=rc.zero1, zero2=rc.zero2,
-        zero3=rc.zero3)
+    tx_kw = dict(lr=rc.lr, weight_decay=rc.weight_decay,
+                 warmup_steps=rc.warmup_steps, total_steps=rc.steps,
+                 grad_clip=rc.grad_clip, accum_steps=rc.accum_steps,
+                 schedule=rc.lr_schedule)
+    if rc.cp > 1:
+        # context-parallel training: sequence sharded over a 'seq' mesh axis
+        # (parallel/cp_train.py); composes with DP, not with TP/ZeRO here
+        assert rc.tp == 1 and not (rc.zero1 or rc.zero2 or rc.zero3),             "--cp composes with --dp only (TP/ZeRO: use the pjit path)"
+        assert kind == "backpack", "--cp currently drives the Backpack model"
+        assert rc.accum_steps == 1, "--cp does not support --accum-steps"
+        from ..parallel import cp_train as cp_lib
+        devs = np.asarray(jax.devices()[:rc.dp * rc.cp]).reshape(rc.dp, rc.cp)
+        mesh = jax.sharding.Mesh(devs, ("data", "seq"))
+        tx = train_lib.make_optimizer(params, **tx_kw)
+        step_fn, sharded_init = cp_lib.make_cp_sharded_train_step(
+            cfg, tx, mesh, attn_impl=rc.cp_attn_impl, layout=rc.cp_layout)
+    else:
+        mesh = make_mesh(data=rc.dp, model=rc.tp)
+        tx = train_lib.make_optimizer(params, **tx_kw)
+        step_fn, sharded_init = train_lib.make_sharded_train_step(
+            cfg, tx, mesh, model=kind, use_flash=rc.use_flash, remat=rc.remat,
+            scan_unroll=rc.scan_unroll, zero1=rc.zero1, zero2=rc.zero2,
+            zero3=rc.zero3)
 
     sampler = lmd.SamplerState(seed=rc.seed)
     ema = ema_lib.init_ema(params) if rc.ema_decay > 0 else None

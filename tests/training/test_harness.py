@@ -234,3 +234,20 @@ def test_lr_schedules():
         assert np.isfinite(float(jax.tree.leaves(updates)[0].sum()))
     with pytest.raises(ValueError):
         tl.make_schedule("nope", lr=1.0, warmup_steps=1, total_steps=2)
+
+
+def test_train_cli_cp_smoke(tmp_path):
+    """--cp: context-parallel training end-to-end through the CLI (dp=2 x
+    cp=4 mesh, zigzag layout, flash ring, dropout in train mode)."""
+    from backpacks_flash_attn_tpu.data import lm_dataset as lmd
+    from backpacks_flash_attn_tpu.training import train_cli
+
+    tokens = np.random.default_rng(2).integers(0, 500, 6000).astype(np.uint16)
+    corpus = lmd.save_corpus(tokens, str(tmp_path), "c")
+    rc = train_cli.RunConfig(corpus=corpus, workdir=str(tmp_path / "cp"),
+                             model="backpack-test", mode="smoke",
+                             batch_size=2, seqlen=32, dp=2, cp=4,
+                             cp_layout="zigzag")
+    out = train_cli.run(rc)
+    assert out["steps"] == 3
+    assert np.isfinite(out["final_metrics"]["loss"])
