@@ -13,9 +13,9 @@ uniform batch with a Python loop that re-runs the full forward per token
     retire and their slots are immediately reusable
   * scheduling (queue, slots, budgets, EOS) lives in the native C++
     scheduler (csrc/scheduler.cpp) via ctypes, off the device-dispatch path
-  * per-request sampling (greedy / temperature / nucleus top-p via (b,)
-    vectors) and per-request sense-weight interventions ((b, nv) control
-    vectors — the §2.4 capability, served)
+  * per-request sampling (greedy / temperature / nucleus top-p / top-k
+    via (b,) vectors) and per-request sense-weight interventions
+    ((b, nv) control vectors — the §2.4 capability, served)
 """
 
 from __future__ import annotations
@@ -169,6 +169,9 @@ class ServingEngine:
         self.top_ps = np.ones((max_slots,), np.float32)
         self._uses_top_p = False
         self._meta_top_p = {}
+        self.top_ks = np.zeros((max_slots,), np.int32)
+        self._uses_top_k = False
+        self._meta_top_k = {}
         self._window_hist = collections.Counter()
         self.spec_tokens = int(spec_tokens)
         self.spec_ngram = int(spec_ngram)
@@ -188,7 +191,7 @@ class ServingEngine:
     # ------------------------------------------------------------ submit
 
     def submit(self, prompt, *, max_new_tokens: int = 64,
-               temperature: float = 0.0, top_p: float = 1.0,
+               temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0,
                sense_weights: Optional[np.ndarray] = None,
                control: bool = False, negative: bool = False) -> int:
         """Queue a request. Returns its id, or raises if the prompt can never
@@ -214,27 +217,39 @@ class ServingEngine:
                 f"{self.max_seqlen}")
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {top_k}")
         self._prompts[rid] = prompt
         self._meta[rid] = (temperature, sense_weights, control, negative)
         self._meta_top_p[rid] = top_p
+        self._meta_top_k[rid] = top_k
         return rid
 
     # ------------------------------------------------------------ internals
 
     @staticmethod
-    def _sample_tokens(last, temps, rng, top_ps=None):
-        """Per-slot greedy/temperature(+nucleus) sampling (one batched op).
-        top_ps None compiles the unrestricted path (no per-step vocab sort)."""
+    def _sample_tokens(last, temps, rng, top_ps=None, top_ks=None):
+        """Per-slot greedy/temperature(+nucleus/top-k) sampling (one batched
+        op). top_ps/top_ks None compile the unrestricted path (no per-step
+        vocab sort)."""
         greedy = jnp.argmax(last, -1)
         logits = last / jnp.maximum(temps, 1e-6)[:, None]
-        if top_ps is not None:
-            # keep the smallest descending-prob prefix with cum > top_p
+        if top_ps is not None or top_ks is not None:
             sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(sorted_l, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            keep = cum - probs < top_ps[:, None]
-            cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
-                             keepdims=True)
+            cutoff = jnp.full((logits.shape[0], 1), -jnp.inf)
+            if top_ps is not None:
+                # keep the smallest descending-prob prefix with cum > top_p
+                probs = jax.nn.softmax(sorted_l, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                keep = cum - probs < top_ps[:, None]
+                cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                                 keepdims=True)
+            if top_ks is not None:
+                # kth-largest logit per row; top_k <= 0 means unrestricted
+                idx = jnp.clip(top_ks - 1, 0, logits.shape[-1] - 1)
+                kth = jnp.take_along_axis(sorted_l, idx[:, None], axis=-1)
+                kth = jnp.where((top_ks > 0)[:, None], kth, -jnp.inf)
+                cutoff = jnp.maximum(cutoff, kth)
             logits = jnp.where(logits < cutoff, -jnp.inf, logits)
         sampled = jax.random.categorical(rng, logits, axis=-1)
         return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
@@ -290,20 +305,23 @@ class ServingEngine:
         return self.max_seqlen
 
     def _step_fn(self, weighted: bool, window: int):
-        key = (weighted, window, self._uses_top_p)
+        key = (weighted, window, self._uses_top_p, self._uses_top_k)
         if key not in self._jit_steps:
             cfg, use_flash = self.cfg, self.use_flash
             win = None if window >= self.max_seqlen else window
             use_top_p = self._uses_top_p
+            use_top_k = self._uses_top_k
             sample = self._sample_tokens
 
-            def step(params, toks, cache, temps, top_ps, rng, weights):
+            def step(params, toks, cache, temps, top_ps, top_ks, rng,
+                     weights):
                 kw = {"sense_weights": weights} if weighted else {}
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, toks, cache, use_flash=use_flash,
                     window=win, **kw)
                 nxt = sample(logits[:, -1], temps, rng,
-                             top_ps if use_top_p else None)
+                             top_ps if use_top_p else None,
+                             top_ks if use_top_k else None)
                 return nxt[:, None], cache
 
             self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
@@ -318,16 +336,18 @@ class ServingEngine:
         position-0 logits (exactly the plain step's distribution). Cache
         length counters are rolled back to old + acc + 1 so rejected rows
         are masked out and overwritten by the next dispatch."""
-        key = (window, self._uses_weights, self._uses_top_p)
+        key = (window, self._uses_weights, self._uses_top_p,
+               self._uses_top_k)
         if key not in self._jit_spec_steps:
             cfg, use_flash = self.cfg, self.use_flash
             weighted = self._uses_weights
             win = None if window >= self.max_seqlen else window
             use_top_p = self._uses_top_p
+            use_top_k = self._uses_top_k
             sample = self._sample_tokens
             k = self.spec_tokens
 
-            def step(params, toks, drafts, cache, temps, top_ps, rng,
+            def step(params, toks, drafts, cache, temps, top_ps, top_ks, rng,
                      weights):
                 inp = jnp.concatenate([toks, drafts], axis=1)   # (b, 1+k)
                 old_len = cache.length
@@ -342,7 +362,8 @@ class ServingEngine:
                 acc = jnp.where(greedy, acc, 0)
                 bonus = jnp.take_along_axis(preds, acc[:, None], axis=1)[:, 0]
                 sampled0 = sample(logits[:, 0], temps, rng,
-                                  top_ps if use_top_p else None)
+                                  top_ps if use_top_p else None,
+                                  top_ks if use_top_k else None)
                 head = jnp.where(greedy, bonus, sampled0)
                 tpos = jnp.arange(k + 1)[None]
                 dpad = jnp.pad(drafts, ((0, 0), (0, 1)))
@@ -370,17 +391,18 @@ class ServingEngine:
         return drafts
 
     def _ctl_step_fn(self, window: int):
-        key = (window, self._uses_top_p)
+        key = (window, self._uses_top_p, self._uses_top_k)
         if key not in self._jit_steps_controlled:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
             ann = self.annealing_scale
             win = None if window >= self.max_seqlen else window
             use_top_p = self._uses_top_p
+            use_top_k = self._uses_top_k
             sample = self._sample_tokens
 
-            def step(params, toks, cache, istate, temps, top_ps, rng, req_w,
-                     cmask, table):
+            def step(params, toks, cache, istate, temps, top_ps, top_ks, rng,
+                     req_w, cmask, table):
                 istate, w = iv.advance_weighted_state(
                     params, cfg, toks, cache, istate, table, anneal=True,
                     annealing_scale=ann, window=win)
@@ -390,7 +412,8 @@ class ServingEngine:
                     params, cfg, toks, cache, use_flash=use_flash,
                     sense_weights=w, window=win)
                 nxt = sample(logits[:, -1], temps, rng,
-                             top_ps if use_top_p else None)
+                             top_ps if use_top_p else None,
+                             top_ks if use_top_k else None)
                 return nxt[:, None], cache, istate
 
             self._jit_steps_controlled[key] = jax.jit(
@@ -428,7 +451,8 @@ class ServingEngine:
         """Decode step when any negative-weighted slot is active; also
         carries per-request sense weights and (if present) annealed control
         slots, so all three intervention modes share the batch."""
-        key = (window, self._uses_control, self._uses_top_p)
+        key = (window, self._uses_control, self._uses_top_p,
+               self._uses_top_k)
         if key not in self._jit_steps_negative:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -436,10 +460,11 @@ class ServingEngine:
             uses_control = self._uses_control
             win = None if window >= self.max_seqlen else window
             use_top_p = self._uses_top_p
+            use_top_k = self._uses_top_k
             sample = self._sample_tokens
 
-            def step(params, toks, cache, nstate, istate, temps, top_ps, rng,
-                     req_w, cmask, nmask, ctable, ntable):
+            def step(params, toks, cache, nstate, istate, temps, top_ps,
+                     top_ks, rng, req_w, cmask, nmask, ctable, ntable):
                 if uses_control:
                     istate, w = iv.advance_weighted_state(
                         params, cfg, toks, cache, istate, ctable, anneal=True,
@@ -455,7 +480,8 @@ class ServingEngine:
                     quantile=self.negative_quantile, use_flash=use_flash,
                     negative_mask=nmask, sense_weights=w, window=win)
                 nxt = sample(logits[:, -1], temps, rng,
-                             top_ps if use_top_p else None)
+                             top_ps if use_top_p else None,
+                             top_ks if use_top_k else None)
                 return nxt[:, None], cache, nstate, istate
 
             self._jit_steps_negative[key] = jax.jit(step,
@@ -523,13 +549,18 @@ class ServingEngine:
         self.top_ps[slot] = top_p
         if top_p < 1.0:
             self._uses_top_p = True
+        top_k = self._meta_top_k.pop(rid, 0)
+        self.top_ks[slot] = top_k
+        if top_k > 0:
+            self._uses_top_k = True
         if sw is not None:
             self._uses_weights = True
         if temp > 0:
             self._rng, sub = jax.random.split(self._rng)
             tok = int(self._sample_tokens(
                 last_logits[None], jnp.asarray([temp], jnp.float32), sub,
-                jnp.asarray([top_p], jnp.float32) if top_p < 1.0 else None
+                jnp.asarray([top_p], jnp.float32) if top_p < 1.0 else None,
+                jnp.asarray([top_k], jnp.int32) if top_k > 0 else None
             )[0])
         else:
             tok = int(jnp.argmax(last_logits))
@@ -634,6 +665,7 @@ class ServingEngine:
         self.control_mask[slot] = False
         self.negative_mask[slot] = False
         self.top_ps[slot] = 1.0
+        self.top_ks[slot] = 0
         self.sched.release(slot)
 
     # ------------------------------------------------------------ stepping
@@ -665,7 +697,8 @@ class ServingEngine:
             step = self._spec_step_fn(window)
             emitted, n_emit, self.tokens, self.cache = step(
                 self.params, self.tokens, jnp.asarray(drafts), self.cache,
-                jnp.asarray(self.temps), jnp.asarray(self.top_ps), sub,
+                jnp.asarray(self.temps), jnp.asarray(self.top_ps),
+                jnp.asarray(self.top_ks), sub,
                 jnp.asarray(self.sense_weights))
             em = np.asarray(emitted)
             ne = np.asarray(n_emit)
@@ -701,7 +734,7 @@ class ServingEngine:
             self.tokens, self.cache, self.nstate, self.istate = step(
                 self.params, self.tokens, self.cache, self.nstate,
                 self.istate, jnp.asarray(self.temps),
-                jnp.asarray(self.top_ps), sub,
+                jnp.asarray(self.top_ps), jnp.asarray(self.top_ks), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask),
                 jnp.asarray(self.negative_mask), ctable,
@@ -710,14 +743,16 @@ class ServingEngine:
             step = self._ctl_step_fn(window)
             self.tokens, self.cache, self.istate = step(
                 self.params, self.tokens, self.cache, self.istate,
-                jnp.asarray(self.temps), jnp.asarray(self.top_ps), sub,
+                jnp.asarray(self.temps), jnp.asarray(self.top_ps),
+                jnp.asarray(self.top_ks), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask), self.control_table)
         else:
             step = self._step_fn(self._uses_weights, window)
             self.tokens, self.cache = step(
                 self.params, self.tokens, self.cache,
-                jnp.asarray(self.temps), jnp.asarray(self.top_ps), sub,
+                jnp.asarray(self.temps), jnp.asarray(self.top_ps),
+                jnp.asarray(self.top_ks), sub,
                 jnp.asarray(self.sense_weights))
         toks = np.asarray(self.tokens[:, 0])
         out = []

@@ -375,3 +375,20 @@ def test_engine_top_p_validation(setup):
         eng.submit([1, 2], top_p=0.0)
     with _pytest.raises(ValueError):
         eng.submit([1, 2], top_p=1.5)
+
+
+def test_engine_per_request_top_k(setup):
+    """top_k=1 with temperature>0 is exactly greedy (only the argmax
+    survives the cut) — shares the batch with unrestricted sampling."""
+    cfg, params = setup
+    prompt = [2, 7, 1, 8]
+    want = _direct_greedy(cfg, params, prompt, 6)
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    r_k1 = eng.submit(prompt, max_new_tokens=6, temperature=1.0, top_k=1)
+    r_free = eng.submit(prompt, max_new_tokens=6, temperature=1.0)
+    res = eng.run()
+    assert res[r_k1].tokens == want
+    assert len(res[r_free].tokens) == 6
+    with pytest.raises(ValueError):
+        eng.submit(prompt, max_new_tokens=2, top_k=-1)
