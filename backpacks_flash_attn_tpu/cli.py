@@ -8,7 +8,7 @@ training/src/modulate_generate.py (knowledge-editing REPL), as one CLI:
     python -m backpacks_flash_attn_tpu.cli \
         --checkpoint last.ckpt --model backpack-small \
         [--vocab vocab.json --merges merges.txt] [--int8] [--temperature 0.8]
-        [--top-p 0.95]
+        [--top-p 0.95] [--top-k 40]
 
 Without tokenizer files, prompts are space-separated token ids. Commands
 inside the REPL:
@@ -116,6 +116,7 @@ class Repl:
         out = generation.generate_backpack(
             self.params, self.cfg, ids, max_length=ids.shape[1] + n,
             temperature=self.args.temperature, top_p=self.args.top_p,
+            top_k=self.args.top_k,
             rng=sub if self.args.temperature > 0 else None,
             sense_edit=self.sense_edit)
         return self.decode(np.asarray(out.sequences)[0, ids.shape[1]:])
@@ -178,6 +179,8 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-p", type=float, default=1.0,
                    help="nucleus sampling cutoff (1.0 = off)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="top-k sampling cutoff (0 = off)")
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
