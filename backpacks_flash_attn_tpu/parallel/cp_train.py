@@ -51,9 +51,9 @@ from .ring_attention import (ring_attention_local,
 Params = Any
 
 
-def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
+def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
                      attn_impl: str = "einsum", train: bool = False,
-                     layout: str = "natural"):
+                     layout: str = "natural", model: str = "backpack"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
     use_attn_drop = train and cfg.attn_pdrop > 0.0
     if use_attn_drop:
@@ -132,7 +132,8 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
             # and are REPLICATED across 'seq' — the global-position hash then
             # reproduces the unsharded masks exactly; bh_offset globalizes
             # the batch-row stream across 'data' shards.
-            r_gpt_sd, _ = jax.random.split(rng)
+            r_gpt_sd = (jax.random.split(rng)[0] if model == "backpack"
+                        else rng)
             _, r_layers_sd = jax.random.split(r_gpt_sd)
             gpt_layer_rngs = jax.random.split(r_layers_sd, cfg.n_layer)
             attn_rngs = jax.vmap(
@@ -141,7 +142,7 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
         else:
             attn_rngs, boff = None, 0
 
-        gp = params["gpt"]
+        gp = params["gpt"] if model == "backpack" else params
         hidden = gpt_lib.embed(gp, cfg, x_loc, pos[None])
         hidden, residual = norms.dropout_add_layer_norm(
             hidden, None, gp["ln_0"]["weight"], gp["ln_0"]["bias"],
@@ -202,16 +203,19 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
             xs = (gp["layers"], scales)
         (contextl, _), _ = lax.scan(block, (hidden, residual), xs)
 
-        # Backpack tail: contextualization = ring attention with the d-wide
-        # sense vectors as values, per-sense outputs summed.
-        content = bp.content_forward(params, cfg, x_loc, train=train,
-                                     rng=r_content)              # (b,c,nv,d)
-        q_ctx, k_ctx = bp.context_qk(params, cfg, contextl)  # (b, c, nv, dnv)
-        per_sense = ctx_attn(q_ctx, k_ctx, content,
-                             cfg.sense_head_dim ** -0.5)     # (b, c, nv, d)
-        outputs = per_sense.astype(jnp.float32).sum(axis=2).astype(
-            contextl.dtype)
-        logits = gpt_lib.lm_logits(gp, cfg, outputs)
+        if model == "gpt":
+            logits = gpt_lib.lm_logits(gp, cfg, contextl)
+        else:
+            # Backpack tail: contextualization = ring attention with the
+            # d-wide sense vectors as values, per-sense outputs summed.
+            content = bp.content_forward(params, cfg, x_loc, train=train,
+                                         rng=r_content)          # (b,c,nv,d)
+            q_ctx, k_ctx = bp.context_qk(params, cfg, contextl)
+            per_sense = ctx_attn(q_ctx, k_ctx, content,
+                                 cfg.sense_head_dim ** -0.5)  # (b, c, nv, d)
+            outputs = per_sense.astype(jnp.float32).sum(axis=2).astype(
+                contextl.dtype)
+            logits = gpt_lib.lm_logits(gp, cfg, outputs)
         loss = cross_entropy_loss(logits, y_loc,
                                   label_smoothing=label_smoothing)
         # equal chunk sizes: global token-mean = mean of chunk means
@@ -220,10 +224,10 @@ def _make_local_loss(cfg: BackpackConfig, *, label_smoothing: float = 0.0,
     return local_loss
 
 
-def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
+def make_cp_loss_fn(cfg, mesh: Mesh, *,
                     label_smoothing: float = 0.0,
                     attn_impl: str = "einsum", train: bool = False,
-                    layout: str = "natural"):
+                    layout: str = "natural", model: str = "backpack"):
     """loss(params, ids (B, s+1)[, rng]) -> scalar with the sequence sharded
     over mesh axis 'seq' and the batch over 'data'; params replicated.
     Differentiable end-to-end (ring transposes are the reverse ring);
@@ -234,7 +238,7 @@ def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
     (chunks i and 2S-1-i per device) for equal causal work per ring step."""
     body = _make_local_loss(cfg, label_smoothing=label_smoothing,
                             attn_impl=attn_impl, train=train,
-                            layout=layout)
+                            layout=layout, model=model)
 
     def loss(params, ids, rng=None):
         pspecs = jax.tree.map(lambda _: P(), params)
@@ -251,15 +255,15 @@ def make_cp_loss_fn(cfg: BackpackConfig, mesh: Mesh, *,
     return loss
 
 
-def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
+def make_cp_train_step(cfg, tx, mesh: Mesh, *,
                        attn_impl: str = "einsum", train: bool = False,
-                       layout: str = "natural"):
+                       layout: str = "natural", model: str = "backpack"):
     """Context-parallel train step (fwd + bwd + optimizer), jitted over
     `mesh` ('data', 'seq'). step(params, opt_state, ids[, rng]) ->
     (params, opt_state, loss). train=True runs the dropout sites with the
     given step rng."""
     loss_fn = make_cp_loss_fn(cfg, mesh, attn_impl=attn_impl,
-                              train=train, layout=layout)
+                              train=train, layout=layout, model=model)
 
     if train:
         def step(params, opt_state, ids, rng):
@@ -277,10 +281,11 @@ def make_cp_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_cp_sharded_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
+def make_cp_sharded_train_step(cfg, tx, mesh: Mesh, *,
                                attn_impl: str = "flash",
                                layout: str = "natural",
-                               label_smoothing: float = 0.0):
+                               label_smoothing: float = 0.0,
+                               model: str = "backpack"):
     """Training-CLI-shaped CP step: step(TrainState, batch, rng) ->
     (TrainState, {'loss', 'grad_norm'}), jitted over a ('data', 'seq') mesh
     with ids sharded on 'data' and params replicated. Dropout runs in train
@@ -293,7 +298,8 @@ def make_cp_sharded_train_step(cfg: BackpackConfig, tx, mesh: Mesh, *,
     from ..training.train import TrainState
 
     loss_fn = make_cp_loss_fn(cfg, mesh, label_smoothing=label_smoothing,
-                              attn_impl=attn_impl, layout=layout, train=True)
+                              attn_impl=attn_impl, layout=layout, train=True,
+                              model=model)
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

@@ -270,3 +270,34 @@ def test_cp_zigzag_attention_dropout_matches_single_device():
         got = float(jax.jit(loss_fn)(params, ids, rng))
     want = float(oracle(params))
     assert got == pytest.approx(want, rel=2e-5), (got, want)
+
+
+@pytest.mark.parametrize("layout", ["natural", "zigzag"])
+def test_cp_gpt_model_matches_oracle(layout):
+    """model='gpt': the plain GPT stack under CP (no Backpack tail) — loss
+    and gradients match the single-device gpt_lm_forward oracle."""
+    from backpacks_flash_attn_tpu.models import gpt as gpt_lib
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=64, n_head=4,
+                         n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                         embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+    params = gpt_lib.init_gpt_lm(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 33), 0, 256)
+    mesh = _mesh(1, 4)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, model="gpt", layout=layout,
+                                 attn_impl="flash")
+
+    def oracle(p):
+        logits = gpt_lib.gpt_lm_forward(p, cfg, ids[:, :-1], use_flash=False)
+        return cross_entropy_loss(logits, ids[:, 1:])
+
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids))
+        g_cp = jax.device_get(jax.jit(jax.grad(loss_fn))(params, ids))
+    want = float(oracle(params))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+    g_ref = jax.grad(oracle)(params)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, g in jax.tree_util.tree_leaves_with_path(g_cp):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
+            atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
