@@ -45,6 +45,14 @@ class GPTConfig:
     rotary_emb_fraction: float = 0.0
     rotary_emb_scale_base: int = 0
     attn_dwconv: bool = False        # causal depthwise conv on qkv (gpt.py:51-61)
+    # Switch-MoE MLPs (ops/moe.py; beyond the reference, which has no MoE):
+    # moe_experts > 0 replaces EVERY block's dense MLP with a top-1-routed
+    # n-expert FFN (uniform across layers: the stacked layer scan needs one
+    # homogeneous param tree). The Switch balance loss is returned by the
+    # forwards and weighted into the training loss by moe_aux_weight.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def head_dim(self) -> int:

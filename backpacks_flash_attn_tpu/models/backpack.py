@@ -234,6 +234,11 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     contextl = gpt_lib.gpt_forward(params["gpt"], cfg, input_ids, train=train,
                                    rng=r_gpt, use_flash=use_flash, remat=remat,
                                    scan_unroll=scan_unroll)
+    moe_aux = None
+    if cfg.moe_experts > 0:
+        # Switch-MoE GPT stack: forward also yields the balance loss, which
+        # this function then returns alongside the logits
+        contextl, moe_aux = contextl
     content = content_forward(params, cfg, input_ids, train=train,
                               rng=r_content,
                               scan_unroll=scan_unroll)        # (b, s, nv, d)
@@ -289,6 +294,8 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     if return_parts:
         return logits, {"alpha": alpha, "content": content,
                         "contextual": contextl, "outputs": outputs}
+    if moe_aux is not None:
+        return logits, moe_aux
     return logits
 
 

@@ -65,10 +65,15 @@ def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
             "Wqkv": dense.init_linear(k1, d, 3 * d, std=std, dtype=dtype),
             "out_proj": dense.init_linear(k2, d, d, std=out_std, dtype=dtype),
             "norm1": norms.init_layer_norm(d, dtype),
-            "mlp": dense.init_mlp(k3, d, cfg.inner_dim, std=std, out_std=out_std,
-                                  dtype=dtype),
             "norm2": norms.init_layer_norm(d, dtype),
         }
+        if cfg.moe_experts > 0:
+            from ..ops import moe as moe_lib
+            layer["moe"] = moe_lib.init_switch_moe(
+                k3, d, cfg.inner_dim, cfg.moe_experts, std=std, dtype=dtype)
+        else:
+            layer["mlp"] = dense.init_mlp(k3, d, cfg.inner_dim, std=std,
+                                          out_std=out_std, dtype=dtype)
         if cfg.attn_dwconv:
             # causal depthwise conv on the qkv projection (reference:
             # attn_dwconv flag, gpt.py:51-61; Conv1d k=3 pad=2 groups=3d
@@ -166,12 +171,24 @@ def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
         mixer_out, residual, layer_params["norm1"]["weight"],
         layer_params["norm1"]["bias"], cfg.resid_pdrop, cfg.layer_norm_epsilon,
         rng=r_d1, deterministic=not train)
-    mlp_out = dense.mlp(hidden, layer_params["mlp"], cfg.activation)
+    if "moe" in layer_params:
+        from ..ops import moe as moe_lib
+        # capacity drops are a training-throughput construct; inference runs
+        # drop-free (C = s) so eval logits are routing-complete and cached
+        # decode (s=1 steps, C=1 each) matches the full forward exactly
+        cf = (cfg.moe_capacity_factor if train
+              else float(cfg.moe_experts))
+        mlp_out, aux = moe_lib.switch_moe(
+            hidden, layer_params["moe"], capacity_factor=cf,
+            activation=cfg.activation)
+    else:
+        mlp_out = dense.mlp(hidden, layer_params["mlp"], cfg.activation)
+        aux = jnp.zeros((), jnp.float32)
     hidden, residual = norms.dropout_add_layer_norm(
         mlp_out, residual, layer_params["norm2"]["weight"],
         layer_params["norm2"]["bias"], cfg.resid_pdrop, cfg.layer_norm_epsilon,
         rng=r_d2, deterministic=not train)
-    return hidden, residual
+    return hidden, residual, aux
 
 
 def take_embedding(wte, input_ids: jax.Array) -> jax.Array:
@@ -252,19 +269,23 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
     block_fn = remat_wrap(block_fn, remat)
 
     def scan_body(carry, xs):
-        hidden, residual = carry
+        hidden, residual, aux_sum = carry
         if layer_rngs is not None:
             layer_params, scale, lrng = xs
         else:
             (layer_params, scale), lrng = xs, None
-        hidden, residual = block_fn(hidden, residual, layer_params, scale,
-                                    lrng)
-        return (hidden, residual), None
+        hidden, residual, aux = block_fn(hidden, residual, layer_params,
+                                         scale, lrng)
+        return (hidden, residual, aux_sum + aux), None
 
     xs = ((params["layers"], scales, layer_rngs) if layer_rngs is not None
           else (params["layers"], scales))
-    (hidden, _), _ = jax.lax.scan(scan_body, (hidden, residual), xs,
-                                  unroll=scan_unroll)
+    (hidden, _, aux_sum), _ = jax.lax.scan(
+        scan_body, (hidden, residual, jnp.zeros((), jnp.float32)), xs,
+        unroll=scan_unroll)
+    if cfg.moe_experts > 0:
+        # mean Switch balance loss across layers (== 1 at perfect balance)
+        return hidden, aux_sum / cfg.n_layer
     return hidden
 
 
@@ -434,7 +455,15 @@ def gpt_forward_with_cache(
         hidden, residual = norms.dropout_add_layer_norm(
             mixer_out, residual, layer_params["norm1"]["weight"],
             layer_params["norm1"]["bias"], 0.0, cfg.layer_norm_epsilon)
-        mlp_out = dense.mlp(hidden, layer_params["mlp"], cfg.activation)
+        if "moe" in layer_params:
+            from ..ops import moe as moe_lib
+            # drop-free at inference (see _block)
+            mlp_out, _ = moe_lib.switch_moe(
+                hidden, layer_params["moe"],
+                capacity_factor=float(cfg.moe_experts),
+                activation=cfg.activation)
+        else:
+            mlp_out = dense.mlp(hidden, layer_params["mlp"], cfg.activation)
         hidden, residual = norms.dropout_add_layer_norm(
             mlp_out, residual, layer_params["norm2"]["weight"],
             layer_params["norm2"]["bias"], 0.0, cfg.layer_norm_epsilon)
@@ -472,5 +501,10 @@ def lm_logits(params: Params, cfg: GPTConfig, hidden: jax.Array) -> jax.Array:
 
 
 def gpt_lm_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array,
-                   **kw) -> jax.Array:
-    return lm_logits(params, cfg, gpt_forward(params, cfg, input_ids, **kw))
+                   **kw):
+    """logits (b, s, V); with cfg.moe_experts > 0: (logits, moe_aux)."""
+    out = gpt_forward(params, cfg, input_ids, **kw)
+    if cfg.moe_experts > 0:
+        hidden, aux = out
+        return lm_logits(params, cfg, hidden), aux
+    return lm_logits(params, cfg, out)

@@ -55,6 +55,7 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
                      attn_impl: str = "einsum", train: bool = False,
                      layout: str = "natural", model: str = "backpack"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
+    assert cfg.moe_experts == 0, "MoE under CP is not wired yet"
     use_attn_drop = train and cfg.attn_pdrop > 0.0
     if use_attn_drop:
         # the in-kernel counter-hash dropout is global-position-pure only on

@@ -66,11 +66,23 @@ def gpt_param_specs(cfg: GPTConfig, params: Optional[Any] = None) -> Dict:
             "Wqkv": _linear_spec(True, True),
             "out_proj": _linear_spec(False, True),
             "norm1": _norm_spec(True),
-            "mlp": {"fc1": _linear_spec(True, True),
-                    "fc2": _linear_spec(False, True)},
             "norm2": _norm_spec(True),
         },
     }
+    if cfg.moe_experts > 0:
+        # expert parallelism on the 'model' axis: expert-stacked FFN kernels
+        # (n_layer, E, ...) shard their EXPERT dim; XLA inserts the
+        # dispatch/combine all-to-alls from these annotations (ops/moe.py)
+        specs["layers"]["moe"] = {
+            "router": P(),
+            "fc1": {"kernel": P(None, "model", None, None),
+                    "bias": P(None, "model", None)},
+            "fc2": {"kernel": P(None, "model", None, None),
+                    "bias": P(None, "model", None)},
+        }
+    else:
+        specs["layers"]["mlp"] = {"fc1": _linear_spec(True, True),
+                                  "fc2": _linear_spec(False, True)}
     return specs
 
 

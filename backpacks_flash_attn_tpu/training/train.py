@@ -107,9 +107,14 @@ def make_loss_fn(cfg, *, model: str = "backpack", use_flash: bool = True,
     def loss_fn(params, batch, rng):
         ids = batch["input_ids"]
         x, y = ids[:, :-1], ids[:, 1:]
-        logits = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash,
-                     remat=remat, scan_unroll=scan_unroll, **extra)
-        return cross_entropy_loss(logits, y, label_smoothing=label_smoothing)
+        out = fwd(params, cfg, x, train=True, rng=rng, use_flash=use_flash,
+                  remat=remat, scan_unroll=scan_unroll, **extra)
+        if cfg.moe_experts > 0:
+            logits, moe_aux = out
+            return (cross_entropy_loss(logits, y,
+                                       label_smoothing=label_smoothing)
+                    + cfg.moe_aux_weight * moe_aux)
+        return cross_entropy_loss(out, y, label_smoothing=label_smoothing)
 
     return loss_fn
 
