@@ -84,7 +84,8 @@ class ServingEngine:
                  negative_quantile: float = 0.02,
                  negative_anneal: bool = False,
                  negative_annealing_scale: float = 0.34,
-                 spec_tokens: int = 0, spec_ngram: int = 3):
+                 spec_tokens: int = 0, spec_ngram: int = 3,
+                 prefill_chunk: int = 0):
         """control_table: optional (vocab, nv) multiplicative weight table
         (eval/control.control_weights). Requests submitted with control=True
         decode with the full annealed topic-control intervention while
@@ -113,7 +114,14 @@ class ServingEngine:
         from 1 to spec_tokens+1 query rows (still one cache read), so
         speculation pays off whenever the mean acceptance is above ~0 on a
         memory-bound decode. Incompatible with control/negative slots: the
-        engine falls back to plain stepping while any are active."""
+        engine falls back to plain stepping while any are active.
+
+        prefill_chunk > 0 admits plain requests via CHUNKED prefill: every
+        admission wave runs ceil(max_prompt_len / prefill_chunk) dispatches
+        of ONE fixed (n, prefill_chunk) shape at advancing cache offsets
+        (the kernel's chunked-prefill q_offsets), instead of one dispatch
+        per power-of-two length bucket. Fewer distinct compiled shapes, and
+        admission cost scales with the longest prompt, not its bucket."""
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -175,6 +183,13 @@ class ServingEngine:
         self._window_hist = collections.Counter()
         self.spec_tokens = int(spec_tokens)
         self.spec_ngram = int(spec_ngram)
+        self.prefill_chunk = int(prefill_chunk)
+        if self.prefill_chunk:
+            # chunk grid must tile the cache exactly: a final chunk spilling
+            # past max_seqlen would clamp its dynamic_update_slice start and
+            # overwrite earlier rows
+            assert max_seqlen % self.prefill_chunk == 0, \
+                (max_seqlen, self.prefill_chunk)
         # per-slot token history (prompt + emitted) for prompt-lookup drafts
         self.host_tokens = np.zeros((max_slots, max_seqlen + spec_tokens + 2),
                                     np.int32)
@@ -516,6 +531,63 @@ class ServingEngine:
             self._jit_prefill[key] = jax.jit(prefill)
         return self._jit_prefill[key]
 
+    def _chunk_prefill_fn(self, n: int):
+        """One chunk of a chunked batched prefill: ids (n, W) continue every
+        row's cache at its current offset; rows whose true length ends inside
+        this chunk contribute their last-real-token logits (later chunks for
+        such rows process right-padding that the causal mask + the final
+        length reset keep invisible)."""
+        key = ("chunk", n)
+        if key not in self._jit_prefill:
+            cfg, use_flash = self.cfg, self.use_flash
+            W = self.prefill_chunk
+
+            def chunk(params, ids, true_len, weights, cache, last_prev):
+                logits, cache = bp.backpack_forward_with_cache(
+                    params, cfg, ids, cache, use_flash=use_flash,
+                    sense_weights=weights)
+                off = cache.length - W          # (n,) this chunk's start
+                idx = true_len - 1 - off        # last-token pos within chunk
+                in_chunk = (idx >= 0) & (idx < W)
+                sel = jnp.take_along_axis(
+                    logits, jnp.clip(idx, 0, W - 1)[:, None, None],
+                    axis=1)[:, 0]
+                last = jnp.where(in_chunk[:, None], sel, last_prev)
+                return last, cache
+
+            self._jit_prefill[key] = jax.jit(chunk, donate_argnums=(4, 5))
+        return self._jit_prefill[key]
+
+    def _chunked_prefill(self, recs):
+        """Admit plain requests via fixed-width chunked prefill; returns
+        (last_logits (n, V), small_cache) like _batch_prefill_fn."""
+        W = self.prefill_chunk
+        n = _bucket(len(recs), minimum=1)
+        max_len = max(r[2] for r in recs)
+        n_chunks = -(-max_len // W)
+        ids = np.zeros((n, n_chunks * W), np.int32)
+        lens = np.ones((n,), np.int32)
+        ws = np.ones((n, self.cfg.num_senses), np.float32)
+        for i, (slot, rid, plen, temp, w, sw, control, negative) \
+                in enumerate(recs):
+            ids[i, :plen] = self._prompts[rid]
+            lens[i] = plen
+            ws[i] = w
+        cache = bp.init_backpack_cache(self.cfg, n, self.max_seqlen,
+                                       dtype=self.cache_dtype, per_slot=True)
+        last = jnp.zeros((n, self.cfg.padded_vocab_size), jnp.float32)
+        fn = self._chunk_prefill_fn(n)
+        ids_j = jnp.asarray(ids)
+        lens_j = jnp.asarray(lens)
+        ws_j = jnp.asarray(ws)
+        for ci in range(n_chunks):
+            last, cache = fn(self.params, ids_j[:, ci * W:(ci + 1) * W],
+                             lens_j, ws_j, cache, last)
+            self.prefill_dispatches += 1
+        tl = lens_j.astype(jnp.int32)
+        cache = cache._replace(length=tl, gpt=cache.gpt._replace(length=tl))
+        return last, cache
+
     def _insert_rows_fn(self, n: int):
         """Scatter the n rows of a packed prefill cache into their serving
         slots in ONE jitted dispatch (extract_cache_slot + insert_cache_slot
@@ -590,25 +662,32 @@ class ServingEngine:
         admitted = []
 
         # ---- packed path: group plain admissions by length bucket, pad the
-        # group to a power-of-two row count (compile reuse), one dispatch.
+        # group to a power-of-two row count (compile reuse), one dispatch —
+        # or, with prefill_chunk set, ONE group through fixed-width chunks.
         groups: Dict[int, list] = {}
         for rec in plain:
+            if self.prefill_chunk > 0:
+                groups.setdefault(0, []).append(rec)
+                continue
             bucket = min(_bucket(rec[2]), self.max_seqlen)
             groups.setdefault(bucket, []).append(rec)
         for bucket, recs in sorted(groups.items()):
             n = _bucket(len(recs), minimum=1)
-            ids = np.zeros((n, bucket), np.int32)
-            lens = np.ones((n,), np.int32)       # pad rows: 1-token dummies
-            ws = np.ones((n, self.cfg.num_senses), np.float32)
-            for i, (slot, rid, plen, temp, w, sw, control, negative) \
-                    in enumerate(recs):
-                ids[i, :plen] = self._prompts[rid]
-                lens[i] = plen
-                ws[i] = w
-            last, small = self._batch_prefill_fn(bucket, n)(
-                self.params, jnp.asarray(ids), jnp.asarray(lens),
-                jnp.asarray(ws))
-            self.prefill_dispatches += 1
+            if self.prefill_chunk > 0:
+                last, small = self._chunked_prefill(recs)
+            else:
+                ids = np.zeros((n, bucket), np.int32)
+                lens = np.ones((n,), np.int32)   # pad rows: 1-token dummies
+                ws = np.ones((n, self.cfg.num_senses), np.float32)
+                for i, (slot, rid, plen, temp, w, sw, control, negative) \
+                        in enumerate(recs):
+                    ids[i, :plen] = self._prompts[rid]
+                    lens[i] = plen
+                    ws[i] = w
+                last, small = self._batch_prefill_fn(bucket, n)(
+                    self.params, jnp.asarray(ids), jnp.asarray(lens),
+                    jnp.asarray(ws))
+                self.prefill_dispatches += 1
             slots = np.zeros((n,), np.int32)
             slots[:len(recs)] = [r[0] for r in recs]
             slots[len(recs):] = slots[0]   # pad rows: overwritten by row 0

@@ -392,3 +392,51 @@ def test_engine_per_request_top_k(setup):
     assert len(res[r_free].tokens) == 6
     with pytest.raises(ValueError):
         eng.submit(prompt, max_new_tokens=2, top_k=-1)
+
+
+def test_chunked_prefill_admission(setup):
+    """prefill_chunk: one fixed (n, W) compiled shape serves every prompt
+    length; outputs match the teacher-forced oracle and the dispatch count
+    is ceil(max_len/W) for the wave."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+               for n in (3, 11, 6, 17)]
+    eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        prefill_chunk=8)
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    results = eng.run()
+    assert eng.prefill_dispatches == 3   # ceil(17/8)
+    for rid, p in zip(rids, prompts):
+        got = results[rid].tokens
+        assert len(got) == 5
+        cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray(p, jnp.int32)[None], cache,
+            use_flash=False)
+        for t, tok in enumerate(got):
+            row = np.asarray(logits[0, -1], np.float64)
+            assert row[tok] >= row.max() - 1e-4, (rid, t, tok)
+            logits, cache = bp.backpack_forward_with_cache(
+                params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+                use_flash=False)
+
+
+def test_chunked_prefill_with_weights_and_sampling(setup):
+    cfg, params = setup
+    prompt = [5, 17, 42, 99, 3, 1, 4, 1, 5]
+    w = np.ones(cfg.num_senses, np.float32)
+    w[0] = 4.0
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        prefill_chunk=8)
+    r_w = eng.submit(prompt, max_new_tokens=4, sense_weights=w)
+    r_s = eng.submit(prompt, max_new_tokens=4, temperature=0.7, top_k=5)
+    res = eng.run()
+    assert len(res[r_w].tokens) == 4 and len(res[r_s].tokens) == 4
+    # weighted request matches the unchunked engine's weighted decode
+    eng2 = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                         cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    r2 = eng2.submit(prompt, max_new_tokens=4, sense_weights=w)
+    assert eng2.run()[r2].tokens == res[r_w].tokens
