@@ -105,9 +105,9 @@ def _make_local_loss(cfg: BackpackConfig, n_stages: int, n_micro: int, *,
             def body(c, xs):
                 h, r = c
                 lp, sc = xs
-                h, r = gpt_lib._block(h, r, lp, sc, cfg, train=False,
-                                      rngs=None, use_flash=use_flash,
-                                      key_padding_mask=None)
+                h, r, _aux = gpt_lib._block(h, r, lp, sc, cfg, train=False,
+                                            rngs=None, use_flash=use_flash,
+                                            key_padding_mask=None)
                 return (h, r), None
             (h, r), _ = lax.scan(body, (hid, res), (layers_loc, scales_loc))
             return h, r

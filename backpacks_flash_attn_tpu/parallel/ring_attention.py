@@ -16,8 +16,8 @@ HBM:
 
 Causality across chunks falls out of absolute positions (chunk j's keys at
 j*c + u vs chunk i's queries at i*c + t): j > i steps are fully masked and
-contribute nothing (the classic causal-ring bubble; a production schedule
-would use striped/zigzag layout to balance it).
+contribute nothing — the classic causal-ring bubble, which the zigzag
+layout at the bottom of this module removes (make_zigzag_ring_attention).
 
 Two inner-block implementations:
 

@@ -128,3 +128,32 @@ def test_moe_backpack_forward_and_train():
         state, metrics = step(state, batch, jax.random.PRNGKey(2))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_moe_backpack_serves():
+    """A MoE Backpack under the continuous-batching engine (bf16-free f32
+    cache on CPU): greedy output matches the direct cached decode."""
+    from backpacks_flash_attn_tpu.serving.engine import ServingEngine
+    cfg = BackpackConfig(vocab_size=128, n_positions=32, n_embd=32, n_head=2,
+                         n_layer=2, n_inner=64, num_senses=2,
+                         pad_vocab_size_multiple=8, embd_pdrop=0.0,
+                         resid_pdrop=0.0, attn_pdrop=0.0, moe_experts=4)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0),
+                              dtype=jnp.float32)
+    prompt = [3, 1, 4, 1, 5]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    rid = eng.submit(prompt, max_new_tokens=6)
+    got = eng.run()[rid].tokens
+    cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+    logits, cache = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompt, jnp.int32)[None], cache,
+        use_flash=False)
+    want, tok = [], int(jnp.argmax(logits[0, -1]))
+    for _ in range(6):
+        want.append(tok)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+            use_flash=False)
+        tok = int(jnp.argmax(logits[0, -1]))
+    assert got == want
