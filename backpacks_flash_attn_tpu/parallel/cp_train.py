@@ -55,7 +55,6 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
                      attn_impl: str = "einsum", train: bool = False,
                      layout: str = "natural", model: str = "backpack"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
-    assert cfg.moe_experts == 0, "MoE under CP is not wired yet"
     use_attn_drop = train and cfg.attn_pdrop > 0.0
     if use_attn_drop:
         # the in-kernel counter-hash dropout is global-position-pure only on
@@ -189,12 +188,24 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
                 mixer_out, r, lp["norm1"]["weight"], lp["norm1"]["bias"],
                 cfg.resid_pdrop if train else 0.0, eps, rng=r1,
                 deterministic=not train)
-            mlp_out = dense.mlp(h, lp["mlp"], cfg.activation)
+            if "moe" in lp:
+                from ..ops import moe as moe_lib
+                # routing is per-token, so MoE is CP-local; capacity (and
+                # hence train-mode drops) applies per sequence CHUNK —
+                # drop-free when capacity_factor >= moe_experts
+                mlp_out, aux = moe_lib.switch_moe(
+                    h, lp["moe"],
+                    capacity_factor=(cfg.moe_capacity_factor if train
+                                     else float(cfg.moe_experts)),
+                    activation=cfg.activation)
+            else:
+                mlp_out = dense.mlp(h, lp["mlp"], cfg.activation)
+                aux = jnp.zeros((), jnp.float32)
             h, r = norms.dropout_add_layer_norm(
                 mlp_out, r, lp["norm2"]["weight"], lp["norm2"]["bias"],
                 cfg.resid_pdrop if train else 0.0, eps, rng=r2,
                 deterministic=not train)
-            return (h, r), None
+            return (h, r), aux
 
         if layer_rngs is not None and attn_rngs is not None:
             xs = (gp["layers"], scales, layer_rngs, attn_rngs)
@@ -202,7 +213,7 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
             xs = (gp["layers"], scales, layer_rngs)
         else:
             xs = (gp["layers"], scales)
-        (contextl, _), _ = lax.scan(block, (hidden, residual), xs)
+        (contextl, _), auxs = lax.scan(block, (hidden, residual), xs)
 
         if model == "gpt":
             logits = gpt_lib.lm_logits(gp, cfg, contextl)
@@ -219,6 +230,9 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
             logits = gpt_lib.lm_logits(gp, cfg, outputs)
         loss = cross_entropy_loss(logits, y_loc,
                                   label_smoothing=label_smoothing)
+        if cfg.moe_experts > 0:
+            # per-shard Switch balance loss, layer- then shard-averaged
+            loss = loss + cfg.moe_aux_weight * jnp.mean(auxs)
         # equal chunk sizes: global token-mean = mean of chunk means
         return lax.pmean(lax.pmean(loss, "seq"), "data")
 

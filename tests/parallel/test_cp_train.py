@@ -301,3 +301,42 @@ def test_cp_gpt_model_matches_oracle(layout):
         np.testing.assert_allclose(
             np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
             atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("layout", ["natural", "zigzag"])
+def test_cp_moe_matches_oracle_dropfree(layout):
+    """MoE under CP: routing is per-token, so with drop-free capacity
+    (capacity_factor = n_experts) and the balance loss weighted out, the CP
+    loss equals the single-device MoE forward exactly; a train step with the
+    standard capacity also runs and learns."""
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                         n_layer=2, n_inner=64, num_senses=2,
+                         pad_vocab_size_multiple=8, embd_pdrop=0.0,
+                         resid_pdrop=0.0, attn_pdrop=0.0, moe_experts=4,
+                         moe_capacity_factor=4.0, moe_aux_weight=0.0)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 33), 0, 256)
+    mesh = _mesh(1, 4)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, layout=layout, train=True,
+                                 attn_impl="flash")
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids, jax.random.PRNGKey(2)))
+    logits, _aux = bp.backpack_forward(params, cfg, ids[:, :-1],
+                                       use_flash=False)
+    want = float(cross_entropy_loss(logits, ids[:, 1:]))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+
+    from backpacks_flash_attn_tpu.training import train as train_lib
+    cfg2 = cfg.replace(moe_capacity_factor=1.25, moe_aux_weight=0.01)
+    tx = train_lib.make_optimizer(params, lr=1e-2, warmup_steps=1,
+                                  total_steps=10)
+    step, sharded_init = cp.make_cp_sharded_train_step(cfg2, tx, mesh,
+                                                       layout=layout)
+    with mesh:
+        state = sharded_init(jax.tree.map(jnp.copy, params))
+        losses = []
+        for n in range(3):
+            state, metrics = step(state, {"input_ids": ids},
+                                  jax.random.PRNGKey(10 + n))
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
