@@ -527,9 +527,33 @@ def backpack_forward_with_cache(
         out = decode_attention(q_flat, ctx_k_r, ks_r, content_r, vs, lens)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
+    elif s <= gpt_lib.FLAT_MULTI_MAX:
+        # multi-query decode (speculative verification, small chunks): the
+        # flat contraction over the stored-precision caches — no
+        # (b, nv, ...) relayout per verify step (see gpt.FLAT_MULTI_MAX)
+        from ..ops.decode_attention import decode_attention_flat_multi
+        vs = content_scale
+        w = _weights_es()
+        if w is not None:
+            vs = w if vs is None else vs * w
+        lens = jnp.repeat(new_len, nv) if vec else new_len
+        ctx_k_r, content_r, ks_r = ctx_k, content, ctx_k_scale
+        if window is not None and window < max_s:
+            ctx_k_r = ctx_k[:, :, :window]
+            content_r = content[:, :window]
+            vs = vs[:, :window] if vs is not None else None
+            ks_r = ks_r[:, :window] if ks_r is not None else None
+        q_s = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        if dnv_pad != dnv:
+            q_s = jnp.pad(q_s, ((0, 0), (0, 0), (0, 0), (0, dnv_pad - dnv)))
+        q_flat = q_s.transpose(0, 2, 1, 3).reshape(e, s, dnv_pad)
+        out = decode_attention_flat_multi(q_flat, ctx_k_r, ks_r, content_r,
+                                          vs, lens)           # (e, s, d)
+        outputs = out.reshape(b, nv, s, d).astype(jnp.float32).sum(
+            axis=1).astype(contextl.dtype)
     else:
-        # prefill / multi-token continuation (speculative verification):
-        # materialize the alpha rows for the s new queries.
+        # prefill / multi-token continuation (large chunks): materialize the
+        # alpha rows for the s new queries.
         # (E,)->(b,nv,...) relayouts happen once per prefill, not per step.
         ctx_k_r, content_r = ctx_k, content
         cks_r, cs_r = ctx_k_scale, content_scale

@@ -89,6 +89,12 @@ def init_gpt(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     return params
 
 
+# Multi-token cached steps at or below this width take the flat-layout
+# contraction instead of the relayout-heavy generic prefill branch (see
+# gpt_forward_with_cache); speculative verification uses s = spec_tokens+1.
+FLAT_MULTI_MAX = 8
+
+
 # ---------------------------------------------------------------- KV cache
 
 class KVCache(NamedTuple):
@@ -431,6 +437,18 @@ def gpt_forward_with_cache(
                                                              ).reshape(e, dk),
                 kt_cache, k_sc, v_cache, v_sc, lens)
             ctx = ctx.reshape(b, 1, h, dk)
+        elif s <= FLAT_MULTI_MAX:
+            # multi-query decode (speculative verification, small chunked
+            # prefill): the flat-layout contraction generalizes to t query
+            # rows — no (b, S, h, d) relayout and no dequantized cache copy
+            # per step, both of which the generic prefill branch below pays
+            from ..ops.decode_attention import decode_attention_flat_multi
+            lens = jnp.repeat(new_len, h) if vec else new_len
+            qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+            q_flat = qf.transpose(0, 2, 1, 3).reshape(e, s, dk)
+            ctx = decode_attention_flat_multi(q_flat, kt_cache, k_sc,
+                                              v_cache, v_sc, lens)
+            ctx = ctx.reshape(b, h, s, dk).transpose(0, 2, 1, 3)
         else:
             # Prefill: attend over the cache with a causal offset. When
             # offset == 0 this is plain causal self-attention on fresh K/V.

@@ -510,3 +510,33 @@ def decode_attention(q, kt, ks, v, vs, length, *, use_pallas: bool = False):
     if use_pallas:
         return decode_attention_fused(q, kt, ks, v, vs, length)
     return decode_attention_flat(q, kt, ks, v, vs, length)
+
+
+def decode_attention_flat_multi(q, kt, ks, v, vs, length):
+    """Flat-layout MULTI-query cache attention: q (E, t, dk) are t new rows
+    per attention problem whose K/V were already written to the cache, with
+    row u at absolute position length - t + u (the speculative-verification
+    / small-chunk-prefill shape). Same stored-precision contraction as
+    decode_attention_flat — the cache is never relayouted or dequantized to
+    a materialized copy, unlike the generic (b, s, h, d) prefill branch,
+    which costs a full cache relayout per verify step. Causality among the
+    new rows rides the per-row length mask: row u sees pos < length-(t-1-u).
+    Returns (E, t, dv) in q.dtype."""
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    E, t, _ = q.shape
+    S = v.shape[1]
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                               (E,))
+    s = jnp.einsum("etd,eds->ets", q.astype(compute), kt.astype(compute),
+                   preferred_element_type=jnp.float32)
+    if ks is not None:
+        s = s * ks[:, None, :]
+    pos = jnp.arange(S)[None, None, :]
+    limit = lengths[:, None, None] - (t - 1 - jnp.arange(t))[None, :, None]
+    s = jnp.where(pos < limit, s, NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    if vs is not None:
+        p = p * vs[:, None, :]
+    out = jnp.einsum("ets,esd->etd", p.astype(compute), v.astype(compute),
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
