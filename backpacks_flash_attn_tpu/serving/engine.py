@@ -180,6 +180,8 @@ class ServingEngine:
         self.top_ks = np.zeros((max_slots,), np.int32)
         self._uses_top_k = False
         self._meta_top_k = {}
+        self._meta_stop = {}
+        self.stop_seqs = [[] for _ in range(max_slots)]
         self._window_hist = collections.Counter()
         self.spec_tokens = int(spec_tokens)
         self.spec_ngram = int(spec_ngram)
@@ -208,12 +210,16 @@ class ServingEngine:
     def submit(self, prompt, *, max_new_tokens: int = 64,
                temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0,
                sense_weights: Optional[np.ndarray] = None,
-               control: bool = False, negative: bool = False) -> int:
+               control: bool = False, negative: bool = False,
+               stop: Optional[List[List[int]]] = None) -> int:
         """Queue a request. Returns its id, or raises if the prompt can never
         fit the cache. control=True decodes under the engine's annealed
         control_table (topic control, reference intervened_models.py:58);
         negative=True decodes under the engine's negative_table
-        (toxicity removal, reference intervened_models.py:108)."""
+        (toxicity removal, reference intervened_models.py:108).
+        stop: optional token-id sequences; generation finishes when the
+        emitted tokens end with any of them, and the matched sequence is
+        EXCLUDED from the result (eos_id semantics keep the eos)."""
         if control and self.control_table is None:
             raise ValueError("control=True needs a control_table on the "
                              "engine")
@@ -238,6 +244,9 @@ class ServingEngine:
         self._meta[rid] = (temperature, sense_weights, control, negative)
         self._meta_top_p[rid] = top_p
         self._meta_top_k[rid] = top_k
+        if stop:
+            self._meta_stop[rid] = [np.asarray(s, np.int64).reshape(-1)
+                                    for s in stop if len(s)]
         return rid
 
     # ------------------------------------------------------------ internals
@@ -625,6 +634,7 @@ class ServingEngine:
         self.top_ks[slot] = top_k
         if top_k > 0:
             self._uses_top_k = True
+        self.stop_seqs[slot] = self._meta_stop.pop(rid, [])
         if sw is not None:
             self._uses_weights = True
         if temp > 0:
@@ -736,16 +746,31 @@ class ServingEngine:
             admitted.append(rid)
         return admitted
 
-    def _finish(self, slot: int) -> None:
+    def _finish(self, slot: int, trunc: int = 0) -> None:
         rid = self.sched.slot_request(slot)
+        tokens = self.sched.slot_tokens(slot)
+        if trunc:
+            tokens = tokens[:-trunc]
         self._results[rid] = RequestResult(
-            request_id=rid, tokens=self.sched.slot_tokens(slot),
-            finished=True)
+            request_id=rid, tokens=tokens, finished=True)
         self.control_mask[slot] = False
         self.negative_mask[slot] = False
         self.top_ps[slot] = 1.0
         self.top_ks[slot] = 0
+        self.stop_seqs[slot] = []
         self.sched.release(slot)
+
+    def _stop_hit(self, slot: int) -> int:
+        """Length of the stop sequence the emitted history now ends with
+        (0 = none). Matches against host_tokens, which already contains the
+        just-emitted token."""
+        L = int(self.hist_len[slot])
+        for seq in self.stop_seqs[slot]:
+            n = seq.shape[0]
+            if L >= n and np.array_equal(self.host_tokens[slot, L - n:L],
+                                         seq):
+                return n
+        return 0
 
     # ------------------------------------------------------------ stepping
 
@@ -795,9 +820,11 @@ class ServingEngine:
                     self.host_tokens[slot, self.hist_len[slot]] = tok
                     self.hist_len[slot] += 1
                     finished = self.sched.on_token(slot, tok)
-                    out.append((rid, tok, finished))
-                    if finished:
-                        self._finish(slot)
+                    hit = (0 if finished or not self.stop_seqs[slot]
+                           else self._stop_hit(slot))
+                    out.append((rid, tok, finished or hit > 0))
+                    if finished or hit:
+                        self._finish(slot, trunc=hit)
                         self._stats["completed"] += 1
                         break
             self._stats["decode_steps"] += 1
@@ -843,6 +870,13 @@ class ServingEngine:
             self.hist_len[slot] += 1
             rid = self.sched.slot_request(slot)
             finished = self.sched.on_token(slot, int(toks[slot]))
+            if not finished and self.stop_seqs[slot]:
+                hit = self._stop_hit(slot)
+                if hit:
+                    out.append((rid, int(toks[slot]), True))
+                    self._finish(slot, trunc=hit)
+                    self._stats["completed"] += 1
+                    continue
             out.append((rid, int(toks[slot]), finished))
             if finished:
                 self._finish(slot)

@@ -440,3 +440,29 @@ def test_chunked_prefill_with_weights_and_sampling(setup):
                          cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
     r2 = eng2.submit(prompt, max_new_tokens=4, sense_weights=w)
     assert eng2.run()[r2].tokens == res[r_w].tokens
+
+
+@pytest.mark.parametrize("spec_tokens", [0, 3])
+def test_engine_stop_sequences(setup, spec_tokens):
+    """Generation ends when the output ends with a stop sequence; the
+    matched tokens are excluded (plain and speculative paths)."""
+    cfg, params = setup
+    prompt = [3, 1, 4]
+    want = _direct_greedy(cfg, params, prompt, 10)
+    stop = [want[3], want[4]]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=spec_tokens)
+    rid = eng.submit(prompt, max_new_tokens=10, stop=[stop])
+    res = eng.run()[rid]
+    # result + stop reconstructs a prefix of the unrestricted decode, ending
+    # at the FIRST suffix occurrence of the stop sequence
+    full = res.tokens + stop
+    assert full == want[:len(full)], (res.tokens, want)
+    assert len(full) <= 5                 # no later than the chosen site
+    for i in range(2, len(full) - 1):     # ...and no earlier hit was missed
+        assert want[i - 2:i] != stop or i == len(full)
+    # no stop hit -> full budget
+    rid2 = eng.submit(prompt, max_new_tokens=6, stop=[[987654 % cfg.vocab_size]])
+    got2 = eng.run()[rid2].tokens
+    assert len(got2) == 6
