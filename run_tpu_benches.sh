@@ -44,6 +44,10 @@ run_step 3000 python bench.py
 #     (1 + acceptance*k)/rel_cost
 run_step 3000 python bench_spec_step.py --json /tmp/bench_spec_r2.json
 
+# 3c. int8 stream-rate A/B (NOTES decode lever: bitcast-int32 reads) —
+#     answers whether a bitcast-reading decode kernel is worth building
+run_step 3000 python bench_int8_stream.py --json /tmp/bench_i8stream_r2.json
+
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT item 8: int4 margin on a less trivial model)
 if healthy; then
