@@ -48,6 +48,10 @@ run_step 3000 python bench_spec_step.py --json /tmp/bench_spec_r2.json
 #     answers whether a bitcast-reading decode kernel is worth building
 run_step 3000 python bench_int8_stream.py --json /tmp/bench_i8stream_r2.json
 
+# 3d. MLP GEMM MXU isolation (NOTES training lever: 50%-MXU MLPs) —
+#     separates raw-GEMM efficiency from the fused-MLP custom_vjp's
+run_step 3000 python bench_mlp.py --json /tmp/bench_mlp_r2.json
+
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT item 8: int4 margin on a less trivial model)
 if healthy; then
