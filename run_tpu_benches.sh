@@ -52,6 +52,10 @@ run_step 3000 python bench_int8_stream.py --json /tmp/bench_i8stream_r2.json
 #     separates raw-GEMM efficiency from the fused-MLP custom_vjp's
 run_step 3000 python bench_mlp.py --json /tmp/bench_mlp_r2.json
 
+# 3e. VPU exp vs exp2 rates — is the CUDA exp2-softmax rewrite worth
+#     porting into the flash kernels?
+run_step 2000 python bench_vpu.py --json /tmp/bench_vpu_r2.json
+
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT item 8: int4 margin on a less trivial model)
 if healthy; then
