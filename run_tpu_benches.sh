@@ -30,11 +30,11 @@ run_step () {  # run_step <timeout_s> <cmd...>
 #    compile (einsum-alpha baseline) is deliberately the LAST variant.
 run_step 6000 python bench_train.py --steps 8 --reps 3 \
     --variants none:1,dots:1,full:1,none:4,none:1:einsum --profile none:1 \
-    --json /tmp/bench_train_r2.json
+    --json bench_results/train_r2.json
 
 # 2. decode levers: batch x window-granularity (VERDICT item 3)
 run_step 6000 python bench_decode_sweep.py --profile 128:64 \
-    --configs 128:128,128:64,256:128,256:64 --json /tmp/bench_decode_r2.json
+    --configs 128:128,128:64,256:128,256:64 --json bench_results/decode_r2.json
 
 # 3. the official headline bench (sanity reproduction)
 run_step 3000 python bench.py
@@ -42,19 +42,19 @@ run_step 3000 python bench.py
 # 3b. speculative verification step cost (serving spec_tokens lever):
 #     rel_cost = t_verify/t_plain sets the speculation speedup
 #     (1 + acceptance*k)/rel_cost
-run_step 3000 python bench_spec_step.py --json /tmp/bench_spec_r2.json
+run_step 3000 python bench_spec_step.py --json bench_results/spec_r2.json
 
 # 3c. int8 stream-rate A/B (NOTES decode lever: bitcast-int32 reads) —
 #     answers whether a bitcast-reading decode kernel is worth building
-run_step 3000 python bench_int8_stream.py --json /tmp/bench_i8stream_r2.json
+run_step 3000 python bench_int8_stream.py --json bench_results/i8stream_r2.json
 
 # 3d. MLP GEMM MXU isolation (NOTES training lever: 50%-MXU MLPs) —
 #     separates raw-GEMM efficiency from the fused-MLP custom_vjp's
-run_step 3000 python bench_mlp.py --json /tmp/bench_mlp_r2.json
+run_step 3000 python bench_mlp.py --json bench_results/mlp_r2.json
 
 # 3e. VPU exp vs exp2 rates — is the CUDA exp2-softmax rewrite worth
 #     porting into the flash kernels?
-run_step 2000 python bench_vpu.py --json /tmp/bench_vpu_r2.json
+run_step 2000 python bench_vpu.py --json bench_results/vpu_r2.json
 
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT item 8: int4 margin on a less trivial model)
@@ -72,6 +72,6 @@ run_step 7200 python -m backpacks_flash_attn_tpu.training.train_cli \
     --workdir /tmp/runs/bp-mini-r2
 run_step 2400 bash -c 'python -m backpacks_flash_attn_tpu.eval.quant_gates \
     --workdir /tmp/runs/bp-mini-r2 --corpus /tmp/bigram6m.npy \
-    --model backpack-mini | tee /tmp/gates_mini_r2.json'
+    --model backpack-mini | tee bench_results/gates_mini_r2.json'
 fi
 echo ALL-DONE
