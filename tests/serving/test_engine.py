@@ -466,3 +466,42 @@ def test_engine_stop_sequences(setup, spec_tokens):
     rid2 = eng.submit(prompt, max_new_tokens=6, stop=[[987654 % cfg.vocab_size]])
     got2 = eng.run()[rid2].tokens
     assert len(got2) == 6
+
+
+def test_engine_mixed_request_matrix(setup):
+    """Integration fuzz: every request type sharing slots across waves —
+    greedy, temperature, top-p, top-k, sense-weighted, annealed control,
+    negative, stop sequences — all complete with the right lengths and the
+    engine drains cleanly."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    ctable = np.ones((cfg.padded_vocab_size, cfg.num_senses), np.float32)
+    ctable[7] = 3.0
+    ntable = np.ones((cfg.padded_vocab_size, cfg.num_senses), np.float32)
+    ntable[11] = 0.2
+    eng = ServingEngine(params, cfg, max_slots=3, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        control_table=ctable, negative_table=ntable)
+    w = np.ones(cfg.num_senses, np.float32)
+    w[0] = 2.0
+    subs = []
+    for i in range(8):
+        prompt = rng.integers(0, cfg.vocab_size, rng.integers(2, 9)).tolist()
+        n = int(rng.integers(2, 7))
+        kw = {}
+        kind = i % 4
+        if kind == 1:
+            kw = dict(temperature=0.8, top_p=0.9, top_k=7)
+        elif kind == 2:
+            kw = dict(control=True) if i % 2 else dict(negative=True)
+        elif kind == 3:
+            kw = dict(sense_weights=w, stop=[[int(prompt[0])]])
+        subs.append((eng.submit(prompt, max_new_tokens=n, **kw), n))
+    results = eng.run()
+    assert set(r for r, _ in subs) == set(results)
+    for rid, n in subs:
+        assert results[rid].finished
+        assert 1 <= len(results[rid].tokens) <= n
+    st = eng.stats()
+    assert st["completed"] == 8 and st["active_slots"] == 0
+    assert st["pending_requests"] == 0
