@@ -251,3 +251,30 @@ def test_train_cli_cp_smoke(tmp_path):
     out = train_cli.run(rc)
     assert out["steps"] == 3
     assert np.isfinite(out["final_metrics"]["loss"])
+
+
+def test_train_cli_converges_toward_bigram_floor(tmp_path):
+    """Capstone end-to-end learning check: a tiny Backpack trained through
+    the CLI on a sparse bigram corpus must close most of the gap between
+    the uniform-prediction perplexity and the corpus's analytic entropy
+    floor (the TPU runbook runs the full-scale version of this)."""
+    from backpacks_flash_attn_tpu.data import lm_dataset as lmd
+    from backpacks_flash_attn_tpu.data.synthetic import bigram_corpus
+    from backpacks_flash_attn_tpu.training import train_cli
+
+    vocab = 256
+    toks, floor = bigram_corpus(60_000, vocab_size=vocab, n_successors=4,
+                                seed=0)
+    corpus = lmd.save_corpus(toks, str(tmp_path), "bg")
+    rc = train_cli.RunConfig(
+        corpus=corpus, workdir=str(tmp_path / "run"), model="backpack-test",
+        mode="train", steps=150, batch_size=8, seqlen=32, warmup_steps=10,
+        lr=3e-3, ckpt_every=0, log_every=50, use_flash=False,
+        val_fraction=0.02)
+    out = train_cli.run(rc)
+    ppl = out["val"]["ppl"]
+    floor_ppl = float(np.exp(floor))
+    # uniform predictions sit at ~vocab; a learning model must land far
+    # below that and within a small multiple of the floor
+    assert ppl < vocab * 0.25, (ppl, floor_ppl)
+    assert ppl < floor_ppl * 4.0, (ppl, floor_ppl)
