@@ -26,38 +26,42 @@ run_step () {  # run_step <timeout_s> <cmd...>
   return $rc
 }
 
-# 1. training-MFU variant matrix (VERDICT next-round item 1); the riskiest
+# Ordered so an arbitrarily short recovery window still yields the most
+# information per minute: quick lever-closing diagnostics first, then the
+# headline reproduction, then the long matrices, then the training run.
+
+# 1. VPU exp vs exp2 rates — is the CUDA exp2-softmax rewrite worth
+#    porting into the flash kernels?
+run_step 2000 python bench_vpu.py --json bench_results/vpu_r2.json
+
+# 2. int8 stream-rate A/B (NOTES decode lever: bitcast-int32 reads) —
+#    answers whether a bitcast-reading decode kernel is worth building
+run_step 3000 python bench_int8_stream.py --json bench_results/i8stream_r2.json
+
+# 3. MLP GEMM MXU isolation (NOTES training lever: 50%-MXU MLPs) —
+#    separates raw-GEMM efficiency from the fused-MLP custom_vjp's
+run_step 3000 python bench_mlp.py --json bench_results/mlp_r2.json
+
+# 4. speculative verification step cost (serving spec_tokens lever):
+#    rel_cost = t_verify/t_plain sets the speculation speedup
+#    (1 + acceptance*k)/rel_cost
+run_step 3000 python bench_spec_step.py --json bench_results/spec_r2.json
+
+# 5. the official headline bench (sanity reproduction)
+run_step 3000 python bench.py
+
+# 6. decode levers: batch x window-granularity (VERDICT item 3)
+run_step 6000 python bench_decode_sweep.py --profile 128:64 \
+    --configs 128:128,128:64,256:128,256:64 --json bench_results/decode_r2.json
+
+# 7. training-MFU variant matrix (VERDICT next-round item 1); the riskiest
 #    compile (einsum-alpha baseline) is deliberately the LAST variant.
 run_step 6000 python bench_train.py --steps 8 --reps 3 \
     --variants none:1,dots:1,full:1,none:4,none:1:einsum --profile none:1 \
     --json bench_results/train_r2.json
 
-# 2. decode levers: batch x window-granularity (VERDICT item 3)
-run_step 6000 python bench_decode_sweep.py --profile 128:64 \
-    --configs 128:128,128:64,256:128,256:64 --json bench_results/decode_r2.json
-
-# 3. the official headline bench (sanity reproduction)
-run_step 3000 python bench.py
-
-# 3b. speculative verification step cost (serving spec_tokens lever):
-#     rel_cost = t_verify/t_plain sets the speculation speedup
-#     (1 + acceptance*k)/rel_cost
-run_step 3000 python bench_spec_step.py --json bench_results/spec_r2.json
-
-# 3c. int8 stream-rate A/B (NOTES decode lever: bitcast-int32 reads) —
-#     answers whether a bitcast-reading decode kernel is worth building
-run_step 3000 python bench_int8_stream.py --json bench_results/i8stream_r2.json
-
-# 3d. MLP GEMM MXU isolation (NOTES training lever: 50%-MXU MLPs) —
-#     separates raw-GEMM efficiency from the fused-MLP custom_vjp's
-run_step 3000 python bench_mlp.py --json bench_results/mlp_r2.json
-
-# 3e. VPU exp vs exp2 rates — is the CUDA exp2-softmax rewrite worth
-#     porting into the flash kernels?
-run_step 2000 python bench_vpu.py --json bench_results/vpu_r2.json
-
-# 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
-#    (VERDICT item 8: int4 margin on a less trivial model)
+# 8. longer-trained backpack-mini on the synthetic corpus, then ppl gates
+#    (VERDICT r1 item 8: int4 margin on a less trivial model)
 if healthy; then
 python - <<'PY'
 import numpy as np
