@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -37,6 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 # Large negative instead of -inf: keeps exp(m_prev - m_new) well-defined for
 # fully-masked tiles without NaN-producing inf - inf.
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)
+
+# FLASH_EXP2=1 rewrites the in-kernel softmax exponentials as
+# exp2(x * log2 e) — the CUDA reference's formulation (fmha kernels fold
+# log2 e into the scale). Whether the TPU VPU favors exp2 over exp is an
+# open measured question (bench_vpu.py); this env knob lets bench_train.py
+# A/B the full training step without touching call signatures. Interfaces
+# (LSE, gradients) stay in natural-log units either way.
+_EXP2 = os.environ.get("FLASH_EXP2", "0") == "1"
+_LOG2E = 1.4426950408889634
+
+
+def _pexp(x):
+    return jnp.exp2(x * _LOG2E) if _EXP2 else jnp.exp(x)
 
 
 def _interpret() -> bool:
@@ -129,8 +143,8 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
             s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        correction = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
+        correction = _pexp(m_prev - m_new)
+        p = _pexp(s - m_new[:, None])
         p = jnp.where(mask, p, 0.0)
         l_new = l_prev * correction + jnp.sum(p, axis=1)
         if dropout_p > 0.0:
@@ -355,7 +369,7 @@ def _flash_bwd_dq_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
             s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         mask = _bwd_mask(qi * block_q, j * block_k, block_q, block_k,
                          q_len, kv_len, causal, q_off=q_off)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        p = jnp.where(mask, _pexp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_p > 0.0:
@@ -412,7 +426,7 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
             s = s + bias_ref[0, 0, pl.ds(j * block_q, block_q), :]
         mask = _bwd_mask(j * block_q, ki * block_k, block_q, block_k,
                          q_len, kv_len, causal, q_off=q_off)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        p = jnp.where(mask, _pexp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_p > 0.0:

@@ -60,6 +60,11 @@ run_step 6000 python bench_train.py --steps 8 --reps 3 \
     --variants none:1,dots:1,full:1,none:4,none:1:einsum --profile none:1 \
     --json bench_results/train_r2.json
 
+# 7b. exp2-softmax kernel A/B on the best variant (env-gated; see
+#     ops/flash_attention._EXP2 and bench_vpu's verdict)
+run_step 3000 env FLASH_EXP2=1 python bench_train.py --steps 8 --reps 3 \
+    --variants none:1 --json bench_results/train_exp2_r2.json
+
 # 8. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT r1 item 8: int4 margin on a less trivial model)
 if healthy; then

@@ -300,3 +300,35 @@ def test_flash_cross_attention_lengths():
     ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_exp2_softmax_variant(monkeypatch):
+    """FLASH_EXP2 path: exp2(x*log2e) kernels match the reference within
+    the usual tolerances for outputs AND gradients (lse/grads stay in
+    natural-log units)."""
+    from backpacks_flash_attn_tpu.ops import flash_attention as fa
+    q = jax.random.normal(jax.random.PRNGKey(40), (2, 48, 2, 16),
+                          jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(41), (2, 48, 2, 16),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(42), (2, 48, 2, 16),
+                          jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(43), (2, 48, 2, 16))
+    monkeypatch.setattr(fa, "_EXP2", True)
+
+    out = fa.flash_attention(q, k, v, causal=True)
+    want = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_f(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, causal=True) * t)
+
+    def loss_r(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) * t)
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
