@@ -74,6 +74,14 @@ def quantize_gpt_params(params: Params, cfg: GPTConfig, *, bits: int = 8,
     for norm in ("norm1", "norm2"):
         out["layers"][norm] = jax.tree.map(
             lambda x: x.astype(jnp.float32), params["layers"][norm])
+    if "moe" in params["layers"]:
+        # Switch-MoE expert FFNs ride through at activation precision: the
+        # moe layer consumes them via stacked einsums (ops/moe.py), not
+        # quant_linear, and only 1/n_experts of them stream per token —
+        # INT8 expert kernels are a possible follow-up, not a serving
+        # blocker.
+        out["layers"]["moe"] = jax.tree.map(
+            lambda x: x.astype(act_dtype), params["layers"]["moe"])
     if "wpe" in params:
         out["wpe"] = params["wpe"].astype(act_dtype)
     return out

@@ -157,3 +157,23 @@ def test_moe_backpack_serves():
             use_flash=False)
         tok = int(jnp.argmax(logits[0, -1]))
     assert got == want
+
+
+def test_moe_quantized_serving():
+    """INT8-quantized MoE Backpack (expert FFNs pass through at activation
+    precision) serves under the engine with an int8-free f32 cache on CPU
+    and finite logits."""
+    from backpacks_flash_attn_tpu.models import quantized as qz
+    from backpacks_flash_attn_tpu.serving.engine import ServingEngine
+    cfg = BackpackConfig(vocab_size=128, n_positions=32, n_embd=32, n_head=2,
+                         n_layer=2, n_inner=64, num_senses=2,
+                         pad_vocab_size_multiple=8, embd_pdrop=0.0,
+                         resid_pdrop=0.0, attn_pdrop=0.0, moe_experts=4)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = qz.quantize_backpack_params(params, cfg, bits=8,
+                                          act_dtype=jnp.float32)
+    eng = ServingEngine(qparams, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    rid = eng.submit([3, 1, 4, 1], max_new_tokens=5)
+    got = eng.run()[rid].tokens
+    assert len(got) == 5 and all(0 <= t < cfg.padded_vocab_size for t in got)
