@@ -63,10 +63,13 @@ class HarnessLM:
 
     @classmethod
     def backpack(cls, params, cfg, tokenizer, *, use_flash: bool = True,
-                 engine: bool = False, **kw) -> "HarnessLM":
+                 engine: bool = False, engine_kwargs: Optional[dict] = None,
+                 **kw) -> "HarnessLM":
         """engine=True serves generate_until through the continuous-batching
         ServingEngine (one admission per request, shared decode steps)
-        instead of one jitted generation per prompt."""
+        instead of one jitted generation per prompt. engine_kwargs passes
+        engine knobs through, e.g. {'spec_tokens': 4} for prompt-lookup
+        speculative decoding or {'prefill_chunk': 128}."""
         from ..models import backpack as bp
         from ..utils import generation as gen
 
@@ -85,7 +88,8 @@ class HarnessLM:
                 params, cfg, max_slots=self.batch_size,
                 max_seqlen=self.max_length, use_flash=use_flash,
                 eos_id=self.eot,
-                cache_dtype=jax.tree.leaves(params)[0].dtype)
+                cache_dtype=jax.tree.leaves(params)[0].dtype,
+                **(engine_kwargs or {}))
         return self
 
     @classmethod

@@ -134,7 +134,8 @@ def test_generate_until_served_matches_loop(lm):
     adapter, params, cfg = lm
     served = lh.HarnessLM.backpack(params, cfg, ToyTok(), use_flash=False,
                                    batch_size=4, eot_token_id=0,
-                                   buckets=(16, 32), engine=True)
+                                   buckets=(16, 32), engine=True,
+                                   engine_kwargs={"spec_tokens": 3})
     reqs = [("abc", {"until": [], "max_gen_toks": 5}),
             ("fg h", {"until": [], "max_gen_toks": 5}),
             ("a", {"until": [], "max_gen_toks": 5})]
