@@ -152,3 +152,25 @@ def test_speculative_near_cache_end_falls_back(setup):
     got = eng.run()[rid].tokens
     assert len(got) == 8
     _teacher_force_check(cfg, params, prompt, got)
+
+
+def test_speculative_fallback_and_resume_around_control(setup):
+    """A control request forces plain stepping while active; speculation
+    must resume afterwards with consistent host history (teacher-forced
+    exactness for the greedy request spanning the transition)."""
+    cfg, params = setup
+    ctable = np.ones((cfg.padded_vocab_size, cfg.num_senses), np.float32)
+    ctable[9] = 2.5
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=64,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=3, control_table=ctable)
+    prompt = [2, 7, 2, 7, 2, 7]
+    r_long = eng.submit(prompt, max_new_tokens=20)
+    r_ctl = eng.submit([9, 4, 9], max_new_tokens=4, control=True)
+    res = eng.run()
+    assert len(res[r_long].tokens) == 20
+    assert len(res[r_ctl].tokens) == 4
+    _teacher_force_check(cfg, params, prompt, res[r_long].tokens)
+    st = eng.stats()
+    # speculation actually ran (before and/or after the control window)
+    assert st.get("draft_proposed", 0) > 0
