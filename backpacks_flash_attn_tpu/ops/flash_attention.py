@@ -48,6 +48,20 @@ NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 _EXP2 = os.environ.get("FLASH_EXP2", "0") == "1"
 _LOG2E = 1.4426950408889634
 
+# FLASH_FIXEDMAX=1 replaces the forward's ONLINE row max with a precomputed
+# per-row upper bound M >= max(s) (VFA, arxiv 2604.12798: "global maximum
+# pre-computation"): with a fixed M the inner loop needs no running max, no
+# exp(m_prev-m_new) correction, and no rescale of the (block_q, d)
+# accumulator per K tile — the VPU chain the training profile blames — and
+# K tiles become independent accumulations. M = |q_row| * max_k |k_row|
+# overshoots the true max by some delta; every p shrinks by exp(-delta),
+# which cancels exactly in o = acc/l and enters lse as M + log(l)
+# (identical interface; the BACKWARD already recomputes p from the saved
+# lse and needs no change). f32 accumulators keep ~80 nats of underflow
+# headroom; bf16 p keeps f32's exponent range. Bias is not bounded —
+# has_bias falls back to the online path.
+_FIXEDMAX = os.environ.get("FLASH_FIXEDMAX", "0") == "1"
+
 
 def _pexp(x):
     return jnp.exp2(x * _LOG2E) if _EXP2 else jnp.exp(x)
@@ -128,6 +142,16 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
     q_pos = (q_off + qi * block_q
              + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
 
+    fixedmax = _FIXEDMAX and not blocksparse and not has_bias
+    if fixedmax:
+        # per-row upper bound M >= max(s) (Cauchy-Schwarz on the pre-scaled
+        # q): the K block is already VMEM-resident, so the norm pre-pass
+        # costs no extra HBM traffic
+        kf = k_ref[0, 0].astype(jnp.float32)
+        kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=1)))
+        qf32 = q_ref[0, 0].astype(jnp.float32)
+        M = jnp.sqrt(jnp.sum(qf32 * qf32, axis=1)) * kmax + 1e-6
+
     def compute(j, carry):
         o_acc, m_prev, l_prev = carry
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
@@ -142,11 +166,18 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
         if has_bias:
             s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        correction = _pexp(m_prev - m_new)
-        p = _pexp(s - m_new[:, None])
-        p = jnp.where(mask, p, 0.0)
-        l_new = l_prev * correction + jnp.sum(p, axis=1)
+        if fixedmax:
+            # no running max: tiles accumulate independently, no correction
+            # multiplies on l or the (block_q, d) accumulator
+            m_new = m_prev
+            p = jnp.where(mask, _pexp(s - M[:, None]), 0.0)
+            l_new = l_prev + jnp.sum(p, axis=1)
+        else:
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            correction = _pexp(m_prev - m_new)
+            p = _pexp(s - m_new[:, None])
+            p = jnp.where(mask, p, 0.0)
+            l_new = l_prev * correction + jnp.sum(p, axis=1)
         if dropout_p > 0.0:
             # applied to the un-normalized probs; l/lse stay pre-dropout so
             # the bwd recompute sees the exact softmax (reference semantics:
@@ -157,7 +188,10 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        o_new = o_acc * correction[:, None] + pv
+        if fixedmax:
+            o_new = o_acc + pv
+        else:
+            o_new = o_acc * correction[:, None] + pv
         return o_new, m_new, l_new
 
     if blocksparse:
@@ -177,6 +211,10 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
     l0 = jnp.zeros((block_q,), jnp.float32)
     o_acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (o_acc, m0, l0))
 
+    if fixedmax:
+        # fully-masked rows keep the sentinel lse (ring merges weight by
+        # exp(lse), so empty chunk pairs must stay ~-inf)
+        m = jnp.where(l == 0.0, NEG_INF, M)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, None]

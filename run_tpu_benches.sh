@@ -65,6 +65,11 @@ run_step 6000 python bench_train.py --steps 8 --reps 3 \
 run_step 3000 env FLASH_EXP2=1 python bench_train.py --steps 8 --reps 3 \
     --variants none:1 --json bench_results/train_exp2_r2.json
 
+# 7c. fixed-max (VFA-style) softmax A/B: drops the online-max chain from
+#     the forward kernel (ops/flash_attention._FIXEDMAX)
+run_step 3000 env FLASH_FIXEDMAX=1 python bench_train.py --steps 8 --reps 3 \
+    --variants none:1 --json bench_results/train_fixedmax_r2.json
+
 # 8. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (VERDICT r1 item 8: int4 margin on a less trivial model)
 if healthy; then

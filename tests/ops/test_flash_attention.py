@@ -332,3 +332,46 @@ def test_exp2_softmax_variant(monkeypatch):
     for gf, gr, name in zip(g_f, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=2e-5, rtol=2e-4, err_msg=name)
+
+
+def test_fixedmax_softmax_variant(monkeypatch):
+    """FLASH_FIXEDMAX path (VFA-style bound instead of the online max):
+    outputs, gradients AND the saved lse must match the reference — the
+    backward consumes the lse, so its correctness is load-bearing."""
+    from backpacks_flash_attn_tpu.ops import flash_attention as fa
+    q = jax.random.normal(jax.random.PRNGKey(50), (2, 48, 2, 16),
+                          jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(51), (2, 48, 2, 16),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(52), (2, 48, 2, 16),
+                          jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(53), (2, 48, 2, 16))
+    monkeypatch.setattr(fa, "_FIXEDMAX", True)
+
+    out = fa.flash_attention(q, k, v, causal=True)
+    want = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    # lse parity vs an explicit logsumexp
+    _, lse = fa.flash_attention_with_lse(q, k, v, causal=True)
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    qpos = jnp.arange(48)[:, None]
+    kpos = jnp.arange(48)[None, :]
+    s = jnp.where((kpos <= qpos)[None, None], s, -jnp.inf)
+    want_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss_f(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, causal=True) * t)
+
+    def loss_r(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) * t)
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=3e-5, rtol=3e-4, err_msg=name)
