@@ -35,6 +35,7 @@ Three kernels:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -43,6 +44,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import NEG_INF, _interpret, _round_up
+
+# Shares flash_attention's FLASH_FIXEDMAX knob: replace the online row max
+# with a precomputed Cauchy-Schwarz bound (VFA-style) — see the rationale in
+# ops/flash_attention.py. The contextualization forward is the other
+# VPU-softmax-bound training kernel.
+_FIXEDMAX = os.environ.get("FLASH_FIXEDMAX", "0") == "1"
 
 
 def _compute_dtype(ref_dtype):
@@ -64,7 +71,15 @@ def _tile_mask(q0, k0, block_q, block_k, kv_len):
 
 
 def _online_softmax_head(q, k_ref, c_ref, qi, block_q, block_k, kv_len, cdt):
-    """Shared forward inner loop: returns (o_acc f32 (block_q, d), m, l)."""
+    """Shared forward inner loop: returns (o_acc f32 (block_q, d), m, l).
+    With _FIXEDMAX the running max is replaced by a precomputed per-row
+    bound (see module header): tiles accumulate independently and m returns
+    the bound (NEG_INF for fully-masked rows) so lse stays exact."""
+    if _FIXEDMAX:
+        kf = k_ref[0, 0].astype(jnp.float32)
+        kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=1)))
+        M = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1)) * kmax \
+            + 1e-6
 
     def body(j, carry):
         o_acc, m_prev, l_prev = carry
@@ -74,6 +89,13 @@ def _online_softmax_head(q, k_ref, c_ref, qi, block_q, block_k, kv_len, cdt):
                                 preferred_element_type=jnp.float32)
         mask = _tile_mask(qi * block_q, j * block_k, block_q, block_k, kv_len)
         s = jnp.where(mask, s, NEG_INF)
+        if _FIXEDMAX:
+            p = jnp.where(mask, jnp.exp(s - M[:, None]), 0.0)
+            l_new = l_prev + jnp.sum(p, axis=1)
+            pv = jax.lax.dot_general(p.astype(c.dtype), c,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return o_acc + pv, m_prev, l_new
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
         corr = jnp.exp(m_prev - m_new)
         p = jnp.where(mask, jnp.exp(s - m_new[:, None]), 0.0)
@@ -86,7 +108,10 @@ def _online_softmax_head(q, k_ref, c_ref, qi, block_q, block_k, kv_len, cdt):
     o0 = jnp.zeros((block_q, c_ref.shape[-1]), jnp.float32)
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
-    return jax.lax.fori_loop(0, n_kb, body, (o0, m0, l0))
+    o_acc, m, l = jax.lax.fori_loop(0, n_kb, body, (o0, m0, l0))
+    if _FIXEDMAX:
+        m = jnp.where(l == 0.0, NEG_INF, M)
+    return o_acc, m, l
 
 
 def _fused_ctx_infer_kernel(q_ref, k_ref, c_ref, o_ref, *, block_q: int,

@@ -66,7 +66,7 @@ run_step 3000 env FLASH_EXP2=1 python bench_train.py --steps 8 --reps 3 \
     --variants none:1 --json bench_results/train_exp2_r2.json
 
 # 7c. fixed-max (VFA-style) softmax A/B: drops the online-max chain from
-#     the forward kernel (ops/flash_attention._FIXEDMAX)
+#     the flash AND fused-contextualization forwards (FLASH_FIXEDMAX)
 run_step 3000 env FLASH_FIXEDMAX=1 python bench_train.py --steps 8 --reps 3 \
     --variants none:1 --json bench_results/train_fixedmax_r2.json
 

@@ -118,3 +118,43 @@ def test_fused_with_interventions_and_remat(rng):
         np.testing.assert_allclose(np.asarray(g), np.asarray(ge[path]),
                                    atol=2e-4, rtol=2e-3,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_ctx_fixedmax_variant(monkeypatch):
+    """FLASH_FIXEDMAX in the contextualization kernels: inference and
+    training forwards plus gradients still match the einsum oracle."""
+    from backpacks_flash_attn_tpu.ops import backpack_kernels as bk
+    monkeypatch.setattr(bk, "_FIXEDMAX", True)
+    b, s, nv, dnv, d = 2, 32, 3, 8, 16
+    q = jax.random.normal(jax.random.PRNGKey(60), (b, s, nv, dnv),
+                          jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(61), (b, s, nv, dnv),
+                          jnp.float32)
+    c = jax.random.normal(jax.random.PRNGKey(62), (b, s, nv, d), jnp.float32)
+    t = jax.random.normal(jax.random.PRNGKey(63), (b, s, d))
+    scale = dnv ** -0.5
+
+    def oracle(q, k, c):
+        sc = jnp.einsum("bthd,bshd->bhts", q * scale, k)
+        qpos = jnp.arange(s)[:, None]
+        kpos = jnp.arange(s)[None, :]
+        sc = jnp.where((kpos <= qpos)[None, None], sc, -1e30)
+        a = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum("bhts,bshd->btd", a, c)
+
+    got = bk.fused_contextualization(q, k, c, scale)
+    want = oracle(q, k, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss_f(q, k, c):
+        return jnp.sum(bk.fused_contextualization(q, k, c, scale) * t)
+
+    def loss_r(q, k, c):
+        return jnp.sum(oracle(q, k, c) * t)
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, c)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, c)
+    for gf, gr, name in zip(g_f, g_r, ("q", "k", "content")):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=3e-5, rtol=3e-4, err_msg=name)
