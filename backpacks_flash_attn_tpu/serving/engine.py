@@ -85,6 +85,8 @@ class ServingEngine:
                  negative_anneal: bool = False,
                  negative_annealing_scale: float = 0.34,
                  spec_tokens: int = 0, spec_ngram: int = 3,
+                 spec_min_acceptance: float = 0.0,
+                 spec_cooldown: int = 16,
                  prefill_chunk: int = 0):
         """control_table: optional (vocab, nv) multiplicative weight table
         (eval/control.control_weights). Requests submitted with control=True
@@ -115,6 +117,13 @@ class ServingEngine:
         speculation pays off whenever the mean acceptance is above ~0 on a
         memory-bound decode. Incompatible with control/negative slots: the
         engine falls back to plain stepping while any are active.
+
+        spec_min_acceptance > 0 makes speculation ADAPTIVE: when the
+        rolling draft acceptance (last 32 speculative steps, after at least
+        8) falls below the threshold, the engine runs plain steps for
+        spec_cooldown steps before probing again — random text stops paying
+        the (1+k)-row verification cost, self-repetitive text keeps the
+        speedup.
 
         prefill_chunk > 0 admits plain requests via CHUNKED prefill: every
         admission wave runs ceil(max_prompt_len / prefill_chunk) dispatches
@@ -185,6 +194,10 @@ class ServingEngine:
         self._window_hist = collections.Counter()
         self.spec_tokens = int(spec_tokens)
         self.spec_ngram = int(spec_ngram)
+        self.spec_min_acceptance = float(spec_min_acceptance)
+        self.spec_cooldown = int(spec_cooldown)
+        self._spec_recent = collections.deque(maxlen=32)
+        self._spec_skip_until = 0
         self.prefill_chunk = int(prefill_chunk)
         if self.prefill_chunk:
             # chunk grid must tile the cache exactly: a final chunk spilling
@@ -794,7 +807,8 @@ class ServingEngine:
         # clamped dynamic_update_slice would corrupt valid rows).
         if (k > 0 and not self.control_mask.any()
                 and not self.negative_mask.any()
-                and max_active_len + k + 1 <= self.max_seqlen):
+                and max_active_len + k + 1 <= self.max_seqlen
+                and self._stats["decode_steps"] >= self._spec_skip_until):
             window = self._window(extra=k + 1)
             self._window_hist[window] += 1
             drafts = self._build_drafts()
@@ -807,6 +821,7 @@ class ServingEngine:
             em = np.asarray(emitted)
             ne = np.asarray(n_emit)
             out = []
+            step_prop = step_acc = 0
             for slot in range(self.max_slots):
                 if not self.sched.slot_active(slot):
                     continue
@@ -814,6 +829,8 @@ class ServingEngine:
                 self.host_lengths[slot] += take
                 self._stats["draft_proposed"] += k
                 self._stats["draft_accepted"] += take - 1
+                step_prop += k
+                step_acc += take - 1
                 rid = self.sched.slot_request(slot)
                 for t in range(take):
                     tok = int(em[slot, t])
@@ -827,6 +844,16 @@ class ServingEngine:
                         self._finish(slot, trunc=hit)
                         self._stats["completed"] += 1
                         break
+            if self.spec_min_acceptance > 0.0 and step_prop:
+                self._spec_recent.append((step_prop, step_acc))
+                if len(self._spec_recent) >= 8:
+                    prop = sum(p for p, _ in self._spec_recent)
+                    acc = sum(a for _, a in self._spec_recent)
+                    if acc < self.spec_min_acceptance * prop:
+                        self._spec_skip_until = (
+                            self._stats["decode_steps"] + self.spec_cooldown)
+                        self._spec_recent.clear()
+                        self._stats["spec_cooldowns"] += 1
             self._stats["decode_steps"] += 1
             self._stats["tokens_emitted"] += len(out)
             self._stats["step_time_ns"] += int((self._clock() - t0) * 1e9)
