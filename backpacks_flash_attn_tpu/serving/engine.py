@@ -14,8 +14,10 @@ uniform batch with a Python loop that re-runs the full forward per token
   * scheduling (queue, slots, budgets, EOS) lives in the native C++
     scheduler (csrc/scheduler.cpp) via ctypes, off the device-dispatch path
   * per-request sampling (greedy / temperature / nucleus top-p / top-k
-    via (b,) vectors) and per-request sense-weight interventions
-    ((b, nv) control vectors — the §2.4 capability, served)
+    via (b,) vectors), stop sequences, and per-request sense-weight
+    interventions ((b, nv) control vectors — the §2.4 capability, served)
+  * prompt-lookup speculative decoding (spec_tokens; optionally adaptive)
+    and chunked prefill admission (prefill_chunk) — see __init__
 """
 
 from __future__ import annotations
