@@ -193,6 +193,10 @@ class ServingEngine:
         self._meta_top_k = {}
         self._meta_stop = {}
         self.stop_seqs = [[] for _ in range(max_slots)]
+        self._meta_min = {}
+        self.min_tokens = np.zeros((max_slots,), np.int64)
+        self.emitted = np.zeros((max_slots,), np.int64)
+        self._uses_min = False
         self._window_hist = collections.Counter()
         self.spec_tokens = int(spec_tokens)
         self.spec_ngram = int(spec_ngram)
@@ -223,6 +227,7 @@ class ServingEngine:
     # ------------------------------------------------------------ submit
 
     def submit(self, prompt, *, max_new_tokens: int = 64,
+               min_new_tokens: int = 0,
                temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0,
                sense_weights: Optional[np.ndarray] = None,
                control: bool = False, negative: bool = False,
@@ -234,7 +239,9 @@ class ServingEngine:
         (toxicity removal, reference intervened_models.py:108).
         stop: optional token-id sequences; generation finishes when the
         emitted tokens end with any of them, and the matched sequence is
-        EXCLUDED from the result (eos_id semantics keep the eos)."""
+        EXCLUDED from the result (eos_id semantics keep the eos).
+        min_new_tokens: suppress the eos logit until this many tokens have
+        been emitted (stop sequences are not suppressed)."""
         if control and self.control_table is None:
             raise ValueError("control=True needs a control_table on the "
                              "engine")
@@ -262,15 +269,22 @@ class ServingEngine:
         if stop:
             self._meta_stop[rid] = [np.asarray(s, np.int64).reshape(-1)
                                     for s in stop if len(s)]
+        if min_new_tokens:
+            self._meta_min[rid] = int(min_new_tokens)
         return rid
 
     # ------------------------------------------------------------ internals
 
     @staticmethod
-    def _sample_tokens(last, temps, rng, top_ps=None, top_ks=None):
+    def _sample_tokens(last, temps, rng, top_ps=None, top_ks=None,
+                       eos_ban=None, eos_id=0):
         """Per-slot greedy/temperature(+nucleus/top-k) sampling (one batched
         op). top_ps/top_ks None compile the unrestricted path (no per-step
-        vocab sort)."""
+        vocab sort). eos_ban: (b,) bool — rows still under min_new_tokens
+        have the eos column suppressed before ANY selection."""
+        if eos_ban is not None:
+            col = jnp.arange(last.shape[-1])[None, :] == eos_id
+            last = jnp.where(eos_ban[:, None] & col, -jnp.inf, last)
         greedy = jnp.argmax(last, -1)
         logits = last / jnp.maximum(temps, 1e-6)[:, None]
         if top_ps is not None or top_ks is not None:
@@ -344,7 +358,8 @@ class ServingEngine:
         return self.max_seqlen
 
     def _step_fn(self, weighted: bool, window: int):
-        key = (weighted, window, self._uses_top_p, self._uses_top_k)
+        key = (weighted, window, self._uses_top_p, self._uses_top_k,
+               self._uses_min)
         if key not in self._jit_steps:
             cfg, use_flash = self.cfg, self.use_flash
             win = None if window >= self.max_seqlen else window
@@ -352,7 +367,10 @@ class ServingEngine:
             use_top_k = self._uses_top_k
             sample = self._sample_tokens
 
-            def step(params, toks, cache, temps, top_ps, top_ks, rng,
+            use_min = self._uses_min
+            eos_id = self.eos_id
+
+            def step(params, toks, cache, temps, top_ps, top_ks, ban, rng,
                      weights):
                 kw = {"sense_weights": weights} if weighted else {}
                 logits, cache = bp.backpack_forward_with_cache(
@@ -360,7 +378,8 @@ class ServingEngine:
                     window=win, **kw)
                 nxt = sample(logits[:, -1], temps, rng,
                              top_ps if use_top_p else None,
-                             top_ks if use_top_k else None)
+                             top_ks if use_top_k else None,
+                             ban if use_min else None, eos_id)
                 return nxt[:, None], cache
 
             self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
@@ -376,7 +395,7 @@ class ServingEngine:
         length counters are rolled back to old + acc + 1 so rejected rows
         are masked out and overwritten by the next dispatch."""
         key = (window, self._uses_weights, self._uses_top_p,
-               self._uses_top_k)
+               self._uses_top_k, self._uses_min)
         if key not in self._jit_spec_steps:
             cfg, use_flash = self.cfg, self.use_flash
             weighted = self._uses_weights
@@ -386,14 +405,26 @@ class ServingEngine:
             sample = self._sample_tokens
             k = self.spec_tokens
 
-            def step(params, toks, drafts, cache, temps, top_ps, top_ks, rng,
-                     weights):
+            use_min = self._uses_min
+            eos_id = self.eos_id
+
+            def step(params, toks, drafts, cache, temps, top_ps, top_ks,
+                     emitted, mins, rng, weights):
                 inp = jnp.concatenate([toks, drafts], axis=1)   # (b, 1+k)
                 old_len = cache.length
                 kw = {"sense_weights": weights} if weighted else {}
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, inp, cache, use_flash=use_flash,
                     window=win, **kw)
+                if use_min:
+                    # position t emits token #(emitted + t + 1): suppress
+                    # the eos column while that count is still under min
+                    ban_t = (emitted[:, None] + jnp.arange(k + 1)[None]
+                             < mins[:, None])                    # (b, 1+k)
+                    col = (jnp.arange(logits.shape[-1])[None, None]
+                           == eos_id)
+                    logits = jnp.where(ban_t[..., None] & col, -jnp.inf,
+                                       logits)
                 preds = jnp.argmax(logits, -1).astype(jnp.int32)  # (b, 1+k)
                 match = (preds[:, :-1] == drafts).astype(jnp.int32)
                 acc = jnp.cumprod(match, axis=1).sum(axis=1)      # (b,)
@@ -403,6 +434,7 @@ class ServingEngine:
                 sampled0 = sample(logits[:, 0], temps, rng,
                                   top_ps if use_top_p else None,
                                   top_ks if use_top_k else None)
+                # (logits already eos-banned above when use_min)
                 head = jnp.where(greedy, bonus, sampled0)
                 tpos = jnp.arange(k + 1)[None]
                 dpad = jnp.pad(drafts, ((0, 0), (0, 1)))
@@ -430,7 +462,7 @@ class ServingEngine:
         return drafts
 
     def _ctl_step_fn(self, window: int):
-        key = (window, self._uses_top_p, self._uses_top_k)
+        key = (window, self._uses_top_p, self._uses_top_k, self._uses_min)
         if key not in self._jit_steps_controlled:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -440,8 +472,11 @@ class ServingEngine:
             use_top_k = self._uses_top_k
             sample = self._sample_tokens
 
-            def step(params, toks, cache, istate, temps, top_ps, top_ks, rng,
-                     req_w, cmask, table):
+            use_min = self._uses_min
+            eos_id = self.eos_id
+
+            def step(params, toks, cache, istate, temps, top_ps, top_ks,
+                     ban, rng, req_w, cmask, table):
                 istate, w = iv.advance_weighted_state(
                     params, cfg, toks, cache, istate, table, anneal=True,
                     annealing_scale=ann, window=win)
@@ -452,7 +487,8 @@ class ServingEngine:
                     sense_weights=w, window=win)
                 nxt = sample(logits[:, -1], temps, rng,
                              top_ps if use_top_p else None,
-                             top_ks if use_top_k else None)
+                             top_ks if use_top_k else None,
+                             ban if use_min else None, eos_id)
                 return nxt[:, None], cache, istate
 
             self._jit_steps_controlled[key] = jax.jit(
@@ -491,7 +527,7 @@ class ServingEngine:
         carries per-request sense weights and (if present) annealed control
         slots, so all three intervention modes share the batch."""
         key = (window, self._uses_control, self._uses_top_p,
-               self._uses_top_k)
+               self._uses_top_k, self._uses_min)
         if key not in self._jit_steps_negative:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -502,8 +538,11 @@ class ServingEngine:
             use_top_k = self._uses_top_k
             sample = self._sample_tokens
 
+            use_min = self._uses_min
+            eos_id = self.eos_id
+
             def step(params, toks, cache, nstate, istate, temps, top_ps,
-                     top_ks, rng, req_w, cmask, nmask, ctable, ntable):
+                     top_ks, ban, rng, req_w, cmask, nmask, ctable, ntable):
                 if uses_control:
                     istate, w = iv.advance_weighted_state(
                         params, cfg, toks, cache, istate, ctable, anneal=True,
@@ -520,7 +559,8 @@ class ServingEngine:
                     negative_mask=nmask, sense_weights=w, window=win)
                 nxt = sample(logits[:, -1], temps, rng,
                              top_ps if use_top_p else None,
-                             top_ks if use_top_k else None)
+                             top_ks if use_top_k else None,
+                             ban if use_min else None, eos_id)
                 return nxt[:, None], cache, nstate, istate
 
             self._jit_steps_negative[key] = jax.jit(step,
@@ -650,18 +690,28 @@ class ServingEngine:
         if top_k > 0:
             self._uses_top_k = True
         self.stop_seqs[slot] = self._meta_stop.pop(rid, [])
+        self.min_tokens[slot] = self._meta_min.pop(rid, 0)
+        self.emitted[slot] = 0
+        if self.min_tokens[slot] > 0:
+            self._uses_min = True
         if sw is not None:
             self._uses_weights = True
+        ban = (jnp.asarray([True]) if self.min_tokens[slot] > 0 else None)
         if temp > 0:
             self._rng, sub = jax.random.split(self._rng)
             tok = int(self._sample_tokens(
                 last_logits[None], jnp.asarray([temp], jnp.float32), sub,
                 jnp.asarray([top_p], jnp.float32) if top_p < 1.0 else None,
-                jnp.asarray([top_k], jnp.int32) if top_k > 0 else None
-            )[0])
+                jnp.asarray([top_k], jnp.int32) if top_k > 0 else None,
+                ban, self.eos_id)[0])
+        elif ban is not None:
+            tok = int(self._sample_tokens(
+                last_logits[None], jnp.asarray([0.0], jnp.float32),
+                jax.random.PRNGKey(0), None, None, ban, self.eos_id)[0])
         else:
             tok = int(jnp.argmax(last_logits))
         self.tokens = self.tokens.at[slot, 0].set(tok)
+        self.emitted[slot] = 1
         self.host_tokens[slot, :plen] = self._prompts[rid]
         self.host_tokens[slot, plen] = tok
         self.hist_len[slot] = plen + 1
@@ -818,7 +868,9 @@ class ServingEngine:
             emitted, n_emit, self.tokens, self.cache = step(
                 self.params, self.tokens, jnp.asarray(drafts), self.cache,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
-                jnp.asarray(self.top_ks), sub,
+                jnp.asarray(self.top_ks),
+                jnp.asarray(self.emitted.astype(np.int32)),
+                jnp.asarray(self.min_tokens.astype(np.int32)), sub,
                 jnp.asarray(self.sense_weights))
             em = np.asarray(emitted)
             ne = np.asarray(n_emit)
@@ -838,6 +890,7 @@ class ServingEngine:
                     tok = int(em[slot, t])
                     self.host_tokens[slot, self.hist_len[slot]] = tok
                     self.hist_len[slot] += 1
+                    self.emitted[slot] += 1
                     finished = self.sched.on_token(slot, tok)
                     hit = (0 if finished or not self.stop_seqs[slot]
                            else self._stop_hit(slot))
@@ -869,7 +922,8 @@ class ServingEngine:
             self.tokens, self.cache, self.nstate, self.istate = step(
                 self.params, self.tokens, self.cache, self.nstate,
                 self.istate, jnp.asarray(self.temps),
-                jnp.asarray(self.top_ps), jnp.asarray(self.top_ks), sub,
+                jnp.asarray(self.top_ps), jnp.asarray(self.top_ks),
+                jnp.asarray(self.emitted < self.min_tokens), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask),
                 jnp.asarray(self.negative_mask), ctable,
@@ -879,7 +933,8 @@ class ServingEngine:
             self.tokens, self.cache, self.istate = step(
                 self.params, self.tokens, self.cache, self.istate,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
-                jnp.asarray(self.top_ks), sub,
+                jnp.asarray(self.top_ks),
+                jnp.asarray(self.emitted < self.min_tokens), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask), self.control_table)
         else:
@@ -887,7 +942,8 @@ class ServingEngine:
             self.tokens, self.cache = step(
                 self.params, self.tokens, self.cache,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
-                jnp.asarray(self.top_ks), sub,
+                jnp.asarray(self.top_ks),
+                jnp.asarray(self.emitted < self.min_tokens), sub,
                 jnp.asarray(self.sense_weights))
         toks = np.asarray(self.tokens[:, 0])
         out = []
@@ -897,6 +953,7 @@ class ServingEngine:
             self.host_lengths[slot] += 1
             self.host_tokens[slot, self.hist_len[slot]] = int(toks[slot])
             self.hist_len[slot] += 1
+            self.emitted[slot] += 1
             rid = self.sched.slot_request(slot)
             finished = self.sched.on_token(slot, int(toks[slot]))
             if not finished and self.stop_seqs[slot]:
@@ -921,6 +978,13 @@ class ServingEngine:
             self.step()
         out, self._results = self._results, {}
         return out
+
+    def generate(self, prompts, **kw) -> List[List[int]]:
+        """Convenience: submit every prompt with the same options, run to
+        completion, return token lists in prompt order."""
+        rids = [self.submit(p, **kw) for p in prompts]
+        results = self.run()
+        return [results[r].tokens for r in rids]
 
     # --------------------------------------------------------- observability
 

@@ -505,3 +505,37 @@ def test_engine_mixed_request_matrix(setup):
     st = eng.stats()
     assert st["completed"] == 8 and st["active_slots"] == 0
     assert st["pending_requests"] == 0
+
+
+@pytest.mark.parametrize("spec_tokens", [0, 3])
+def test_engine_min_new_tokens(setup, spec_tokens):
+    """min_new_tokens suppresses the eos logit until the floor is reached;
+    the post-floor continuation matches an eos-banned oracle."""
+    cfg, params = setup
+    prompt = [3, 1, 4]
+    want = _direct_greedy(cfg, params, prompt, 8)
+    idx = next((i for i in range(1, 8) if want[i] not in want[:i]), None)
+    if idx is None:
+        pytest.skip("degenerate repeating sequence")
+    eos = want[idx]
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=eos,
+                        spec_tokens=spec_tokens)
+    # without a floor: stops AT the eos
+    r0 = eng.submit(prompt, max_new_tokens=8)
+    assert eng.run()[r0].tokens == want[:idx + 1]
+    # with the floor past the eos position: generation continues (eos
+    # banned), so the result is strictly longer and eos-free before min
+    m = idx + 3
+    r1 = eng.submit(prompt, max_new_tokens=8, min_new_tokens=m)
+    got = eng.run()[r1].tokens
+    assert len(got) >= min(m, 8)
+    assert eos not in got[:m - 1]
+
+
+def test_engine_generate_sugar(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    outs = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=4)
+    assert len(outs) == 2 and all(len(o) == 4 for o in outs)
