@@ -197,6 +197,12 @@ class ServingEngine:
         self.min_tokens = np.zeros((max_slots,), np.int64)
         self.emitted = np.zeros((max_slots,), np.int64)
         self._uses_min = False
+        self._meta_penalty = {}
+        self.freq_p = np.zeros((max_slots,), np.float32)
+        self.pres_p = np.zeros((max_slots,), np.float32)
+        self.token_counts = jnp.zeros((max_slots, cfg.padded_vocab_size),
+                                      jnp.int32)
+        self._uses_penalty = False
         self._window_hist = collections.Counter()
         self.spec_tokens = int(spec_tokens)
         self.spec_ngram = int(spec_ngram)
@@ -229,6 +235,7 @@ class ServingEngine:
     def submit(self, prompt, *, max_new_tokens: int = 64,
                min_new_tokens: int = 0,
                temperature: float = 0.0, top_p: float = 1.0, top_k: int = 0,
+               frequency_penalty: float = 0.0, presence_penalty: float = 0.0,
                sense_weights: Optional[np.ndarray] = None,
                control: bool = False, negative: bool = False,
                stop: Optional[List[List[int]]] = None) -> int:
@@ -241,7 +248,11 @@ class ServingEngine:
         emitted tokens end with any of them, and the matched sequence is
         EXCLUDED from the result (eos_id semantics keep the eos).
         min_new_tokens: suppress the eos logit until this many tokens have
-        been emitted (stop sequences are not suppressed)."""
+        been emitted (stop sequences are not suppressed).
+        frequency_penalty / presence_penalty: OpenAI-style additive logit
+        penalties from per-slot token counts (prompt + emitted); while any
+        penalized slot is active, speculation falls back to plain stepping
+        (penalty-aware logits change the greedy argmax mid-draft)."""
         if control and self.control_table is None:
             raise ValueError("control=True needs a control_table on the "
                              "engine")
@@ -271,9 +282,20 @@ class ServingEngine:
                                     for s in stop if len(s)]
         if min_new_tokens:
             self._meta_min[rid] = int(min_new_tokens)
+        if frequency_penalty or presence_penalty:
+            self._meta_penalty[rid] = (float(frequency_penalty),
+                                       float(presence_penalty))
         return rid
 
     # ------------------------------------------------------------ internals
+
+    @staticmethod
+    def _apply_penalties(last, counts, freq_p, pres_p):
+        """OpenAI-style additive penalties from per-slot token counts
+        (prompt + emitted): logits - freq*count - pres*(count > 0)."""
+        c = counts.astype(jnp.float32)
+        return (last - freq_p[:, None] * c
+                - pres_p[:, None] * (c > 0).astype(jnp.float32))
 
     @staticmethod
     def _sample_tokens(last, temps, rng, top_ps=None, top_ks=None,
@@ -359,7 +381,7 @@ class ServingEngine:
 
     def _step_fn(self, weighted: bool, window: int):
         key = (weighted, window, self._uses_top_p, self._uses_top_k,
-               self._uses_min)
+               self._uses_min, self._uses_penalty)
         if key not in self._jit_steps:
             cfg, use_flash = self.cfg, self.use_flash
             win = None if window >= self.max_seqlen else window
@@ -368,19 +390,25 @@ class ServingEngine:
             sample = self._sample_tokens
 
             use_min = self._uses_min
+            use_pen = self._uses_penalty
             eos_id = self.eos_id
+            pen = self._apply_penalties
 
-            def step(params, toks, cache, temps, top_ps, top_ks, ban, rng,
-                     weights):
+            def step(params, toks, cache, temps, top_ps, top_ks, ban,
+                     counts, fps, pps, rng, weights):
                 kw = {"sense_weights": weights} if weighted else {}
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, toks, cache, use_flash=use_flash,
                     window=win, **kw)
-                nxt = sample(logits[:, -1], temps, rng,
+                last = logits[:, -1]
+                if use_pen:
+                    last = pen(last, counts, fps, pps)
+                nxt = sample(last, temps, rng,
                              top_ps if use_top_p else None,
                              top_ks if use_top_k else None,
                              ban if use_min else None, eos_id)
-                return nxt[:, None], cache
+                counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(1)
+                return nxt[:, None], cache, counts
 
             self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
         return self._jit_steps[key]
@@ -462,7 +490,8 @@ class ServingEngine:
         return drafts
 
     def _ctl_step_fn(self, window: int):
-        key = (window, self._uses_top_p, self._uses_top_k, self._uses_min)
+        key = (window, self._uses_top_p, self._uses_top_k, self._uses_min,
+               self._uses_penalty)
         if key not in self._jit_steps_controlled:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -473,10 +502,12 @@ class ServingEngine:
             sample = self._sample_tokens
 
             use_min = self._uses_min
+            use_pen = self._uses_penalty
             eos_id = self.eos_id
+            pen = self._apply_penalties
 
             def step(params, toks, cache, istate, temps, top_ps, top_ks,
-                     ban, rng, req_w, cmask, table):
+                     ban, counts, fps, pps, rng, req_w, cmask, table):
                 istate, w = iv.advance_weighted_state(
                     params, cfg, toks, cache, istate, table, anneal=True,
                     annealing_scale=ann, window=win)
@@ -485,11 +516,15 @@ class ServingEngine:
                 logits, cache = bp.backpack_forward_with_cache(
                     params, cfg, toks, cache, use_flash=use_flash,
                     sense_weights=w, window=win)
-                nxt = sample(logits[:, -1], temps, rng,
+                last = logits[:, -1]
+                if use_pen:
+                    last = pen(last, counts, fps, pps)
+                nxt = sample(last, temps, rng,
                              top_ps if use_top_p else None,
                              top_ks if use_top_k else None,
                              ban if use_min else None, eos_id)
-                return nxt[:, None], cache, istate
+                counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(1)
+                return nxt[:, None], cache, istate, counts
 
             self._jit_steps_controlled[key] = jax.jit(
                 step, donate_argnums=(2, 3))
@@ -527,7 +562,7 @@ class ServingEngine:
         carries per-request sense weights and (if present) annealed control
         slots, so all three intervention modes share the batch."""
         key = (window, self._uses_control, self._uses_top_p,
-               self._uses_top_k, self._uses_min)
+               self._uses_top_k, self._uses_min, self._uses_penalty)
         if key not in self._jit_steps_negative:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -539,10 +574,13 @@ class ServingEngine:
             sample = self._sample_tokens
 
             use_min = self._uses_min
+            use_pen = self._uses_penalty
             eos_id = self.eos_id
+            pen = self._apply_penalties
 
             def step(params, toks, cache, nstate, istate, temps, top_ps,
-                     top_ks, ban, rng, req_w, cmask, nmask, ctable, ntable):
+                     top_ks, ban, counts, fps, pps, rng, req_w, cmask,
+                     nmask, ctable, ntable):
                 if uses_control:
                     istate, w = iv.advance_weighted_state(
                         params, cfg, toks, cache, istate, ctable, anneal=True,
@@ -557,11 +595,15 @@ class ServingEngine:
                     annealing_scale=self.negative_annealing_scale,
                     quantile=self.negative_quantile, use_flash=use_flash,
                     negative_mask=nmask, sense_weights=w, window=win)
-                nxt = sample(logits[:, -1], temps, rng,
+                last = logits[:, -1]
+                if use_pen:
+                    last = pen(last, counts, fps, pps)
+                nxt = sample(last, temps, rng,
                              top_ps if use_top_p else None,
                              top_ks if use_top_k else None,
                              ban if use_min else None, eos_id)
-                return nxt[:, None], cache, nstate, istate
+                counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(1)
+                return nxt[:, None], cache, nstate, istate, counts
 
             self._jit_steps_negative[key] = jax.jit(step,
                                                     donate_argnums=(2, 3, 4))
@@ -694,8 +736,23 @@ class ServingEngine:
         self.emitted[slot] = 0
         if self.min_tokens[slot] > 0:
             self._uses_min = True
+        fp, pp = self._meta_penalty.pop(rid, (0.0, 0.0))
+        self.freq_p[slot] = fp
+        self.pres_p[slot] = pp
+        if fp or pp:
+            self._uses_penalty = True
+        # per-slot token counts: prompt tokens + the admit-time emission
+        row = np.zeros((self.cfg.padded_vocab_size,), np.int32)
+        ids, cts = np.unique(self._prompts[rid], return_counts=True)
+        row[ids] = cts
+        self.token_counts = self.token_counts.at[slot].set(
+            jnp.asarray(row))
         if sw is not None:
             self._uses_weights = True
+        if fp or pp:
+            rowf = row.astype(np.float32)
+            last_logits = last_logits - jnp.asarray(
+                fp * rowf + pp * (rowf > 0))
         ban = (jnp.asarray([True]) if self.min_tokens[slot] > 0 else None)
         if temp > 0:
             self._rng, sub = jax.random.split(self._rng)
@@ -711,6 +768,7 @@ class ServingEngine:
         else:
             tok = int(jnp.argmax(last_logits))
         self.tokens = self.tokens.at[slot, 0].set(tok)
+        self.token_counts = self.token_counts.at[slot, tok].add(1)
         self.emitted[slot] = 1
         self.host_tokens[slot, :plen] = self._prompts[rid]
         self.host_tokens[slot, plen] = tok
@@ -822,6 +880,8 @@ class ServingEngine:
         self.negative_mask[slot] = False
         self.top_ps[slot] = 1.0
         self.top_ks[slot] = 0
+        self.freq_p[slot] = 0.0
+        self.pres_p[slot] = 0.0
         self.stop_seqs[slot] = []
         self.sched.release(slot)
 
@@ -857,8 +917,11 @@ class ServingEngine:
         # Speculative path: plain slots only, and never within k+1 rows of
         # the cache end (the verification writes k+1 rows per slot; a
         # clamped dynamic_update_slice would corrupt valid rows).
+        active_pen = any(
+            (self.freq_p[sl] or self.pres_p[sl])
+            for sl in range(self.max_slots) if self.sched.slot_active(sl))
         if (k > 0 and not self.control_mask.any()
-                and not self.negative_mask.any()
+                and not self.negative_mask.any() and not active_pen
                 and max_active_len + k + 1 <= self.max_seqlen
                 and self._stats["decode_steps"] >= self._spec_skip_until):
             window = self._window(extra=k + 1)
@@ -919,31 +982,38 @@ class ServingEngine:
             step = self._neg_step_fn(window)
             ctable = (self.control_table if self.control_table is not None
                       else jnp.ones((1, self.cfg.num_senses), jnp.float32))
-            self.tokens, self.cache, self.nstate, self.istate = step(
+            (self.tokens, self.cache, self.nstate, self.istate,
+             self.token_counts) = step(
                 self.params, self.tokens, self.cache, self.nstate,
                 self.istate, jnp.asarray(self.temps),
                 jnp.asarray(self.top_ps), jnp.asarray(self.top_ks),
-                jnp.asarray(self.emitted < self.min_tokens), sub,
+                jnp.asarray(self.emitted < self.min_tokens),
+                self.token_counts, jnp.asarray(self.freq_p),
+                jnp.asarray(self.pres_p), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask),
                 jnp.asarray(self.negative_mask), ctable,
                 self.negative_table)
         elif self._uses_control:
             step = self._ctl_step_fn(window)
-            self.tokens, self.cache, self.istate = step(
+            self.tokens, self.cache, self.istate, self.token_counts = step(
                 self.params, self.tokens, self.cache, self.istate,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
                 jnp.asarray(self.top_ks),
-                jnp.asarray(self.emitted < self.min_tokens), sub,
+                jnp.asarray(self.emitted < self.min_tokens),
+                self.token_counts, jnp.asarray(self.freq_p),
+                jnp.asarray(self.pres_p), sub,
                 jnp.asarray(self.sense_weights),
                 jnp.asarray(self.control_mask), self.control_table)
         else:
             step = self._step_fn(self._uses_weights, window)
-            self.tokens, self.cache = step(
+            self.tokens, self.cache, self.token_counts = step(
                 self.params, self.tokens, self.cache,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
                 jnp.asarray(self.top_ks),
-                jnp.asarray(self.emitted < self.min_tokens), sub,
+                jnp.asarray(self.emitted < self.min_tokens),
+                self.token_counts, jnp.asarray(self.freq_p),
+                jnp.asarray(self.pres_p), sub,
                 jnp.asarray(self.sense_weights))
         toks = np.asarray(self.tokens[:, 0])
         out = []

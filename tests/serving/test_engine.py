@@ -539,3 +539,47 @@ def test_engine_generate_sugar(setup):
                         cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
     outs = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=4)
     assert len(outs) == 2 and all(len(o) == 4 for o in outs)
+
+
+@pytest.mark.parametrize("spec_tokens", [0, 3])
+def test_engine_frequency_presence_penalties(setup, spec_tokens):
+    """Additive penalties from per-slot token counts: a penalized greedy
+    request matches a manual penalty-aware decode loop, and a huge
+    frequency penalty forbids repeats (speculation falls back while the
+    penalized slot is active)."""
+    cfg, params = setup
+    prompt = [3, 1, 4, 1]
+    fp, pp = 1.5, 0.5
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=spec_tokens)
+    rid = eng.submit(prompt, max_new_tokens=6, frequency_penalty=fp,
+                     presence_penalty=pp)
+    got = eng.run()[rid].tokens
+
+    counts = np.zeros((cfg.padded_vocab_size,), np.float64)
+    for t in prompt:
+        counts[t] += 1
+    cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+    logits, cache = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompt, jnp.int32)[None], cache,
+        use_flash=False)
+    want = []
+    for _ in range(6):
+        row = np.asarray(logits[0, -1], np.float64)
+        row = row - fp * counts - pp * (counts > 0)
+        tok = int(np.argmax(row))
+        want.append(tok)
+        counts[tok] += 1
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+            use_flash=False)
+    assert got == want, (got, want)
+
+    # huge frequency penalty: no token may ever repeat
+    rid2 = eng.submit(prompt, max_new_tokens=8, frequency_penalty=1e4)
+    got2 = eng.run()[rid2].tokens
+    seen = set(prompt)
+    for t in got2:
+        assert t not in seen, (t, got2)
+        seen.add(t)
