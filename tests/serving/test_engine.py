@@ -583,3 +583,31 @@ def test_engine_frequency_presence_penalties(setup, spec_tokens):
     for t in got2:
         assert t not in seen, (t, got2)
         seen.add(t)
+
+
+def test_engine_mixed_matrix_speculative(setup):
+    """The full knob set on a speculative engine: greedy, sampling with
+    top-k/top-p, min floors, stop sequences, penalties (which force plain
+    fallback), chunked prefill — everything completes with legal lengths."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    eng = ServingEngine(params, cfg, max_slots=3, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=3, spec_min_acceptance=0.2,
+                        prefill_chunk=8)
+    subs = []
+    for i in range(9):
+        prompt = rng.integers(0, cfg.vocab_size, rng.integers(2, 9)).tolist()
+        n = int(rng.integers(3, 7))
+        kw = [{},
+              dict(temperature=0.9, top_k=9, top_p=0.9),
+              dict(min_new_tokens=2),
+              dict(frequency_penalty=0.7),
+              dict(stop=[[int(prompt[-1])]])][i % 5]
+        subs.append((eng.submit(prompt, max_new_tokens=n, **kw), n))
+    results = eng.run()
+    for rid, n in subs:
+        assert results[rid].finished
+        assert 1 <= len(results[rid].tokens) <= n
+    st = eng.stats()
+    assert st["completed"] == 9 and st["active_slots"] == 0
