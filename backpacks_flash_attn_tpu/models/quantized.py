@@ -75,13 +75,15 @@ def quantize_gpt_params(params: Params, cfg: GPTConfig, *, bits: int = 8,
         out["layers"][norm] = jax.tree.map(
             lambda x: x.astype(jnp.float32), params["layers"][norm])
     if "moe" in params["layers"]:
-        # Switch-MoE expert FFNs ride through at activation precision: the
-        # moe layer consumes them via stacked einsums (ops/moe.py), not
-        # quant_linear, and only 1/n_experts of them stream per token —
-        # INT8 expert kernels are a possible follow-up, not a serving
-        # blocker.
-        out["layers"]["moe"] = jax.tree.map(
-            lambda x: x.astype(act_dtype), params["layers"]["moe"])
+        # Switch-MoE expert FFNs: INT8 per-(expert, out-channel) — under the
+        # dense-dispatch formulation ALL experts' weights stream from HBM
+        # every decode step, so they take the same 2x byte cut as the dense
+        # layers (the ops/moe.quantize_moe_params convert-fused einsum).
+        # Experts stay INT8 even at bits=4 (packed-int4 einsums would need
+        # the Pallas kernel path; see quantize_moe_params).
+        from ..ops import moe as moe_lib
+        out["layers"]["moe"] = moe_lib.quantize_moe_params(
+            params["layers"]["moe"], act_dtype=act_dtype)
     if "wpe" in params:
         out["wpe"] = params["wpe"].astype(act_dtype)
     return out

@@ -75,18 +75,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
-                  dropout_p: float) -> jax.Array:
-    """Counter-based dropout mask for one (block_q, block_k) tile.
+def _dropout_keep_positions(seed_ref, bh: jax.Array, q_pos: jax.Array,
+                            k_pos: jax.Array, dropout_p: float) -> jax.Array:
+    """Counter-based dropout mask from explicit GLOBAL position arrays.
 
     The TPU analogue of the reference's Philox counter offsets
     (csrc/flash_attn/fmha_api.cpp:313-318): bits are a pure function of
-    (seed, batch*head, q_pos, k_pos), so the forward and both backward
-    kernels regenerate identical masks regardless of tile layout or block
-    sizes. murmur3-finalizer hash over the position counters — a few VPU ops
-    per element, no cross-backend PRNG primitive needed."""
-    q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    (seed, batch*head, q_pos, k_pos), so any consumer — the Pallas forward,
+    both backward kernels, or an einsum-block ring step — regenerates
+    identical masks regardless of tiling or sequence layout. murmur3-
+    finalizer hash over the position counters — a few VPU ops per element,
+    no cross-backend PRNG primitive needed. All of (bh, q_pos, k_pos) may
+    be arrays; they broadcast together."""
     x = (seed_ref[0]
          ^ (q_pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
          ^ (k_pos.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
@@ -100,6 +100,15 @@ def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
         x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
     thr = jnp.uint32(min(int(round((1.0 - dropout_p) * 2**32), ), 2**32 - 1))
     return x < thr
+
+
+def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
+                  dropout_p: float) -> jax.Array:
+    """Counter-based dropout mask for one (block_q, block_k) tile (the
+    in-kernel form: positions from tile offsets + iota)."""
+    q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    return _dropout_keep_positions(seed_ref, bh, q_pos, k_pos, dropout_p)
 
 
 def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,

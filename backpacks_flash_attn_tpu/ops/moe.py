@@ -45,12 +45,53 @@ def init_switch_moe(key: jax.Array, d: int, inner: int, n_experts: int, *,
     }
 
 
+def quantize_moe_params(params: Dict, *, act_dtype=jnp.bfloat16) -> Dict:
+    """INT8 weight-only expert FFNs: per-(expert, out-channel) symmetric
+    scales (absmax over the contraction axis), biases/router at activation
+    precision. The quantized tree runs through the SAME switch_moe — the
+    einsums detect {'q','scale'} kernels and fuse the int8->bf16 convert
+    into the dot (the ops/quant.quant_linear INT8 XLA path lifted to the
+    stacked-expert shape), so expert weights stream from HBM at 1 byte/param
+    — the decode lever, since ALL experts' weights stream every step under
+    the dense dispatch formulation. Works on per-layer (E, d, h) and
+    layer-stacked (L, E, d, h) kernels alike (scan strips the L axis).
+    INT4 experts would need the packed Pallas kernel path; not worth it
+    while experts are 2/12ths of decode weight traffic."""
+    def qkernel(w):
+        wf = w.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-10)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale.astype(jnp.float32)}
+
+    return {
+        "router": params["router"].astype(jnp.float32),
+        "fc1": {"kernel": qkernel(params["fc1"]["kernel"]),
+                "bias": params["fc1"]["bias"].astype(act_dtype)},
+        "fc2": {"kernel": qkernel(params["fc2"]["kernel"]),
+                "bias": params["fc2"]["bias"].astype(act_dtype)},
+    }
+
+
+def _expert_einsum(spec: str, x: jax.Array, kern) -> jax.Array:
+    """Expert-stacked dot. Quantized kernels ({'q' int8, 'scale'
+    (E, 1, out)}) run the convert-fused INT8 einsum; the scale applies to
+    the f32 product (broadcast over the batch/capacity dims)."""
+    if isinstance(kern, dict):
+        compute = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
+        y = jnp.einsum(spec, x.astype(compute), kern["q"].astype(compute),
+                       preferred_element_type=jnp.float32)
+        return (y * kern["scale"][:, None]).astype(x.dtype)
+    return jnp.einsum(spec, x, kern)
+
+
 def switch_moe(x: jax.Array, params: Dict, *,
                capacity_factor: float = 1.25,
                activation: str = "gelu_new"
                ) -> Tuple[jax.Array, jax.Array]:
     """x (b, s, d) -> (out (b, s, d), aux_loss scalar). Top-1 routing with a
-    static per-row capacity; see module docstring."""
+    static per-row capacity; see module docstring. Accepts fp or
+    quantize_moe_params trees."""
     b, s, d = x.shape
     E = params["router"].shape[-1]
     C = max(int(math.ceil(s / E * capacity_factor)), 1)
@@ -71,9 +112,10 @@ def switch_moe(x: jax.Array, params: Dict, *,
     expert_in = jnp.einsum("bsec,bsd->ebcd", dispatch,
                            x.astype(jnp.float32)).astype(x.dtype)
     act = dense.ACTIVATIONS[activation]
-    h = jnp.einsum("ebcd,edh->ebch", expert_in, params["fc1"]["kernel"])
+    h = _expert_einsum("ebcd,edh->ebch", expert_in, params["fc1"]["kernel"])
     h = act(h + params["fc1"]["bias"][:, None, None, :])
-    expert_out = (jnp.einsum("ebch,ehd->ebcd", h, params["fc2"]["kernel"])
+    expert_out = (_expert_einsum("ebch,ehd->ebcd", h,
+                                 params["fc2"]["kernel"])
                   + params["fc2"]["bias"][:, None, None, :])
 
     combine = dispatch * gate[..., None, None]             # (b, s, E, C)

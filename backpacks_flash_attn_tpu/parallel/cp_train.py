@@ -56,11 +56,6 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
                      layout: str = "natural", model: str = "backpack"):
     assert not cfg.attn_dwconv, "attn_dwconv crosses chunk boundaries"
     use_attn_drop = train and cfg.attn_pdrop > 0.0
-    if use_attn_drop:
-        # the in-kernel counter-hash dropout is global-position-pure only on
-        # the Pallas paths (natural and zigzag rings); einsum has none
-        assert attn_impl == "flash", \
-            "attn_pdrop under CP needs attn_impl='flash'"
     eps = cfg.layer_norm_epsilon
     zigzag = layout == "zigzag"
     if layout not in ("natural", "zigzag"):
@@ -84,8 +79,17 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
     elif attn_impl == "einsum":
         eimpl = (zigzag_ring_attention_local_einsum if zigzag
                  else ring_attention_local)
-        self_attn = lambda q, k, v, sc, arng, boff: eimpl(
-            q, k, v, axis="seq", softmax_scale=sc)
+        if use_attn_drop:
+            # einsum blocks hash the same global positions as the Pallas
+            # kernel (_dropout_keep_positions), so the masks — and hence the
+            # CP loss/grads — match the single-device flash model exactly
+            self_attn = lambda q, k, v, sc, arng, boff: eimpl(
+                q, k, v, axis="seq", softmax_scale=sc,
+                dropout_p=cfg.attn_pdrop, dropout_rng=arng,
+                bh_offset=boff)
+        else:
+            self_attn = lambda q, k, v, sc, arng, boff: eimpl(
+                q, k, v, axis="seq", softmax_scale=sc)
     else:
         raise ValueError(f"unknown attn_impl: {attn_impl!r}")
     cimpl = (zigzag_ring_attention_local_einsum if zigzag

@@ -50,17 +50,42 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.flash_attention import _flash_bwd, _flash_fwd
+from ..ops.flash_attention import (_dropout_keep_positions, _flash_bwd,
+                                   _flash_fwd)
 
 NEG = -1e30
+
+
+def _einsum_seed(dropout_p, dropout_rng):
+    """Normalize an optional PRNG key to the (2,) uint32 counter-hash seed
+    (the same derivation as ring_flash_attention_local, so einsum and flash
+    inner blocks produce IDENTICAL masks from the same key)."""
+    if dropout_p <= 0.0:
+        return jnp.zeros((2,), jnp.uint32)
+    assert dropout_rng is not None, "dropout_p > 0 requires dropout_rng"
+    if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+        dropout_rng = jax.random.key_data(dropout_rng)
+    return dropout_rng.astype(jnp.uint32).reshape(-1)[:2]
 
 
 def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
                          axis: str = "seq", causal: bool = True,
                          softmax_scale: Optional[float] = None,
-                         remat: bool = True) -> jax.Array:
+                         remat: bool = True,
+                         dropout_p: float = 0.0,
+                         dropout_rng: Optional[jax.Array] = None,
+                         bh_offset=0) -> jax.Array:
     """Per-device body (call inside shard_map): q, k, v (b, c, h, d) local
-    sequence chunks -> (b, c, h, d) local outputs of GLOBAL attention."""
+    sequence chunks -> (b, c, h, d) local outputs of GLOBAL attention.
+
+    dropout_p/dropout_rng: attention-probability dropout via the flash
+    kernel's counter-hash over GLOBAL (batch-row, q_pos, k_pos) — the masks
+    are a pure function of global coordinates, so they match the Pallas
+    kernel's (and are mesh-size/layout independent). dropout_rng must be
+    replicated across the ring axis; bh_offset globalizes the batch-row
+    stream under data sharding. Applied to the un-normalized probs with l
+    accumulating the pre-dropout sum (reference semantics: dropout after
+    softmax, fmha_fprop_kernel_1xN.h)."""
     S = lax.axis_size(axis)
     i = lax.axis_index(axis)
     b, c, h, d = q.shape
@@ -70,6 +95,9 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
     perm = [(r, (r + 1) % S) for r in range(S)]
     qpos = i * c + jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    seed = _einsum_seed(dropout_p, dropout_rng)
+    bh = ((jnp.arange(b) + jnp.asarray(bh_offset, jnp.int32))[:, None] * h
+          + jnp.arange(h)[None, :])[:, :, None, None]      # (b, h, 1, 1)
 
     def step(carry, r):
         k_r, v_r, m_acc, l_acc, o_acc = carry
@@ -84,6 +112,11 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array, *,
                       0.0)
         corr = jnp.exp(m_acc - m_new)
         l_new = l_acc * corr + jnp.sum(p, axis=-1)
+        if dropout_p > 0.0:
+            keep = _dropout_keep_positions(
+                seed, bh, (i * c + jnp.arange(c))[:, None],
+                (j * c + jnp.arange(c))[None, :], dropout_p)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v_r.dtype), v_r,
                         preferred_element_type=jnp.float32)
         o_new = o_acc * corr[..., None] + pv
@@ -514,7 +547,10 @@ def make_zigzag_ring_attention(mesh: Mesh, *, axis: str = "seq",
 def zigzag_ring_attention_local_einsum(q: jax.Array, k: jax.Array,
                                        v: jax.Array, *, axis: str = "seq",
                                        softmax_scale: Optional[float] = None,
-                                       remat: bool = True) -> jax.Array:
+                                       remat: bool = True,
+                                       dropout_p: float = 0.0,
+                                       dropout_rng: Optional[jax.Array] = None,
+                                       bh_offset=0) -> jax.Array:
     """Einsum inner-block zigzag ring (causal): local shards are ZIGZAG
     ordered (chunks i and 2S-1-i of width c2 = s/(2S), concatenated). Unlike
     the Pallas variant's 4 sub-pair kernel calls, the einsum block covers
@@ -522,7 +558,9 @@ def zigzag_ring_attention_local_einsum(q: jax.Array, k: jax.Array,
     vectors, and the mask density (hence useful MXU work) is equal on every
     device at every step, which is the whole point of the layout. Supports
     distinct q/k vs value widths (the Backpack contextualization shape), so
-    it is the zigzag counterpart of ring_attention_local."""
+    it is the zigzag counterpart of ring_attention_local. Dropout hashes the
+    same GLOBAL position vectors (see ring_attention_local), so masks are
+    layout-independent: zigzag == natural == single-device."""
     S = lax.axis_size(axis)
     i = lax.axis_index(axis)
     b, c, h, d = q.shape
@@ -532,6 +570,9 @@ def zigzag_ring_attention_local_einsum(q: jax.Array, k: jax.Array,
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
     perm = [(r, (r + 1) % S) for r in range(S)]
     ar = jnp.arange(c2)
+    seed = _einsum_seed(dropout_p, dropout_rng)
+    bh = ((jnp.arange(b) + jnp.asarray(bh_offset, jnp.int32))[:, None] * h
+          + jnp.arange(h)[None, :])[:, :, None, None]      # (b, h, 1, 1)
 
     def posvec(idx):
         return jnp.concatenate([idx * c2 + ar, (2 * S - 1 - idx) * c2 + ar])
@@ -551,6 +592,10 @@ def zigzag_ring_attention_local_einsum(q: jax.Array, k: jax.Array,
                       0.0)
         corr = jnp.exp(m_acc - m_new)
         l_new = l_acc * corr + jnp.sum(p, axis=-1)
+        if dropout_p > 0.0:
+            keep = _dropout_keep_positions(
+                seed, bh, qpos[:, None], kpos[None, :], dropout_p)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v_r.dtype), v_r,
                         preferred_element_type=jnp.float32)
         o_new = o_acc * corr[..., None] + pv

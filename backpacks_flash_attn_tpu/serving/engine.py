@@ -39,6 +39,11 @@ class RequestResult:
     request_id: int
     tokens: List[int]
     finished: bool
+    # per-emitted-token log p(token) under the temperature-1 distribution of
+    # the final adjusted logits (after penalties and eos suppression, before
+    # temperature/top-p/top-k) — the vLLM-style "raw" logprob. None unless
+    # the request was submitted with logprobs=True.
+    logprobs: Optional[List[float]] = None
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -198,6 +203,11 @@ class ServingEngine:
         self.emitted = np.zeros((max_slots,), np.int64)
         self._uses_min = False
         self._meta_penalty = {}
+        self._meta_logprobs = {}
+        self.logprob_mask = np.zeros((max_slots,), bool)
+        self._slot_logprobs: List[List[float]] = [[] for _ in
+                                                  range(max_slots)]
+        self._uses_logprobs = False
         self.freq_p = np.zeros((max_slots,), np.float32)
         self.pres_p = np.zeros((max_slots,), np.float32)
         self.token_counts = jnp.zeros((max_slots, cfg.padded_vocab_size),
@@ -238,7 +248,8 @@ class ServingEngine:
                frequency_penalty: float = 0.0, presence_penalty: float = 0.0,
                sense_weights: Optional[np.ndarray] = None,
                control: bool = False, negative: bool = False,
-               stop: Optional[List[List[int]]] = None) -> int:
+               stop: Optional[List[List[int]]] = None,
+               logprobs: bool = False) -> int:
         """Queue a request. Returns its id, or raises if the prompt can never
         fit the cache. control=True decodes under the engine's annealed
         control_table (topic control, reference intervened_models.py:58);
@@ -252,7 +263,9 @@ class ServingEngine:
         frequency_penalty / presence_penalty: OpenAI-style additive logit
         penalties from per-slot token counts (prompt + emitted); while any
         penalized slot is active, speculation falls back to plain stepping
-        (penalty-aware logits change the greedy argmax mid-draft)."""
+        (penalty-aware logits change the greedy argmax mid-draft).
+        logprobs=True records log p(token) for every emitted token (see
+        RequestResult.logprobs); works on every path incl. speculative."""
         if control and self.control_table is None:
             raise ValueError("control=True needs a control_table on the "
                              "engine")
@@ -285,6 +298,8 @@ class ServingEngine:
         if frequency_penalty or presence_penalty:
             self._meta_penalty[rid] = (float(frequency_penalty),
                                        float(presence_penalty))
+        if logprobs:
+            self._meta_logprobs[rid] = True
         return rid
 
     # ------------------------------------------------------------ internals
@@ -299,11 +314,13 @@ class ServingEngine:
 
     @staticmethod
     def _sample_tokens(last, temps, rng, top_ps=None, top_ks=None,
-                       eos_ban=None, eos_id=0):
+                       eos_ban=None, eos_id=0, return_lp=False):
         """Per-slot greedy/temperature(+nucleus/top-k) sampling (one batched
         op). top_ps/top_ks None compile the unrestricted path (no per-step
         vocab sort). eos_ban: (b,) bool — rows still under min_new_tokens
-        have the eos column suppressed before ANY selection."""
+        have the eos column suppressed before ANY selection. return_lp
+        (static) additionally returns the chosen token's log-probability
+        under the temperature-1 post-ban distribution."""
         if eos_ban is not None:
             col = jnp.arange(last.shape[-1])[None, :] == eos_id
             last = jnp.where(eos_ban[:, None] & col, -jnp.inf, last)
@@ -327,7 +344,12 @@ class ServingEngine:
                 cutoff = jnp.maximum(cutoff, kth)
             logits = jnp.where(logits < cutoff, -jnp.inf, logits)
         sampled = jax.random.categorical(rng, logits, axis=-1)
-        return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+        nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+        if not return_lp:
+            return nxt
+        lp = jnp.take_along_axis(jax.nn.log_softmax(last, axis=-1),
+                                 nxt[:, None], axis=-1)[:, 0]
+        return nxt, lp
 
     def _prefill_fn(self, bucket: int, controlled: bool = False):
         key = (bucket, controlled)
@@ -381,7 +403,7 @@ class ServingEngine:
 
     def _step_fn(self, weighted: bool, window: int):
         key = (weighted, window, self._uses_top_p, self._uses_top_k,
-               self._uses_min, self._uses_penalty)
+               self._uses_min, self._uses_penalty, self._uses_logprobs)
         if key not in self._jit_steps:
             cfg, use_flash = self.cfg, self.use_flash
             win = None if window >= self.max_seqlen else window
@@ -391,6 +413,7 @@ class ServingEngine:
 
             use_min = self._uses_min
             use_pen = self._uses_penalty
+            use_lp = self._uses_logprobs
             eos_id = self.eos_id
             pen = self._apply_penalties
 
@@ -406,9 +429,11 @@ class ServingEngine:
                 nxt = sample(last, temps, rng,
                              top_ps if use_top_p else None,
                              top_ks if use_top_k else None,
-                             ban if use_min else None, eos_id)
+                             ban if use_min else None, eos_id,
+                             return_lp=use_lp)
+                nxt, lp = nxt if use_lp else (nxt, jnp.zeros_like(temps))
                 counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(1)
-                return nxt[:, None], cache, counts
+                return nxt[:, None], cache, counts, lp
 
             self._jit_steps[key] = jax.jit(step, donate_argnums=(2,))
         return self._jit_steps[key]
@@ -423,7 +448,7 @@ class ServingEngine:
         length counters are rolled back to old + acc + 1 so rejected rows
         are masked out and overwritten by the next dispatch."""
         key = (window, self._uses_weights, self._uses_top_p,
-               self._uses_top_k, self._uses_min)
+               self._uses_top_k, self._uses_min, self._uses_logprobs)
         if key not in self._jit_spec_steps:
             cfg, use_flash = self.cfg, self.use_flash
             weighted = self._uses_weights
@@ -434,6 +459,7 @@ class ServingEngine:
             k = self.spec_tokens
 
             use_min = self._uses_min
+            use_lp = self._uses_logprobs
             eos_id = self.eos_id
 
             def step(params, toks, drafts, cache, temps, top_ps, top_ks,
@@ -473,7 +499,16 @@ class ServingEngine:
                 new_len = old_len + n_emit
                 cache = cache._replace(
                     length=new_len, gpt=cache.gpt._replace(length=new_len))
-                return emitted, n_emit, head[:, None], cache
+                if use_lp:
+                    # position t's logits (already eos-banned above) score
+                    # the token emitted at position t; rows past n_emit are
+                    # never read by the host
+                    lp = jnp.take_along_axis(
+                        jax.nn.log_softmax(logits, axis=-1),
+                        emitted[..., None], axis=-1)[..., 0]   # (b, 1+k)
+                else:
+                    lp = jnp.zeros_like(emitted, jnp.float32)
+                return emitted, n_emit, head[:, None], cache, lp
 
             self._jit_spec_steps[key] = jax.jit(step, donate_argnums=(3,))
         return self._jit_spec_steps[key]
@@ -491,7 +526,7 @@ class ServingEngine:
 
     def _ctl_step_fn(self, window: int):
         key = (window, self._uses_top_p, self._uses_top_k, self._uses_min,
-               self._uses_penalty)
+               self._uses_penalty, self._uses_logprobs)
         if key not in self._jit_steps_controlled:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -503,6 +538,7 @@ class ServingEngine:
 
             use_min = self._uses_min
             use_pen = self._uses_penalty
+            use_lp = self._uses_logprobs
             eos_id = self.eos_id
             pen = self._apply_penalties
 
@@ -522,9 +558,11 @@ class ServingEngine:
                 nxt = sample(last, temps, rng,
                              top_ps if use_top_p else None,
                              top_ks if use_top_k else None,
-                             ban if use_min else None, eos_id)
+                             ban if use_min else None, eos_id,
+                             return_lp=use_lp)
+                nxt, lp = nxt if use_lp else (nxt, jnp.zeros_like(temps))
                 counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(1)
-                return nxt[:, None], cache, istate, counts
+                return nxt[:, None], cache, istate, counts, lp
 
             self._jit_steps_controlled[key] = jax.jit(
                 step, donate_argnums=(2, 3))
@@ -562,7 +600,8 @@ class ServingEngine:
         carries per-request sense weights and (if present) annealed control
         slots, so all three intervention modes share the batch."""
         key = (window, self._uses_control, self._uses_top_p,
-               self._uses_top_k, self._uses_min, self._uses_penalty)
+               self._uses_top_k, self._uses_min, self._uses_penalty,
+               self._uses_logprobs)
         if key not in self._jit_steps_negative:
             cfg, use_flash = self.cfg, self.use_flash
             iv = self._iv
@@ -575,6 +614,7 @@ class ServingEngine:
 
             use_min = self._uses_min
             use_pen = self._uses_penalty
+            use_lp = self._uses_logprobs
             eos_id = self.eos_id
             pen = self._apply_penalties
 
@@ -601,9 +641,11 @@ class ServingEngine:
                 nxt = sample(last, temps, rng,
                              top_ps if use_top_p else None,
                              top_ks if use_top_k else None,
-                             ban if use_min else None, eos_id)
+                             ban if use_min else None, eos_id,
+                             return_lp=use_lp)
+                nxt, lp = nxt if use_lp else (nxt, jnp.zeros_like(temps))
                 counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(1)
-                return nxt[:, None], cache, nstate, istate, counts
+                return nxt[:, None], cache, nstate, istate, counts, lp
 
             self._jit_steps_negative[key] = jax.jit(step,
                                                     donate_argnums=(2, 3, 4))
@@ -741,6 +783,11 @@ class ServingEngine:
         self.pres_p[slot] = pp
         if fp or pp:
             self._uses_penalty = True
+        wants_lp = self._meta_logprobs.pop(rid, False)
+        self.logprob_mask[slot] = wants_lp
+        self._slot_logprobs[slot] = []
+        if wants_lp:
+            self._uses_logprobs = True
         # per-slot token counts: prompt tokens + the admit-time emission
         row = np.zeros((self.cfg.padded_vocab_size,), np.int32)
         ids, cts = np.unique(self._prompts[rid], return_counts=True)
@@ -767,6 +814,15 @@ class ServingEngine:
                 jax.random.PRNGKey(0), None, None, ban, self.eos_id)[0])
         else:
             tok = int(jnp.argmax(last_logits))
+        if wants_lp:
+            # admit-time emission: same temperature-1 post-ban semantics as
+            # the step paths, computed host-side (one row, once per request)
+            row = np.asarray(last_logits, np.float64).copy()
+            if ban is not None:
+                row[self.eos_id] = -np.inf
+            row -= row.max()
+            self._slot_logprobs[slot].append(
+                float(row[tok] - np.log(np.exp(row).sum())))
         self.tokens = self.tokens.at[slot, 0].set(tok)
         self.token_counts = self.token_counts.at[slot, tok].add(1)
         self.emitted[slot] = 1
@@ -874,8 +930,15 @@ class ServingEngine:
         tokens = self.sched.slot_tokens(slot)
         if trunc:
             tokens = tokens[:-trunc]
+        lps = None
+        if self.logprob_mask[slot]:
+            lps = self._slot_logprobs[slot]
+            if trunc:
+                lps = lps[:-trunc]
+            self.logprob_mask[slot] = False
+            self._slot_logprobs[slot] = []
         self._results[rid] = RequestResult(
-            request_id=rid, tokens=tokens, finished=True)
+            request_id=rid, tokens=tokens, finished=True, logprobs=lps)
         self.control_mask[slot] = False
         self.negative_mask[slot] = False
         self.top_ps[slot] = 1.0
@@ -928,7 +991,7 @@ class ServingEngine:
             self._window_hist[window] += 1
             drafts = self._build_drafts()
             step = self._spec_step_fn(window)
-            emitted, n_emit, self.tokens, self.cache = step(
+            emitted, n_emit, self.tokens, self.cache, lp_arr = step(
                 self.params, self.tokens, jnp.asarray(drafts), self.cache,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
                 jnp.asarray(self.top_ks),
@@ -937,6 +1000,7 @@ class ServingEngine:
                 jnp.asarray(self.sense_weights))
             em = np.asarray(emitted)
             ne = np.asarray(n_emit)
+            lps = np.asarray(lp_arr) if self._uses_logprobs else None
             out = []
             step_prop = step_acc = 0
             for slot in range(self.max_slots):
@@ -954,6 +1018,8 @@ class ServingEngine:
                     self.host_tokens[slot, self.hist_len[slot]] = tok
                     self.hist_len[slot] += 1
                     self.emitted[slot] += 1
+                    if self.logprob_mask[slot]:
+                        self._slot_logprobs[slot].append(float(lps[slot, t]))
                     finished = self.sched.on_token(slot, tok)
                     hit = (0 if finished or not self.stop_seqs[slot]
                            else self._stop_hit(slot))
@@ -983,7 +1049,7 @@ class ServingEngine:
             ctable = (self.control_table if self.control_table is not None
                       else jnp.ones((1, self.cfg.num_senses), jnp.float32))
             (self.tokens, self.cache, self.nstate, self.istate,
-             self.token_counts) = step(
+             self.token_counts, lp_arr) = step(
                 self.params, self.tokens, self.cache, self.nstate,
                 self.istate, jnp.asarray(self.temps),
                 jnp.asarray(self.top_ps), jnp.asarray(self.top_ks),
@@ -996,7 +1062,8 @@ class ServingEngine:
                 self.negative_table)
         elif self._uses_control:
             step = self._ctl_step_fn(window)
-            self.tokens, self.cache, self.istate, self.token_counts = step(
+            (self.tokens, self.cache, self.istate, self.token_counts,
+             lp_arr) = step(
                 self.params, self.tokens, self.cache, self.istate,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
                 jnp.asarray(self.top_ks),
@@ -1007,7 +1074,7 @@ class ServingEngine:
                 jnp.asarray(self.control_mask), self.control_table)
         else:
             step = self._step_fn(self._uses_weights, window)
-            self.tokens, self.cache, self.token_counts = step(
+            self.tokens, self.cache, self.token_counts, lp_arr = step(
                 self.params, self.tokens, self.cache,
                 jnp.asarray(self.temps), jnp.asarray(self.top_ps),
                 jnp.asarray(self.top_ks),
@@ -1016,6 +1083,7 @@ class ServingEngine:
                 jnp.asarray(self.pres_p), sub,
                 jnp.asarray(self.sense_weights))
         toks = np.asarray(self.tokens[:, 0])
+        lps = np.asarray(lp_arr) if self._uses_logprobs else None
         out = []
         for slot in range(self.max_slots):
             if not self.sched.slot_active(slot):
@@ -1024,6 +1092,8 @@ class ServingEngine:
             self.host_tokens[slot, self.hist_len[slot]] = int(toks[slot])
             self.hist_len[slot] += 1
             self.emitted[slot] += 1
+            if self.logprob_mask[slot]:
+                self._slot_logprobs[slot].append(float(lps[slot]))
             rid = self.sched.slot_request(slot)
             finished = self.sched.on_token(slot, int(toks[slot]))
             if not finished and self.stop_seqs[slot]:

@@ -42,7 +42,15 @@ def _interpret():
 def _reduce_kernel(c_ref, x_ref, o_ref, *, unpack: bool):
     # c is the scan carry: making it a kernel OPERAND keeps the pallas call
     # loop-variant, so XLA cannot hoist the (otherwise invariant) HBM read
-    # out of the timing loop
+    # out of the timing loop. The output is ONE (8, 128) block shared by all
+    # grid steps (TPU grids run sequentially) — per-block (1, 1) outputs
+    # violate Mosaic's (8, 128) min-tile rule on real hardware.
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
     c = c_ref[0]
     x = x_ref[...]
     if unpack:
@@ -53,14 +61,15 @@ def _reduce_kernel(c_ref, x_ref, o_ref, *, unpack: bool):
             lane = jax.lax.shift_right_arithmetic(
                 jax.lax.shift_left(x, jnp.int32(24 - 8 * u)), jnp.int32(24))
             acc = acc + lane
-        o_ref[0, 0] = jnp.sum(acc.astype(jnp.float32)) + c
+        s = jnp.sum(acc.astype(jnp.float32)) + c
     else:
-        o_ref[0, 0] = jnp.sum(x.astype(jnp.float32)) + c
+        s = jnp.sum(x.astype(jnp.float32)) + c
+    o_ref[...] += jnp.full(o_ref.shape, s, jnp.float32)
 
 
 def make_stream(shape, dtype, n_blocks, unpack=False):
-    """Sum a (n_blocks, *shape) buffer one block per program; returns
-    (n_blocks, 1) partial sums (kept tiny so output traffic is noise)."""
+    """Sum a (n_blocks, *shape) buffer one block per program; returns an
+    (8, 128) accumulator block (kept tiny so output traffic is noise)."""
     kernel = functools.partial(_reduce_kernel, unpack=unpack)
 
     def run(x, c):
@@ -69,8 +78,8 @@ def make_stream(shape, dtype, n_blocks, unpack=False):
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec((1,) + shape, lambda i: (i, 0, 0))],
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
             interpret=_interpret(),
         )(c.reshape(1), x)
 

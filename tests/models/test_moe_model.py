@@ -160,9 +160,9 @@ def test_moe_backpack_serves():
 
 
 def test_moe_quantized_serving():
-    """INT8-quantized MoE Backpack (expert FFNs pass through at activation
-    precision) serves under the engine with an int8-free f32 cache on CPU
-    and finite logits."""
+    """INT8-quantized MoE Backpack (expert FFNs INT8 via
+    quantize_moe_params' convert-fused einsums) serves under the engine with
+    an int8-free f32 cache on CPU and finite logits."""
     from backpacks_flash_attn_tpu.models import quantized as qz
     from backpacks_flash_attn_tpu.serving.engine import ServingEngine
     cfg = BackpackConfig(vocab_size=128, n_positions=32, n_embd=32, n_head=2,

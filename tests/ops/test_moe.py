@@ -102,3 +102,36 @@ def test_expert_parallel_sharding_equivalence(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
                                rtol=2e-5)
     assert float(aux_g) == pytest.approx(float(aux_w), rel=1e-5)
+
+
+def test_quantized_experts_match_fp(setup):
+    """quantize_moe_params (INT8 per-(expert, out-channel) kernels) runs
+    through the SAME switch_moe and matches the fp layer within int8
+    round-off; routing (which stays fp32) is identical."""
+    from backpacks_flash_attn_tpu.ops.moe import quantize_moe_params
+    params, x, *_ = setup
+    qparams = quantize_moe_params(params, act_dtype=jnp.float32)
+    assert qparams["fc1"]["kernel"]["q"].dtype == jnp.int8
+    assert qparams["fc2"]["kernel"]["q"].dtype == jnp.int8
+    out_fp, aux_fp = switch_moe(x, params, capacity_factor=8.0)
+    out_q, aux_q = switch_moe(x, qparams, capacity_factor=8.0)
+    assert float(aux_q) == pytest.approx(float(aux_fp), rel=1e-5)
+    err = float(jnp.max(jnp.abs(out_q - out_fp)))
+    ref = float(jnp.max(jnp.abs(out_fp)))
+    assert err < 0.03 * max(ref, 1.0), (err, ref)
+
+
+def test_quantized_experts_stacked_layers(setup):
+    """Layer-stacked (L, E, d, h) kernels quantize with per-layer scales and
+    slice correctly when a scan strips the L axis."""
+    from backpacks_flash_attn_tpu.ops.moe import quantize_moe_params
+    params, x, *_ = setup
+    stacked = jax.tree.map(lambda a: jnp.stack([a, a * 0.5]), params)
+    qstack = quantize_moe_params(stacked, act_dtype=jnp.float32)
+    assert qstack["fc1"]["kernel"]["q"].shape[0] == 2
+    layer0 = jax.tree.map(lambda a: a[0], qstack)
+    q0 = quantize_moe_params(params, act_dtype=jnp.float32)
+    out_a, _ = switch_moe(x, layer0, capacity_factor=8.0)
+    out_b, _ = switch_moe(x, q0, capacity_factor=8.0)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-6)

@@ -209,11 +209,14 @@ def test_cp_zigzag_rotary_variant():
     assert got == pytest.approx(want, rel=2e-5), (got, want)
 
 
-def test_cp_attention_dropout_matches_single_device():
-    """attn_pdrop under CP (flash ring, global-position dropout hash): with
-    the per-token dropout sites off, the CP train-mode loss and gradients
+@pytest.mark.parametrize("attn_impl", ["flash", "einsum"])
+def test_cp_attention_dropout_matches_single_device(attn_impl):
+    """attn_pdrop under CP (global-position dropout hash): with the
+    per-token dropout sites off, the CP train-mode loss and gradients
     EXACTLY match single-device backpack_forward(train=True) with the same
-    rng — sharding does not change the dropout masks."""
+    rng — sharding does not change the dropout masks. Both inner blocks:
+    the Pallas flash ring hashes in-kernel; the einsum ring hashes the same
+    positions via _dropout_keep_positions, so its masks are identical."""
     cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
                          n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
                          embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.35)
@@ -221,7 +224,7 @@ def test_cp_attention_dropout_matches_single_device():
     ids = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0, 256)
     rng = jax.random.PRNGKey(9)
     mesh = _mesh(2, 4)
-    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl="flash")
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl=attn_impl)
 
     def oracle(p):
         logits = bp.backpack_forward(p, cfg, ids[:, :-1], train=True,
@@ -248,9 +251,11 @@ def test_cp_attention_dropout_matches_single_device():
             atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
 
 
-def test_cp_zigzag_attention_dropout_matches_single_device():
+@pytest.mark.parametrize("attn_impl", ["flash", "einsum"])
+def test_cp_zigzag_attention_dropout_matches_single_device(attn_impl):
     """The dropout hash keys on GLOBAL positions, so even the zigzag layout
-    reproduces the single-device attention-dropout masks exactly."""
+    reproduces the single-device attention-dropout masks exactly — with
+    either inner block."""
     cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
                          n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
                          embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.35)
@@ -258,7 +263,7 @@ def test_cp_zigzag_attention_dropout_matches_single_device():
     ids = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0, 256)
     rng = jax.random.PRNGKey(9)
     mesh = _mesh(2, 2)
-    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl="flash",
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl=attn_impl,
                                  layout="zigzag")
 
     def oracle(p):

@@ -611,3 +611,60 @@ def test_engine_mixed_matrix_speculative(setup):
         assert 1 <= len(results[rid].tokens) <= n
     st = eng.stats()
     assert st["completed"] == 9 and st["active_slots"] == 0
+
+
+@pytest.mark.parametrize("spec_tokens", [0, 3])
+def test_engine_per_token_logprobs(setup, spec_tokens):
+    """logprobs=True records log p(token) for every emitted token under the
+    temperature-1 distribution; verified against a teacher-forced oracle on
+    both the plain and the speculative stepping paths. Requests without the
+    flag get logprobs=None while sharing the batch."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist() for n in (4, 7)]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=spec_tokens)
+    r_lp = eng.submit(prompts[0], max_new_tokens=5, logprobs=True)
+    r_plain = eng.submit(prompts[1], max_new_tokens=5)
+    results = eng.run()
+    assert results[r_plain].logprobs is None
+    got = results[r_lp]
+    assert got.logprobs is not None
+    assert len(got.logprobs) == len(got.tokens) == 5
+    # teacher-force the engine's tokens through the oracle; each recorded
+    # logprob must equal log_softmax(oracle logits)[token]
+    cache = bp.init_backpack_cache(cfg, 1, 32, dtype=jnp.float32)
+    logits, cache = bp.backpack_forward_with_cache(
+        params, cfg, jnp.asarray(prompts[0], jnp.int32)[None], cache,
+        use_flash=False)
+    for t, (tok, lp) in enumerate(zip(got.tokens, got.logprobs)):
+        row = np.asarray(logits[0, -1], np.float64)
+        row = row - row.max()
+        want = row[tok] - np.log(np.exp(row).sum())
+        assert abs(lp - want) < 5e-4, (t, tok, lp, want)
+        logits, cache = bp.backpack_forward_with_cache(
+            params, cfg, jnp.asarray([[tok]], jnp.int32), cache,
+            use_flash=False)
+
+
+def test_engine_logprobs_with_sampling_and_stop(setup):
+    """Sampled requests record logprobs too (temperature-1 semantics), and a
+    stop-sequence hit truncates the logprob list with the tokens."""
+    cfg, params = setup
+    prompt = [3, 1, 4, 1]
+    want = _direct_greedy(cfg, params, prompt, 6)
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=32,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+    # sampling: list is present, finite, right length
+    r0 = eng.submit(prompt, max_new_tokens=6, temperature=0.8, top_p=0.9,
+                    logprobs=True)
+    res0 = eng.run()[r0]
+    assert len(res0.logprobs) == len(res0.tokens) == 6
+    assert all(np.isfinite(lp) and lp <= 0.0 for lp in res0.logprobs)
+    # stop sequence: the matched tokens are excluded from BOTH lists
+    stop = [want[2], want[3]]
+    r1 = eng.submit(prompt, max_new_tokens=6, stop=[stop], logprobs=True)
+    res1 = eng.run()[r1]
+    assert res1.tokens == want[:2]
+    assert len(res1.logprobs) == 2
