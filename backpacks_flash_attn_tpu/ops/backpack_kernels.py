@@ -84,7 +84,7 @@ def _online_softmax_head(q, k_ref, c_ref, qi, block_q, block_k, kv_len, cdt):
     def body(j, carry):
         o_acc, m_prev, l_prev = carry
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
-        c = c_ref[0, pl.ds(j * block_k, block_k), 0]
+        c = c_ref[0, 0, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = _tile_mask(qi * block_q, j * block_k, block_q, block_k, kv_len)
@@ -159,7 +159,7 @@ def _fused_ctx_dq_kernel(q_ref, k_ref, c_ref, do_ref, lse_ref, delta_ref,
 
     def body(j, dq_acc):
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
-        c = c_ref[0, pl.ds(j * block_k, block_k), 0].astype(cdt)
+        c = c_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = _tile_mask(qi * block_q, j * block_k, block_q, block_k, kv_len)
@@ -186,7 +186,7 @@ def _fused_ctx_dkc_kernel(q_ref, k_ref, c_ref, do_ref, lse_ref, delta_ref,
     ki = pl.program_id(2)
     cdt = _compute_dtype(q_ref.dtype)
     k = k_ref[0, 0].astype(cdt)            # (block_k, dk)
-    c = c_ref[0, :, 0].astype(cdt)         # (block_k, d)
+    c = c_ref[0, 0].astype(cdt)            # (block_k, d)
     i0 = (ki * block_k) // block_q
 
     def body(i, carry):
@@ -218,14 +218,20 @@ def _fused_ctx_dkc_kernel(q_ref, k_ref, c_ref, do_ref, lse_ref, delta_ref,
         (jnp.zeros((block_k, q_ref.shape[-1]), jnp.float32),
          jnp.zeros((block_k, c_ref.shape[-1]), jnp.float32)))
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dc_ref[0, :, 0] = dc.astype(dc_ref.dtype)
+    dc_ref[0, 0] = dc.astype(dc_ref.dtype)
 
 
 # ------------------------------------------------------------------ launch
 
 def _prep(q, k, content, scale, block_q, block_k):
     """Common padding/layout: q,k (b, s, nv, dnv) -> (b, nv, s_pad, dk_pad),
-    content (b, s, nv, d) -> (b, s_pad, nv, d_pad); scale folded into q."""
+    content (b, s, nv, d) -> (b, nv, s_pad, d_pad); scale folded into q.
+
+    Everything is head-major (b, nv, s, d): Mosaic requires the LAST TWO
+    block dims to be (8, 128)-divisible or full-size, so the size-1 blocked
+    head axis must sit in a leading position (a (1, s, 1, d) block over a
+    (b, s, nv, d) array fails hardware lowering; only interpret mode
+    tolerated it)."""
     b, s, nv, dnv = q.shape
     d = content.shape[-1]
     block_q = min(block_q, _round_up(s, 128))
@@ -237,9 +243,10 @@ def _prep(q, k, content, scale, block_q, block_k):
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qt = jnp.transpose(qs, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
+    ct = jnp.transpose(content, (0, 2, 1, 3))
     qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_pad - s), (0, dk_pad - dnv)))
     kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_pad - s), (0, dk_pad - dnv)))
-    cp = jnp.pad(content, ((0, 0), (0, sk_pad - s), (0, 0), (0, d_pad - d)))
+    cp = jnp.pad(ct, ((0, 0), (0, 0), (0, sk_pad - s), (0, d_pad - d)))
     return qt, kt, cp, block_q, block_k, sq_pad, sk_pad, dk_pad, d_pad
 
 
@@ -258,8 +265,8 @@ def _fused_ctx_infer(q, k, content, scale, block_q, block_k):
                          lambda bi, qi, hi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, dk_pad),
                          lambda bi, qi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, sk_pad, 1, d_pad),
-                         lambda bi, qi, hi: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, 1, sk_pad, d_pad),
+                         lambda bi, qi, hi: (bi, hi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d_pad),
                                lambda bi, qi, hi: (bi, qi, 0)),
@@ -287,8 +294,8 @@ def _fused_ctx_fwd(q, k, content, scale, block_q, block_k):
                          lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, dk_pad),
                          lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, sk_pad, 1, d_pad),
-                         lambda bi, hi, qi: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, 1, sk_pad, d_pad),
+                         lambda bi, hi, qi: (bi, hi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d_pad),
@@ -331,8 +338,8 @@ def _fused_ctx_bwd(q, k, content, o_heads, lse, g, scale, block_q, block_k):
                          lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, dk_pad),
                          lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, sk_pad, 1, d_pad),
-                         lambda bi, hi, qi: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, 1, sk_pad, d_pad),
+                         lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, block_q, d_pad),
                          lambda bi, hi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
@@ -354,8 +361,8 @@ def _fused_ctx_bwd(q, k, content, o_heads, lse, g, scale, block_q, block_k):
                          lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, block_k, dk_pad),
                          lambda bi, hi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, block_k, 1, d_pad),
-                         lambda bi, hi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, 1, block_k, d_pad),
+                         lambda bi, hi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, sq_pad, d_pad),
                          lambda bi, hi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, 1, sq_pad, 1),
@@ -366,12 +373,12 @@ def _fused_ctx_bwd(q, k, content, o_heads, lse, g, scale, block_q, block_k):
         out_specs=[
             pl.BlockSpec((1, 1, block_k, dk_pad),
                          lambda bi, hi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, block_k, 1, d_pad),
-                         lambda bi, hi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, 1, block_k, d_pad),
+                         lambda bi, hi, ki: (bi, hi, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nv, sk_pad, dk_pad), k.dtype),
-            jax.ShapeDtypeStruct((b, sk_pad, nv, d_pad), content.dtype),
+            jax.ShapeDtypeStruct((b, nv, sk_pad, d_pad), content.dtype),
         ],
         interpret=_interpret(),
     )(qt, kt, cp, gp, lse_p, delta)
@@ -380,7 +387,7 @@ def _fused_ctx_bwd(q, k, content, o_heads, lse, g, scale, block_q, block_k):
     dq = jnp.transpose(dq[:, :, :s, :dnv], (0, 2, 1, 3))
     dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
     dk_out = jnp.transpose(dk[:, :, :s, :dnv], (0, 2, 1, 3))
-    return dq, dk_out, dc[:, :s, :, :d]
+    return dq, dk_out, jnp.transpose(dc[:, :, :s, :d], (0, 2, 1, 3))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -16,7 +16,15 @@ best-of reps, np.asarray fetches. Run from /root/repo with NO PYTHONPATH:
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+# Sentinel kill switch (see bench_train.py): skip cleanly instead of being
+# killed mid-flight, which wedges the axon tunnel.
+if os.path.exists("/tmp/SKIP_DECODE_BENCH"):
+    print("SKIP_DECODE_BENCH sentinel present — skipping", file=sys.stderr)
+    sys.exit(0)
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,17 @@ reps, np.asarray fetch. Run from /root/repo with NO PYTHONPATH:
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+# Sentinel kill switch: the bench queue runs as one sequential background
+# script whose steps must never be SIGKILLed mid-flight (a killed TPU
+# process wedges the axon tunnel for 25min-2.5h — NOTES.md). touch(1) this
+# file to make QUEUED bench_train invocations exit cleanly instead.
+if os.path.exists("/tmp/SKIP_TRAIN_BENCH"):
+    print("SKIP_TRAIN_BENCH sentinel present — skipping", file=sys.stderr)
+    sys.exit(0)
 
 import jax
 import jax.numpy as jnp
