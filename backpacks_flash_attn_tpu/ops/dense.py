@@ -14,10 +14,17 @@ Quantized (INT8/INT4 weight-only) variants live in ops/quant.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Single-pass Pallas MLP forward (ops/fused_mlp.py): keeps the (tokens, 4d)
+# activation in VMEM instead of streaming it through HBM — bench_mlp.py
+# measured the XLA forward at ~45% MXU vs the bwd's ~72% for exactly this
+# reason. Off until the on-chip A/B lands (bench_train.py picks it up).
+_FUSED_MLP = os.environ.get("BACKPACKS_FUSED_MLP", "0") == "1"
 
 
 def gelu(x: jax.Array, approximate: bool = True) -> jax.Array:
@@ -53,6 +60,13 @@ def linear(x: jax.Array, params: dict, *, accum_dtype=jnp.float32) -> jax.Array:
 
 
 def _mlp_fwd_math(x, params, activation):
+    if _FUSED_MLP:
+        from . import fused_mlp
+        if fused_mlp.supported(params, activation):
+            return fused_mlp.mlp_fwd_fused(
+                x, params["fc1"]["kernel"], params["fc1"]["bias"],
+                params["fc2"]["kernel"], params["fc2"]["bias"],
+                activation=activation)
     act = ACTIVATIONS[activation]
     h_pre = linear(x, params["fc1"])
     return linear(act(h_pre), params["fc2"]), h_pre
