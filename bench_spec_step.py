@@ -107,7 +107,11 @@ def time_best(fn, reps, params, cache, *rest):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    # 128 OOMed on the 2026-08-19 v5e run (bf16+int8 param copies + cache
+    # copies + the generic prefill branch's bf16 cache relayout stack up);
+    # 64 is enough for the rel_cost ratio, which is what the spec_tokens
+    # default is derived from.
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--window", type=int, default=256)
     ap.add_argument("--steps", type=int, default=448)
@@ -130,6 +134,7 @@ def main():
         steps = args.steps
     params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     qparams = qz.quantize_backpack_params(params, cfg, bits=8)
+    del params                      # free the bf16 copy (HBM headroom)
     b, k = args.batch, args.k
 
     ids = jnp.asarray(np.random.default_rng(0).integers(

@@ -54,6 +54,10 @@ run_step 2400 env FLASH_FIXEDMAX=1 python bench_train.py --steps 8 --reps 3 \
 run_step 2400 env BACKPACKS_FUSED_MLP=1 python bench_train.py --steps 8 \
     --reps 3 --variants none:1 --json bench_results/train_fusedmlp_r3.json
 
+# 3b. speculative verification rel_cost (batch 64 after the r2 OOM) —
+#     sets the spec_tokens default + adaptive threshold
+run_step 2400 python bench_spec_step.py --json bench_results/spec_r3.json
+
 # 4. longer-trained backpack-mini on the synthetic corpus, then ppl gates
 #    (int4 margin on a less trivial model than the r1 micro)
 if healthy; then
