@@ -252,7 +252,17 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
 
     # out[b,t,d] = sum_k alpha[b,k,t,j] content[b,j,k,d]  (backpack.py:313)
     if fused_ctx is None:
-        fused_ctx = use_flash
+        # Measured on v5e (bench_results/train_r2.json, B=32 S=512
+        # backpack-small): the fused TRAINING kernel loses to the einsum
+        # path 64.1k vs 67.8k tok/s — its per-head o_heads residual
+        # (b, nv, s, d) is BIGGER than the alpha (b, nv, s, s) it avoids
+        # whenever d > s, and alpha streams only ~1.4ms of a 242ms step
+        # (the contextualization runs once per model, not per layer). So
+        # training defaults to einsum-alpha; inference keeps the fused
+        # kernel, whose in-kernel sense accumulation emits NO per-head
+        # outputs and caps prefill peak memory (no (b, nv, s, s) spike
+        # under continuous-batching admission).
+        fused_ctx = use_flash and not train
     if fused_ctx and not return_parts:
         # fused Pallas path: qk scores -> causal softmax -> alpha @ content
         # in one pass per sense head; alpha (b, nv, s, s) never exists
