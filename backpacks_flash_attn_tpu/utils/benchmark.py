@@ -132,16 +132,40 @@ def _trace_category(name: str) -> str:
     return "other"
 
 
+# HLO container ops whose trace events NEST their children on the same "XLA
+# Ops" row (a while.N event spans every op of its body): counting them
+# double-counts. Leaf accounting excludes them. hlo_category is the reliable
+# signal: Pallas kernels trace as closed_call.N events with category
+# "custom-call" and NO children (they must count — 39ms/step of flash-kernel
+# time on the r2 train trace), while scan loops are category "while".
+_TRACE_CONTAINER_CATS = ("while", "conditional", "call")
+_TRACE_CONTAINER_NAMES = ("while", "conditional", "jit_", "body", "cond")
+
+
+def _is_container(name: str, category: str) -> bool:
+    if category:
+        return category in _TRACE_CONTAINER_CATS
+    base = name.split(".")[0]
+    return base in _TRACE_CONTAINER_NAMES or name.startswith("jit_")
+
+
 def summarize_trace(trace_path: str, top: int = 20,
                     steps: int = 1) -> Optional[Dict]:
-    """Digest a jax.profiler Chrome trace into per-op and per-category time.
+    """Digest a jax.profiler Chrome trace into a FULL per-step attribution.
 
     trace_path: the trace dir passed to profile()/start_trace, or a
     *.trace.json.gz file. Only events on TPU device pids count (host rows
-    excluded). `steps`: divide durations by this (trace captured a scan of
-    N steps). Returns
-      {"total_us", "by_category": {cat: us}, "top_ops":
-       [{"name", "us", "count", "gb", "gbps", "category"}, ...]}
+    excluded), and only LEAF ops (scan/cond while/call container events span
+    their children and would double-count — measured: a 252ms train step
+    traces as 5.4s of raw X events, 213ms of leaves). `steps`: divide
+    durations by this (trace captured a scan of N steps). Returns
+      {"total_us":      device-busy leaf time per step,
+       "module_us":     outermost XLA-module span per step (busy + idle),
+       "by_category":   {hlo_category: us}     — XLA's own categories,
+       "by_source":     {file:line: us}        — the Python attribution,
+       "by_phase":      {"forward"/"backward"/"optimizer": us} from tf_op
+                        jvp/transpose markers,
+       "top_ops":       [{name, us, count, gb, gbps, category, source}]}
     with gb/gbps from the events' bytes_accessed args when present — the
     roofline numbers NOTES.md cites come from exactly this digest."""
     import collections
@@ -172,17 +196,53 @@ def summarize_trace(trace_path: str, top: int = 20,
         # XLA:CPU traces keep one "/host:CPU" row (host + device mixed) —
         # count it so local smoke runs produce a digest; real use is TPU.
         device_pids = {p for p, n in pids.items() if "/host:CPU" in n}
+    # "XLA Modules" rows hold the whole-executable span (busy + idle gaps);
+    # "XLA Ops" rows hold the per-op events; "Steps" rows duplicate the
+    # module span under the step number and must not be counted.
+    row_names = {(e["pid"], e["tid"]): e.get("args", {}).get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "thread_name"
+                 and e["pid"] in device_pids}
+    module_tids = {k for k, n in row_names.items() if n == "XLA Modules"}
+    op_tids = {k for k, n in row_names.items() if n == "XLA Ops"}
+    module_us = 0.0
     durs: Dict[str, float] = collections.defaultdict(float)
     counts: Dict[str, int] = collections.Counter()
     bytes_acc: Dict[str, float] = collections.defaultdict(float)
+    cat_of: Dict[str, str] = {}
+    src_of: Dict[str, str] = {}
+    by_src: Dict[str, float] = collections.defaultdict(float)
+    by_phase: Dict[str, float] = collections.defaultdict(float)
     for e in events:
         if (e.get("ph") != "X" or e.get("pid") not in device_pids
                 or "dur" not in e):
             continue
         name = e.get("name", "?")
+        row = (e["pid"], e.get("tid"))
+        if row in module_tids:
+            module_us += e["dur"]
+            continue
+        if op_tids and row not in op_tids:
+            continue
+        args = e.get("args", {})
+        if _is_container(name, args.get("hlo_category", "")):
+            continue
         durs[name] += e["dur"]
         counts[name] += 1
-        ba = e.get("args", {}).get("bytes_accessed")
+        cat_of.setdefault(name, args.get("hlo_category",
+                                         _trace_category(name)))
+        src = args.get("source", "?")
+        src_of.setdefault(name, src)
+        by_src[src] += e["dur"]
+        tf_op = args.get("tf_op", "")
+        if "transpose(jvp(" in tf_op or "/transpose(" in tf_op:
+            by_phase["backward"] += e["dur"]
+        elif "jvp(" in tf_op or "/jvp" in tf_op:
+            by_phase["forward"] += e["dur"]
+        else:
+            # outside value_and_grad: optimizer update, rng folds, metrics
+            by_phase["other"] += e["dur"]
+        ba = args.get("bytes_accessed")
         if ba is not None:
             try:
                 bytes_acc[name] += float(ba)
@@ -192,7 +252,7 @@ def summarize_trace(trace_path: str, top: int = 20,
     total = sum(durs.values())
     by_cat: Dict[str, float] = collections.defaultdict(float)
     for name, us in durs.items():
-        by_cat[_trace_category(name)] += us
+        by_cat[cat_of[name]] += us
     top_ops = []
     for name in sorted(durs, key=durs.get, reverse=True)[:top]:
         us = durs[name] / steps
@@ -200,27 +260,51 @@ def summarize_trace(trace_path: str, top: int = 20,
         top_ops.append({
             "name": name, "us": us, "count": counts[name],
             "gb": gb, "gbps": (gb / (us / 1e6)) if us else 0.0,
-            "category": _trace_category(name),
+            "category": cat_of[name], "source": src_of[name],
         })
+    strip = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))) + "/"
     return {"total_us": total / steps,
+            "module_us": module_us / steps,
             "by_category": {k: v / steps for k, v in sorted(
                 by_cat.items(), key=lambda kv: -kv[1])},
+            "by_source": {k.replace(strip, ""): v / steps for k, v in sorted(
+                by_src.items(), key=lambda kv: -kv[1])},
+            "by_phase": {k: v / steps for k, v in sorted(
+                by_phase.items(), key=lambda kv: -kv[1])},
             "top_ops": top_ops}
 
 
 def print_trace_summary(trace_path: str, top: int = 15,
-                        steps: int = 1) -> None:
+                        steps: int = 1, min_src_us: float = 300.0) -> None:
     s = summarize_trace(trace_path, top=top, steps=steps)
     if s is None:
         print(f"no trace found under {trace_path}")
         return
-    print(f"device total: {s['total_us']:,.0f} us/step")
+    busy, mod = s["total_us"], s["module_us"]
+    print(f"device busy (leaf ops): {busy:,.0f} us/step; "
+          f"module span: {mod:,.0f} us/step"
+          + (f"  (idle/gaps {mod - busy:,.0f} us = "
+             f"{(mod - busy) / mod:.1%})" if mod > busy else ""))
+    print("  -- phase")
+    for ph, us in s["by_phase"].items():
+        print(f"  {ph:<12} {us:>10,.0f} us  {us / max(busy, 1e-9):>6.1%}")
+    print("  -- hlo category")
     for cat, us in s["by_category"].items():
-        print(f"  {cat:<12} {us:>10,.0f} us  {us / max(s['total_us'], 1e-9):>6.1%}")
+        print(f"  {cat:<24} {us:>10,.0f} us  {us / max(busy, 1e-9):>6.1%}")
+    print(f"  -- source line (>= {min_src_us:.0f} us/step)")
+    shown = 0.0
+    for src, us in s["by_source"].items():
+        if us >= min_src_us:
+            shown += us
+            print(f"  {us:>10,.0f} us  {src}")
+    print(f"  (shown {shown:,.0f} us = {shown / max(busy, 1e-9):.1%} of busy)")
+    print("  -- top ops")
     for op in s["top_ops"]:
         bw = f"  {op['gbps']:,.0f} GB/s" if op["gb"] else ""
         print(f"    {op['us']:>9,.0f} us x{op['count']:<4} "
-              f"[{op['category']}] {op['name'][:70]}{bw}")
+              f"[{op['category']}] {op['name'][:50]} "
+              f"<{op['source'].split('/')[-1]}>{bw}")
 
 
 def memory_footprint(fn: Callable, *args, **kwargs) -> Optional[Dict[str, float]]:

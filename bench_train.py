@@ -76,6 +76,9 @@ def main():
     if args.model == "backpack-test":
         from backpacks_flash_attn_tpu.config import backpack_test
         cfg = backpack_test()
+        # the CPU smoke model has n_positions=128; longer sequences would
+        # gather out of range in the position embedding (NaN loss)
+        args.seqlen = min(args.seqlen, cfg.n_positions)
     else:
         cfg = backpack_small()
     params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -96,14 +99,20 @@ def main():
     for spec in args.variants.split(","):
         parts = spec.split(":")
         remat_s, unroll_s = parts[0], parts[1]
-        # optional third field: 'einsum' = unfused alpha baseline (the
-        # round-1 O(s^2)-alpha path; flash attention stays ON) for a clean
-        # fused-contextualization A/B
-        fused_ctx = None if "einsum" not in parts[2:] else False
+        # optional third field: 'einsum' = materialized-alpha path, 'fused' =
+        # the Pallas fused-contextualization kernel. Since commit 941ce80 the
+        # TRAINING default is einsum (measured r2: 67.8k vs 64.1k tok/s), so
+        # 'fused' is the non-default side of the A/B now.
+        fused_ctx = None
+        if "einsum" in parts[2:]:
+            fused_ctx = False
+        elif "fused" in parts[2:]:
+            fused_ctx = True
         remat = {"none": False, "full": True}.get(remat_s, remat_s)
         unroll = int(unroll_s)
         print(f"== variant remat={remat_s} unroll={unroll} "
-              f"fused_ctx={fused_ctx is None}", flush=True)
+              f"fused_ctx={'default' if fused_ctx is None else fused_ctx}",
+              flush=True)
         state = train_lib.TrainState(
             jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
             jnp.zeros((), jnp.int32))
@@ -134,9 +143,15 @@ def main():
             _ = np.asarray(losses)
             jax.profiler.stop_trace()
             print(f"   trace -> {args.trace_dir}", flush=True)
-            from backpacks_flash_attn_tpu.utils.benchmark import \
-                print_trace_summary
-            print_trace_summary(args.trace_dir, top=12, steps=args.steps)
+            from backpacks_flash_attn_tpu.utils.benchmark import (
+                print_trace_summary, summarize_trace)
+            print_trace_summary(args.trace_dir, top=30, steps=args.steps)
+            digest = summarize_trace(args.trace_dir, top=60, steps=args.steps)
+            if digest is not None and args.json:
+                prof_path = args.json.replace(".json", "_profile.json")
+                with open(prof_path, "w") as f:
+                    json.dump({"variant": spec, **digest}, f, indent=2)
+                print(f"   digest -> {prof_path}", flush=True)
 
     print(json.dumps(results))
     if args.json:
