@@ -129,13 +129,18 @@ def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
                   dtype=jnp.bfloat16, per_slot: bool = False) -> KVCache:
     """per_slot=True: (b,) per-row length counters for serving slots."""
     e, dh, S = batch * cfg.n_head, cfg.head_dim, max_seqlen
-    scales = None
+    k_scale = v_scale = None
     if dtype == jnp.int8:
-        scales = jnp.ones((cfg.n_layer, e, S), jnp.float32)
+        # two separate allocations: a single shared array would put the SAME
+        # buffer behind both fields, and any donating jit over the cache
+        # (e.g. the serving engine's admission insert) then fails with
+        # "attempt to donate the same buffer twice"
+        k_scale = jnp.ones((cfg.n_layer, e, S), jnp.float32)
+        v_scale = jnp.ones((cfg.n_layer, e, S), jnp.float32)
     return KVCache(k=jnp.zeros((cfg.n_layer, e, dh, S), dtype),
                    v=jnp.zeros((cfg.n_layer, e, S, dh), dtype),
                    length=jnp.zeros((batch,) if per_slot else (), jnp.int32),
-                   k_scale=scales, v_scale=scales)
+                   k_scale=k_scale, v_scale=v_scale)
 
 
 # ---------------------------------------------------------------- forward
