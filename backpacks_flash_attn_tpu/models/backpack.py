@@ -253,34 +253,30 @@ def backpack_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     # out[b,t,d] = sum_k alpha[b,k,t,j] content[b,j,k,d]  (backpack.py:313)
     if fused_ctx is None:
         # Measured on v5e (bench_results/train_r2.json, B=32 S=512
-        # backpack-small): the fused TRAINING kernel loses to the einsum
-        # path 64.1k vs 67.8k tok/s — its per-head o_heads residual
-        # (b, nv, s, d) is BIGGER than the alpha (b, nv, s, s) it avoids
-        # whenever d > s, and alpha streams only ~1.4ms of a 242ms step
-        # (the contextualization runs once per model, not per layer). So
-        # training defaults to einsum-alpha; inference keeps the fused
-        # kernel, whose in-kernel sense accumulation emits NO per-head
-        # outputs and caps prefill peak memory (no (b, nv, s, s) spike
-        # under continuous-batching admission).
+        # backpack-small): the r2 fused TRAINING kernel lost to the einsum
+        # path 64.1k vs 67.8k tok/s — it saved a per-head o_heads residual
+        # (b, nv, s, d), BIGGER than the alpha (b, nv, s, s) it avoids
+        # whenever d > s. The r3 kernel dropped that residual (the backward
+        # recomputes the softmax-jacobian delta from q/k/content/lse);
+        # training stays on einsum-alpha until the re-run A/B
+        # (bench_train.py none:1 vs none:1:fused) flips the measured
+        # result. Inference keeps the fused kernel, whose in-kernel
+        # sense accumulation caps prefill peak memory (no (b, nv, s, s)
+        # spike under continuous-batching admission).
         fused_ctx = use_flash and not train
     if fused_ctx and not return_parts:
         # fused Pallas path: qk scores -> causal softmax -> alpha @ content
         # in one pass per sense head; alpha (b, nv, s, s) never exists
         # (SURVEY.md §7.2 Phase 3). The einsum below remains the oracle
         # (tests/ops/test_backpack_kernels.py) and the return_parts path.
+        # No remat wrap: the kernel's residuals are its inputs plus the tiny
+        # per-head LSE, so there is nothing worth dropping.
         from ..ops.backpack_kernels import fused_contextualization
         q, ctx_k = context_qk(params, cfg, contextl)
         scale = cfg.sense_head_dim ** -0.5
-
-        def fn(q, k, c):
-            return fused_contextualization(q, k, c, scale)
-
-        if remat:
-            # drop even the (b, nv, s, d) per-head outputs: recompute the
-            # forward kernel during the backward instead of saving them
-            fn = jax.checkpoint(fn)
         alpha = None
-        outputs = fn(q, ctx_k, content).astype(contextl.dtype)
+        outputs = fused_contextualization(q, ctx_k, content, scale
+                                          ).astype(contextl.dtype)
     else:
 
         def combine(ctx_params, contextl, content):

@@ -21,15 +21,17 @@ Three kernels:
   * inference forward: per-head online softmax, the nv axis rides the
     innermost (sequential) grid dimension and accumulates straight into the
     (b, s, d) output block — per-head outputs are never materialized.
-  * training forward: grid (b, nv, n_q), emits per-head outputs
-    o_heads (b, nv, s, d) and the per-head LSE. o_heads is 10-20x smaller
-    than alpha and makes the backward's softmax-jacobian correction
-    delta_k = rowsum(dO * O_k) a cheap XLA reduction.
+  * training forward: the same accumulation, additionally emitting the
+    per-head LSE (b, nv, s). The residuals are just (q, k, content, lse) —
+    NO per-head o_heads (b, nv, s, d) is saved; r2 measured that residual
+    BIGGER than the alpha the kernel avoids whenever d > s, which made the
+    kernel lose its training A/B (64.1k vs 67.8k tok/s).
   * backward: two tiled kernels in the style of ops/flash_attention.py
     (reference bwd recompute strategy: csrc/flash_attn/src/
-    fmha_dgrad_kernel_1xN_loop.h) — one accumulates dq over key tiles, one
-    accumulates dk and dcontent over query tiles, both recomputing the
-    alpha tile from the saved LSE.
+    fmha_dgrad_kernel_1xN_loop.h) — one recomputes the softmax-jacobian
+    correction delta_k[t] = dO[t].O_k[t] from the saved LSE and accumulates
+    dq over key tiles (two passes), one accumulates dk and dcontent over
+    query tiles consuming that delta.
 """
 
 from __future__ import annotations
@@ -132,50 +134,76 @@ def _fused_ctx_infer_kernel(q_ref, k_ref, c_ref, o_ref, *, block_q: int,
     o_ref[0] = o_ref[0] + (o_acc / l_safe[:, None]).astype(o_ref.dtype)
 
 
-def _fused_ctx_fwd_kernel(q_ref, k_ref, c_ref, o_ref, lse_ref, *,
-                          block_q: int, block_k: int, kv_len: int):
-    """Grid (b, nv, n_q): per-head outputs + LSE for the backward."""
-    qi = pl.program_id(2)
+def _fused_ctx_fwd_lse_kernel(q_ref, k_ref, c_ref, o_ref, lse_ref, *,
+                              block_q: int, block_k: int, kv_len: int):
+    """Grid (b, n_q, nv): the inference accumulation (per-head outputs never
+    exist) PLUS the per-head LSE the o_heads-free backward recomputes from.
+    nv rides the innermost sequential axis, accumulating into the revisited
+    (1, block_q, d) output block exactly like _fused_ctx_infer_kernel."""
+    qi, hi = pl.program_id(1), pl.program_id(2)
     cdt = _compute_dtype(q_ref.dtype)
     q = q_ref[0, 0].astype(cdt)
+
+    @pl.when(hi == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
     o_acc, m, l = _online_softmax_head(q, k_ref, c_ref, qi, block_q, block_k,
                                        kv_len, cdt)
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
+    o_ref[0] = o_ref[0] + (o_acc / l_safe[:, None]).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, None]
 
 
-def _fused_ctx_dq_kernel(q_ref, k_ref, c_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, *, block_q: int, block_k: int, q_len: int,
-                         kv_len: int):
-    """Grid (b, nv, n_q): dq[t] = sum_j ds[t,j] k[j], with the alpha tile
-    recomputed from the saved LSE and dp = dO @ content^T."""
+def _fused_ctx_dq_delta_kernel(q_ref, k_ref, c_ref, do_ref, lse_ref,
+                               dq_ref, delta_ref, *, block_q: int,
+                               block_k: int, q_len: int, kv_len: int):
+    """Grid (b, nv, n_q), two passes over the causal key tiles:
+
+      pass 1: delta_k[t] = sum_j alpha[t,j] (dO[t].c[j])  (= dO[t].O_k[t])
+      pass 2: dq[t]      = sum_j alpha[t,j] (dp[t,j] - delta_k[t]) k[j]
+
+    This recomputes the softmax-jacobian correction from (q, k, content, lse)
+    instead of reading a saved o_heads (b, nv, s, d) residual — the residual
+    was BIGGER than the alpha the kernel avoids whenever d > s (the r2
+    measured loss vs the einsum path). delta is emitted for the dk/dcontent
+    kernel, which needs it complete per query row."""
     qi = pl.program_id(2)
     cdt = _compute_dtype(q_ref.dtype)
     q = q_ref[0, 0].astype(cdt)            # pre-scaled (block_q, dk)
     do = do_ref[0].astype(cdt)             # (block_q, d)
     lse = lse_ref[0, 0]                    # (block_q, 1) f32
-    delta = delta_ref[0, 0]                # (block_q, 1) f32
+    n_kb = _causal_kblocks(qi, block_q, block_k, kv_len)
 
-    def body(j, dq_acc):
+    def tile(j):
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         c = c_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         mask = _tile_mask(qi * block_q, j * block_k, block_q, block_k, kv_len)
-        # rows past q_len are harmless (outputs trimmed); keys masked exactly
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, c, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        return k, p, dp
+
+    def body_delta(j, acc):
+        _, p, dp = tile(j)
+        return acc + jnp.sum(p * dp, axis=1)
+
+    delta = jax.lax.fori_loop(0, n_kb, body_delta,
+                              jnp.zeros((block_q,), jnp.float32))
+
+    def body_dq(j, dq_acc):
+        k, p, dp = tile(j)
+        ds = p * (dp - delta[:, None])
         return dq_acc + jax.lax.dot_general(
             ds.astype(cdt), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    n_kb = _causal_kblocks(qi, block_q, block_k, kv_len)
-    dq = jax.lax.fori_loop(0, n_kb, body,
+    dq = jax.lax.fori_loop(0, n_kb, body_dq,
                            jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32))
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    delta_ref[0, 0] = delta[:, None]
 
 
 def _fused_ctx_dkc_kernel(q_ref, k_ref, c_ref, do_ref, lse_ref, delta_ref,
@@ -278,60 +306,57 @@ def _fused_ctx_infer(q, k, content, scale, block_q, block_k):
     return out[:, :s, :d]
 
 
-def _fused_ctx_fwd(q, k, content, scale, block_q, block_k):
-    """-> (out (b, s, d), o_heads (b, nv, s, d), lse (b, nv, s))."""
+def _fused_ctx_fwd_lse(q, k, content, scale, block_q, block_k):
+    """-> (out (b, s, d), lse (b, nv, s)) — the o_heads-free training fwd."""
     b, s, nv, dnv = q.shape
     d = content.shape[-1]
     qt, kt, cp, block_q, block_k, sq_pad, sk_pad, dk_pad, d_pad = _prep(
         q, k, content, scale, block_q, block_k)
-    grid = (b, nv, sq_pad // block_q)
-    o_heads, lse = pl.pallas_call(
-        functools.partial(_fused_ctx_fwd_kernel, block_q=block_q,
+    grid = (b, sq_pad // block_q, nv)
+    out, lse = pl.pallas_call(
+        functools.partial(_fused_ctx_fwd_lse_kernel, block_q=block_q,
                           block_k=block_k, kv_len=s),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, dk_pad),
-                         lambda bi, hi, qi: (bi, hi, qi, 0)),
+                         lambda bi, qi, hi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, dk_pad),
-                         lambda bi, hi, qi: (bi, hi, 0, 0)),
+                         lambda bi, qi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d_pad),
-                         lambda bi, hi, qi: (bi, hi, 0, 0)),
+                         lambda bi, qi, hi: (bi, hi, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad),
-                         lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, block_q, d_pad),
+                         lambda bi, qi, hi: (bi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
-                         lambda bi, hi, qi: (bi, hi, qi, 0)),
+                         lambda bi, qi, hi: (bi, hi, qi, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nv, sq_pad, d_pad), content.dtype),
+            jax.ShapeDtypeStruct((b, sq_pad, d_pad), content.dtype),
             jax.ShapeDtypeStruct((b, nv, sq_pad, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(qt, kt, cp)
-    o_heads = o_heads[:, :, :s, :d]
-    out = o_heads.astype(jnp.float32).sum(axis=1).astype(content.dtype)
-    return out, o_heads, lse[:, :, :s, 0]
+    return out[:, :s, :d], lse[:, :, :s, 0]
 
 
-def _fused_ctx_bwd(q, k, content, o_heads, lse, g, scale, block_q, block_k):
+def _fused_ctx_bwd(q, k, content, lse, g, scale, block_q, block_k):
     """g: (b, s, d) cotangent of the summed output. Returns (dq, dk, dcontent)
-    in the input layouts."""
+    in the input layouts. The softmax-jacobian correction delta is recomputed
+    in-kernel from (q, k, content, lse) — no o_heads residual is saved."""
     b, s, nv, dnv = q.shape
     d = content.shape[-1]
     qt, kt, cp, block_q, block_k, sq_pad, sk_pad, dk_pad, d_pad = _prep(
         q, k, content, scale, block_q, block_k)
-    # softmax-jacobian correction, per head: delta_k[t] = dO[t] . O_k[t]
-    delta = jnp.einsum("btd,bhtd->bht", g.astype(jnp.float32),
-                       o_heads.astype(jnp.float32))
-    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - s)))[..., None]
     lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - s)))[..., None]
     gp = jnp.pad(g, ((0, 0), (0, sq_pad - s), (0, d_pad - d)))
 
     n_qb, n_kb = sq_pad // block_q, sk_pad // block_k
     common = dict(block_q=block_q, block_k=block_k, q_len=s, kv_len=s)
-    dq = pl.pallas_call(
-        functools.partial(_fused_ctx_dq_kernel, **common),
+    dq, delta = pl.pallas_call(
+        functools.partial(_fused_ctx_dq_delta_kernel, **common),
         grid=(b, nv, n_qb),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, dk_pad),
@@ -344,14 +369,19 @@ def _fused_ctx_bwd(q, k, content, o_heads, lse, g, scale, block_q, block_k):
                          lambda bi, hi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
                          lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, dk_pad),
+                         lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 1),
                          lambda bi, hi, qi: (bi, hi, qi, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, dk_pad),
-                               lambda bi, hi, qi: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nv, sq_pad, dk_pad), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nv, sq_pad, dk_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, nv, sq_pad, 1), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(qt, kt, cp, gp, lse_p, delta)
+    )(qt, kt, cp, gp, lse_p)
 
     dk, dc = pl.pallas_call(
         functools.partial(_fused_ctx_dkc_kernel, n_q_blocks=n_qb, **common),
@@ -399,21 +429,23 @@ def fused_contextualization(q: jax.Array, k: jax.Array, content: jax.Array,
     (reference: training/src/models/backpack.py:107-122, 313).
 
     q, k: (b, s, nv, dnv); content: (b, s, nv, d) -> (b, s, d).
-    The primal accumulates over senses in-kernel (inference: no per-head
-    outputs ever exist); under differentiation the fwd rule emits per-head
-    outputs + LSE for the tiled backward.
+    The primal accumulates over senses in-kernel — per-head outputs never
+    exist, in inference OR training; under differentiation the fwd rule
+    additionally emits the per-head LSE, and the tiled backward recomputes
+    everything else (including the softmax-jacobian delta) from
+    (q, k, content, lse).
     """
     return _fused_ctx_infer(q, k, content, scale, block_q, block_k)
 
 
 def _fused_ctx_fwd_rule(q, k, content, scale, block_q, block_k):
-    out, o_heads, lse = _fused_ctx_fwd(q, k, content, scale, block_q, block_k)
-    return out, (q, k, content, o_heads, lse)
+    out, lse = _fused_ctx_fwd_lse(q, k, content, scale, block_q, block_k)
+    return out, (q, k, content, lse)
 
 
 def _fused_ctx_bwd_rule(scale, block_q, block_k, res, g):
-    q, k, content, o_heads, lse = res
-    return _fused_ctx_bwd(q, k, content, o_heads, lse,
+    q, k, content, lse = res
+    return _fused_ctx_bwd(q, k, content, lse,
                           g.astype(content.dtype), scale, block_q, block_k)
 
 
