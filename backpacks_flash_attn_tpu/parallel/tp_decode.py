@@ -34,6 +34,7 @@ separate axes so heads/senses can shard over 'model' while batch shards over
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -45,10 +46,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import BackpackConfig
 from ..models import backpack as bp
 from ..models import gpt as gpt_lib
-from ..ops import dense, norms, rotary
+from ..ops import dense, norms, quant, rotary
 from ..ops.decode_attention import decode_attention
 
 Params = Any
+
+
+# ------------------------------------------------------------ local linears
+
+def _local_linear(x, p, *, apply_bias: bool = True):
+    """Per-shard dense projection, f32 accumulation: plain {'kernel','bias'?}
+    dicts or INT8 QuantWeight shards (the ops/quant.py XLA pattern — the
+    int8->bf16 convert fuses into the dot so the weight shard streams at
+    1 byte/param, per-out-channel scales apply to the f32 partials).
+    apply_bias=False for row-parallel shards: their bias is added once after
+    the ring psum."""
+    if isinstance(p, quant.QuantWeight):
+        compute = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
+        y = jnp.dot(x.astype(compute), p.q.astype(compute),
+                    preferred_element_type=jnp.float32)
+        y = y * p.scale[0]
+        b = p.bias
+    else:
+        y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+        b = p.get("bias")
+    if apply_bias and b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
+def _bias_of(p):
+    return p.bias if isinstance(p, quant.QuantWeight) else p["bias"]
 
 
 # ------------------------------------------------------------ ring psum
@@ -78,6 +106,16 @@ def ring_psum(x, axis_name: str, tp: int, overlap=None):
 
 # ------------------------------------------------------------ param permute
 
+def _strip_out_pad(qw: quant.QuantWeight) -> quant.QuantWeight:
+    """Drop quantize_weight's 128-multiple out-axis zero padding: the TP body
+    maps contiguous out-columns to head/sense groups, so padded columns would
+    land whole on the last shard and break the mapping."""
+    if qw.q.shape[-1] == qw.d_out:
+        return qw
+    return dataclasses.replace(qw, q=qw.q[..., :qw.d_out],
+                               scale=qw.scale[..., :qw.d_out])
+
+
 def permute_for_tp_decode(params: Params, cfg: BackpackConfig) -> Params:
     """Reorder the packed projection kernels so a contiguous 'model'-axis
     chunk is a per-device head/sense group.
@@ -86,51 +124,96 @@ def permute_for_tp_decode(params: Params, cfg: BackpackConfig) -> Params:
     column chunk would split q/k/v, not heads. Permuted to (h, 3, dh) a chunk
     is `h/tp` whole heads. Same for the contextualization Wqkv's (2, nv, dnv)
     packing -> (nv, 2, dnv). Lossless relayout; only valid for this module's
-    step functions."""
+    step functions.
+
+    INT8 QuantWeight trees (models/quantized.py) permute q, per-out-channel
+    scales and bias identically; the out-axis pad is stripped first
+    (_strip_out_pad) and the explicit 'lm_head' kernel is dropped — the body
+    computes vocab-sharded logits straight from the INT8 wte shard, whose
+    per-row scales are numerically identical to the lm_head quantization
+    (both are absmax-over-d/127). INT4 stays on the pjit path
+    (parallel/serving.py): packed nibbles don't column-shard."""
     d = cfg.n_embd
     h, dh = cfg.n_head, cfg.head_dim
     nv, dnv = cfg.num_senses, cfg.sense_head_dim
 
-    def perm_qkv(kernel, bias):
-        k = kernel.reshape(*kernel.shape[:-1], 3, h, dh)
-        k = jnp.swapaxes(k, -3, -2).reshape(kernel.shape)
-        b = bias.reshape(*bias.shape[:-1], 3, h, dh)
-        b = jnp.swapaxes(b, -3, -2).reshape(bias.shape)
-        return k, b
+    def perm_out(x, packs, n_grp, grp_d):
+        """Permute the LAST axis from (packs, n_grp, grp_d)-major to
+        (n_grp, packs, grp_d)-major."""
+        y = x.reshape(*x.shape[:-1], packs, n_grp, grp_d)
+        return jnp.swapaxes(y, -3, -2).reshape(x.shape)
 
-    def perm_ctx(kernel, bias):
-        k = kernel.reshape(d, 2, nv, dnv).transpose(0, 2, 1, 3).reshape(d, 2 * d)
-        b = bias.reshape(2, nv, dnv).transpose(1, 0, 2).reshape(2 * d)
-        return k, b
+    def perm_lin(p, packs, n_grp, grp_d):
+        if isinstance(p, quant.QuantWeight):
+            assert p.bits == 8, "tp_decode takes INT8 trees; INT4 uses pjit"
+            p = _strip_out_pad(p)
+            return dataclasses.replace(
+                p,
+                q=perm_out(p.q, packs, n_grp, grp_d),
+                scale=perm_out(p.scale, packs, n_grp, grp_d),
+                bias=(perm_out(p.bias, packs, n_grp, grp_d)
+                      if p.bias is not None else None))
+        return {"kernel": perm_out(p["kernel"], packs, n_grp, grp_d),
+                "bias": perm_out(p["bias"], packs, n_grp, grp_d)}
 
     out = jax.tree.map(lambda x: x, params)  # fresh dict spine, shared leaves
-    gl = dict(out["gpt"]["layers"])
-    qk, qb = perm_qkv(gl["Wqkv"]["kernel"], gl["Wqkv"]["bias"])
-    gl["Wqkv"] = {"kernel": qk, "bias": qb}
     out["gpt"] = dict(out["gpt"])
+    gl = dict(out["gpt"]["layers"])
+    gl["Wqkv"] = perm_lin(gl["Wqkv"], 3, h, dh)
+    if isinstance(gl.get("out_proj"), quant.QuantWeight):
+        gl["out_proj"] = _strip_out_pad(gl["out_proj"])
+        gl["mlp"] = {"fc1": _strip_out_pad(gl["mlp"]["fc1"]),
+                     "fc2": _strip_out_pad(gl["mlp"]["fc2"])}
     out["gpt"]["layers"] = gl
-    ck, cb = perm_ctx(out["ctx_attn"]["Wqkv"]["kernel"],
-                      out["ctx_attn"]["Wqkv"]["bias"])
-    out["ctx_attn"] = {"Wqkv": {"kernel": ck, "bias": cb}}
+    out["gpt"].pop("lm_head", None)
+    out["ctx_attn"] = {"Wqkv": perm_lin(out["ctx_attn"]["Wqkv"], 2, nv, dnv)}
     return out
 
 
 def tp_decode_param_specs(params: Params) -> Params:
     """PartitionSpec tree for permute_for_tp_decode output. Everything not
-    listed (norms, wpe, the whole content network) is replicated — at s=1 the
-    content net is a few tiny GEMMs and replicated compute beats a collective."""
+    listed (norms, wpe, the content MLP) is replicated — at s=1 the content
+    net is a few tiny GEMMs and replicated compute beats a collective. The
+    precomputed sense TABLE (quantized trees) shards over senses instead:
+    it is the largest inference tensor (V x nv x d) and the tail only reads
+    local senses anyway."""
     specs = jax.tree.map(lambda _: P(), params)
-    specs["gpt"]["wte"] = P("model", None)
-    specs["gpt"]["layers"]["Wqkv"] = {"kernel": P(None, None, "model"),
-                                      "bias": P(None, "model")}
-    specs["gpt"]["layers"]["out_proj"] = {"kernel": P(None, "model", None),
-                                          "bias": P()}
-    specs["gpt"]["layers"]["mlp"]["fc1"] = {"kernel": P(None, None, "model"),
-                                            "bias": P(None, "model")}
-    specs["gpt"]["layers"]["mlp"]["fc2"] = {"kernel": P(None, "model", None),
-                                            "bias": P()}
-    specs["ctx_attn"] = {"Wqkv": {"kernel": P(None, "model"),
-                                  "bias": P("model")}}
+
+    def lin(p, kernel_spec, bias_spec, scale_spec):
+        if isinstance(p, quant.QuantWeight):
+            return dataclasses.replace(
+                jax.tree.map(lambda _: P(), p), q=kernel_spec,
+                scale=scale_spec,
+                bias=bias_spec if p.bias is not None else None)
+        out = {"kernel": kernel_spec}
+        if "bias" in p:
+            out["bias"] = bias_spec
+        return out
+
+    gl_p = params["gpt"]["layers"]
+    col3 = dict(kernel_spec=P(None, None, "model"),
+                bias_spec=P(None, "model"), scale_spec=P(None, None, "model"))
+    row3 = dict(kernel_spec=P(None, "model", None), bias_spec=P(),
+                scale_spec=P())
+    specs["gpt"]["layers"]["Wqkv"] = lin(gl_p["Wqkv"], **col3)
+    specs["gpt"]["layers"]["out_proj"] = lin(gl_p["out_proj"], **row3)
+    specs["gpt"]["layers"]["mlp"]["fc1"] = lin(gl_p["mlp"]["fc1"], **col3)
+    specs["gpt"]["layers"]["mlp"]["fc2"] = lin(gl_p["mlp"]["fc2"], **row3)
+    specs["ctx_attn"] = {"Wqkv": lin(params["ctx_attn"]["Wqkv"],
+                                     kernel_spec=P(None, "model"),
+                                     bias_spec=P("model"),
+                                     scale_spec=P(None, "model"))}
+    wte = params["gpt"]["wte"]
+    if isinstance(wte, dict):    # INT8 row-quantized {'q', 'row_scale'}
+        specs["gpt"]["wte"] = {"q": P("model", None),
+                               "row_scale": P("model", None)}
+    else:
+        specs["gpt"]["wte"] = P("model", None)
+    table = params["content"].get("table") if "content" in params else None
+    if table is not None:
+        specs["content"]["table"] = dataclasses.replace(
+            jax.tree.map(lambda _: P(), table),
+            q=P(None, "model", None), scale=P(None, "model", None))
     return specs
 
 
@@ -304,19 +387,29 @@ def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
         def off_mb(i):
             return offset[mb_r0[i]:mb_r0[i] + mb_rows[i]] if vec else offset
 
-        # ---- embedding: vocab-sharded gather + ring psum (one per step)
+        # ---- embedding: vocab-sharded gather + ring psum (one per step);
+        # INT8 wte shards ({'q','row_scale'}) dequantize their local rows
         wte_loc = params["gpt"]["wte"]
-        v_loc = wte_loc.shape[0]
+        quant_wte = isinstance(wte_loc, dict)
+        v_loc = (wte_loc["q"] if quant_wte else wte_loc).shape[0]
         ids_loc = tokens - t * v_loc
         ok = (ids_loc >= 0) & (ids_loc < v_loc)
-        rows = jnp.take(wte_loc, jnp.clip(ids_loc, 0, v_loc - 1), axis=0)
+        ids_c = jnp.clip(ids_loc, 0, v_loc - 1)
+        if quant_wte:
+            rows = (jnp.take(wte_loc["q"], ids_c, axis=0).astype(jnp.float32)
+                    * jnp.take(wte_loc["row_scale"], ids_c, axis=0)
+                    ).astype(jnp.bfloat16)
+        else:
+            rows = jnp.take(wte_loc, ids_c, axis=0)
         emb_part = jnp.where(ok[..., None], rows, jnp.zeros((), rows.dtype))
         emb, _ = ring_psum(emb_part, "model", tp)
 
-        # content net: replicated compute on the psum'd embedding —
-        # independent of the GPT stack, so it is issued FIRST and the
-        # scheduler can run it under the stack's first rings.
+        # content net: issued FIRST so the scheduler can run it under the
+        # stack's first rings. With a precomputed sense table the table is
+        # sense-sharded and this gather yields the LOCAL nv_loc senses;
+        # otherwise the content MLP runs replicated on the psum'd embedding.
         senses = bp.content_forward(params, cfg, tokens, embedded=emb)
+        senses_local = senses.shape[2] != nv   # sense-sharded table gather
 
         if cfg.n_positions > 0:
             pos = (offset[:, None] if vec else offset) + jnp.zeros(
@@ -335,9 +428,7 @@ def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
             k_all, v_all, ks_all, vs_all = bufs
             nb, r0 = mb_rows[i], mb_r0[i]
             e_mb = nb * h_loc
-            qkv = jnp.dot(hid, lp["Wqkv"]["kernel"],
-                          preferred_element_type=jnp.float32)
-            qkv = (qkv + lp["Wqkv"]["bias"]).astype(hid.dtype)
+            qkv = _local_linear(hid, lp["Wqkv"]).astype(hid.dtype)
             qkv = qkv.reshape(nb, 1, h_loc, 3, dk)
             q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
             if cfg.rotary_emb_dim > 0:
@@ -383,17 +474,13 @@ def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
                                                               ).reshape(e_mb, dk)
             ctx = decode_attention(qf, kt_c, k_sc, v_c, v_sc, lens)
             ctx = ctx.reshape(nb, 1, h_loc * dk)
-            part = jnp.dot(ctx, lp["out_proj"]["kernel"],
-                           preferred_element_type=jnp.float32)
+            part = _local_linear(ctx, lp["out_proj"], apply_bias=False)
             return part, (k_all, v_all, ks_all, vs_all)
 
         def mlp_phase(hid, lp):
-            y = jnp.dot(hid, lp["mlp"]["fc1"]["kernel"],
-                        preferred_element_type=jnp.float32)
-            y = (y + lp["mlp"]["fc1"]["bias"]).astype(hid.dtype)
+            y = _local_linear(hid, lp["mlp"]["fc1"]).astype(hid.dtype)
             y = dense.ACTIVATIONS[cfg.activation](y)
-            return jnp.dot(y, lp["mlp"]["fc2"]["kernel"],
-                           preferred_element_type=jnp.float32)
+            return _local_linear(y, lp["mlp"]["fc2"], apply_bias=False)
 
         def add_norm(part, bias, res, lp, which):
             x = (part + bias).astype(hidden.dtype)
@@ -405,8 +492,8 @@ def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
             hs, rs, bufs = carry
             lp, scale, li = xs
             hs, rs = list(hs), list(rs)
-            ob = lp["out_proj"]["bias"]
-            fb = lp["mlp"]["fc2"]["bias"]
+            ob = _bias_of(lp["out_proj"])
+            fb = _bias_of(lp["mlp"]["fc2"])
             if n_mb == 1:
                 p0, bufs = attn_phase(0, hs[0], lp, scale, li, bufs)
                 a0, _ = ring_psum(p0, "model", tp)
@@ -459,17 +546,19 @@ def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
             ctx_k, content, ctx_ks, content_s = bpbufs
             nb, r0 = mb_rows[i], mb_r0[i]
             e_mb = nb * nv_loc
-            qk = jnp.dot(hid, params["ctx_attn"]["Wqkv"]["kernel"],
-                         preferred_element_type=jnp.float32)
-            qk = (qk + params["ctx_attn"]["Wqkv"]["bias"]).astype(hid.dtype)
+            qk = _local_linear(hid, params["ctx_attn"]["Wqkv"]
+                               ).astype(hid.dtype)
             qk = qk.reshape(nb, 1, nv_loc, 2, dnv)
             q, k = qk[..., 0, :], qk[..., 1, :]
             k_flat = k.transpose(0, 2, 3, 1).reshape(e_mb, dnv, 1)
             if dnv_pad != dnv:
                 k_flat = jnp.pad(k_flat, ((0, 0), (0, dnv_pad - dnv), (0, 0)))
-            # local senses of the replicated content-net output
+            # local senses: already local when the sense table is sharded
+            # over 'model'; a sense-offset slice of the replicated MLP
+            # output otherwise
             sl = lax.dynamic_slice(
-                senses, (r0, 0, t * nv_loc, 0), (nb, 1, nv_loc, d))
+                senses, (r0, 0, 0 if senses_local else t * nv_loc, 0),
+                (nb, 1, nv_loc, d))
             s_t = sl.transpose(0, 2, 1, 3).reshape(e_mb, 1, d)
             if quantized:
                 from ..ops import quant
@@ -509,6 +598,17 @@ def _build_body(cfg: BackpackConfig, mesh: Mesh, *,
                 axis=1, keepdims=True).astype(jnp.float32)
 
         def lm_local(out_full):
+            """Vocab-sharded tied-head logits. INT8 wte: logits = (out @
+            q.T) * row_scale — same math as the single-chip quantized
+            lm_head (ops/quant.quant_linear int8 path), since quantize_weight
+            on wte.T and the per-row embedding quantization produce identical
+            scales (absmax over d / 127)."""
+            if quant_wte:
+                compute = jnp.bfloat16
+                y = jnp.dot(out_full.astype(compute),
+                            wte_loc["q"].T.astype(compute),
+                            preferred_element_type=jnp.float32)
+                return y * wte_loc["row_scale"][:, 0]
             return jnp.dot(out_full.astype(hidden.dtype), wte_loc.T,
                            preferred_element_type=jnp.float32)
 
@@ -550,9 +650,11 @@ def make_tp_decode_step(cfg: BackpackConfig, mesh: Mesh, *,
         given a flat BackpackCache), and device_puts both with TP shardings.
 
     Requirements: n_head and num_senses divisible by the model-axis size,
-    vocab divisible too; bf16/f32 params (quantized trees: use the pjit path
-    in parallel/serving.py). window: static length bucket as in
-    backpack_forward_with_cache.
+    vocab divisible too. Takes bf16/f32 params OR INT8 QuantWeight trees
+    from models/quantized.quantize_backpack_params (the flagship north-star
+    config: INT8 weights + INT8 caches on the latency-optimized path);
+    INT4 packed trees stay on the pjit path in parallel/serving.py.
+    window: static length bucket as in backpack_forward_with_cache.
     """
     body = _build_body(cfg, mesh, window=window, microbatches=microbatches)
 

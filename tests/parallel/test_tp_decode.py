@@ -66,6 +66,39 @@ def test_tp_decode_matches_unsharded(setup, dtype):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_tp_decode_int8_weights_matches_quantized_unsharded(setup):
+    """The flagship north-star config on the latency-optimized path: INT8
+    QuantWeight trees + INT8 caches + the quantized sense table, oracle'd
+    against the single-chip quantized decode. The TP body dequant-fuses each
+    weight shard into its local dot, shards the sense table over 'model',
+    and computes vocab-sharded logits straight from the INT8 wte shard."""
+    from backpacks_flash_attn_tpu.models import quantized as qz
+
+    cfg, params, mesh = setup
+    qp = qz.quantize_backpack_params(params, cfg, bits=8)
+    b, p, steps, max_len = 4, 5, 3, 16
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, p), 0, cfg.vocab_size)
+
+    logits, cache = _prefill(cfg, qp, ids, max_len, jnp.int8)
+    step, prepare = tp_decode.make_tp_decode_step(cfg, mesh)
+    tp_params, tp_cache = prepare(qp, cache)
+
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    for _ in range(steps):
+        want, cache = bp.backpack_forward_with_cache(qp, cfg, tok, cache,
+                                                     use_flash=False)
+        got, tp_cache = step(tp_params, tok, tp_cache)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+        # greedy agreement up to exact ties: the TP logits come off a
+        # different (vocab-sharded) reduction order, so a random-init near-tie
+        # may flip argmax while both logits agree to ~1e-5
+        w, g = np.asarray(want)[:, -1], np.asarray(got)[:, -1]
+        picked = np.take_along_axis(w, g.argmax(-1)[:, None], -1)[:, 0]
+        np.testing.assert_allclose(picked, w.max(-1), rtol=0, atol=1e-4)
+        tok = jnp.argmax(want[:, -1], -1)[:, None].astype(jnp.int32)
+
+
 def test_tp_decode_per_slot_lengths_and_window(setup):
     """Serving shapes: per-row length counters at different positions, with a
     static window bucket folded into the cache reads."""
