@@ -91,7 +91,14 @@ def mlp_fwd_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
     d_out = w2.shape[1]
     xm = x.reshape(-1, d_in)
     t = xm.shape[0]
-    block_t = min(block_t, max(((t + 7) // 8) * 8, 8))
+    # scoped-VMEM budget: the f32 accumulator is (block_t, d_out) and lives
+    # on the kernel stack — at d_out=12288 (the content net's sense
+    # projection) a 1024-row tile is a 48MB stack frame, 3x the 16MB scoped
+    # limit (measured compile OOM, bench_results r3). Cap the accumulator at
+    # 4MB; wide-output shapes are excluded by supported() anyway, so this is
+    # defense-in-depth for direct callers.
+    max_t = max(256, (4 * 2 ** 20 // (4 * d_out)) // 8 * 8)
+    block_t = min(block_t, max_t, max(((t + 7) // 8) * 8, 8))
     t_pad = -(-t // block_t) * block_t
     if t_pad != t:
         xm = jnp.pad(xm, ((0, t_pad - t), (0, 0)))
@@ -141,5 +148,13 @@ def supported(params, activation: str) -> bool:
         return False
     d_in, inner = w1.shape
     d_out = w2.shape[1]
+    # wide-output projections (the Backpack content net's final sense
+    # projection is 768 -> 3072 -> nv*d = 12288) blow the scoped-VMEM budget:
+    # the (block_i, d_out) W2 block and the (block_t, d_out) f32 accumulator
+    # both scale with d_out, and their (T, d_out)-sized output must hit HBM
+    # regardless (it IS the senses tensor), so there is no streaming win to
+    # chase there. Keep the kernel for transformer-MLP shapes (d_out ~ d_in).
+    if d_out > max(2048, d_in):
+        return False
     return (d_in % 128 == 0 and inner % 128 == 0 and d_out % 128 == 0
             and inner % min(512, inner) == 0)
