@@ -71,6 +71,11 @@ def main():
                     help="variant (e.g. none:1) to capture a jax trace for")
     ap.add_argument("--trace-dir", default="/tmp/train_trace")
     ap.add_argument("--json", default="")
+    ap.add_argument("--attn-pdrop", type=float, default=None,
+                    help="override cfg.attn_pdrop (0 isolates the in-kernel "
+                         "counter-hash dropout cost in the flash kernels)")
+    ap.add_argument("--pdrop", type=float, default=None,
+                    help="override ALL dropout rates (embd/resid/attn)")
     args = ap.parse_args()
 
     if args.model == "backpack-test":
@@ -81,6 +86,11 @@ def main():
         args.seqlen = min(args.seqlen, cfg.n_positions)
     else:
         cfg = backpack_small()
+    if args.pdrop is not None:
+        cfg = cfg.replace(embd_pdrop=args.pdrop, resid_pdrop=args.pdrop,
+                          attn_pdrop=args.pdrop)
+    if args.attn_pdrop is not None:
+        cfg = cfg.replace(attn_pdrop=args.attn_pdrop)
     params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     tx = train_lib.make_optimizer(params, warmup_steps=10, total_steps=1000)
@@ -137,6 +147,11 @@ def main():
         print(f"   {per_step*1e3:.1f} ms/step  {tps:,.0f} tok/s  "
               f"{tflops:.1f} TFLOP/s  MFU {results[spec]['mfu']*100:.1f}%",
               flush=True)
+        if args.json:
+            # partial write per variant: a crash/OOM in a later variant must
+            # not lose the measurements already taken
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=2)
         if args.profile == spec:
             jax.profiler.start_trace(args.trace_dir)
             state, losses = fn(state, batch, rng)
