@@ -682,6 +682,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     hash of (rng, batch*head, q_pos, k_pos), regenerated bit-identically in
     the backward. No O(s^2) mask is ever materialized.
     """
+    # bench-only block-size override (A/B knob: at s=512 the default single
+    # 512x512 tile computes the whole dead upper triangle — mask/exp/dropout
+    # work doubles — while smaller tiles pay more grid+loop overhead; the
+    # causal loop bound skips fully-masked KEY BLOCKS only)
+    block_q = int(os.environ.get("FLASH_BLOCK_Q", block_q))
+    block_k = int(os.environ.get("FLASH_BLOCK_K", block_k))
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     # Fold the (possibly traced, e.g. per-layer) scale into q here: the
     # custom_vjp's static args and the Pallas kernel must not capture tracers.

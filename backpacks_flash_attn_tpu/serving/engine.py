@@ -7,8 +7,10 @@ uniform batch with a Python loop that re-runs the full forward per token
 
   * a fixed (max_slots, max_seqlen) per-slot cache — static shapes, so the
     decode step compiles ONCE and every request shape-shares it
-  * admission: prompts prefill batch-1 into length buckets (power-of-two
-    padding => one compile per bucket) and scatter into a free slot
+  * admission: prompts prefill into length buckets (power-of-two padding
+    => one compile per bucket) and scatter into free slots; with
+    prefill_chunk > 0 a whole admission wave packs into ONE chunked-prefill
+    dispatch of a single compiled shape (per-sequence q_offsets)
   * one jitted decode step advances ALL active slots; finished requests
     retire and their slots are immediately reusable
   * scheduling (queue, slots, budgets, EOS) lives in the native C++
