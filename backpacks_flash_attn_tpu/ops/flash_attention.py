@@ -75,24 +75,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# A/B knob (r3: the attention-dropout hash measured 10.4ms of a 240ms
+# train step): 1 finalizer round halves the mix cost; the multiplicative
+# setup already diffuses the counters upward and one xorshift-multiply
+# round diffuses back down, which is plenty for a dropout threshold read
+# off the HIGH bits. Default stays the full 2-round murmur3 finalizer
+# until the on-chip A/B + mask-statistics check say otherwise.
+_DROPOUT_ROUNDS = int(os.environ.get("FLASH_DROPOUT_ROUNDS", "2"))
+
+
 def _dropout_keep_positions(seed_ref, bh: jax.Array, q_pos: jax.Array,
-                            k_pos: jax.Array, dropout_p: float) -> jax.Array:
+                            k_pos: jax.Array, dropout_p: float,
+                            rounds: Optional[int] = None) -> jax.Array:
     """Counter-based dropout mask from explicit GLOBAL position arrays.
 
     The TPU analogue of the reference's Philox counter offsets
     (csrc/flash_attn/fmha_api.cpp:313-318): bits are a pure function of
     (seed, batch*head, q_pos, k_pos), so any consumer — the Pallas forward,
-    both backward kernels, or an einsum-block ring step — regenerates
-    identical masks regardless of tiling or sequence layout. murmur3-
-    finalizer hash over the position counters — a few VPU ops per element,
-    no cross-backend PRNG primitive needed. All of (bh, q_pos, k_pos) may
-    be arrays; they broadcast together."""
+    both backward kernels, an einsum-block ring step, or the per-token
+    dropout sites (ops/norms.py) — regenerates identical masks regardless
+    of tiling or sequence layout. murmur3-finalizer hash over the position
+    counters — a few VPU ops per element, no cross-backend PRNG primitive
+    needed. All of (bh, q_pos, k_pos) may be arrays; they broadcast
+    together."""
     x = (seed_ref[0]
          ^ (q_pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
          ^ (k_pos.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
          ^ (bh.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)))
     x = x + seed_ref[1]
-    for _ in range(2):
+    for _ in range(_DROPOUT_ROUNDS if rounds is None else rounds):
         x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
         x = x * jnp.uint32(0x85EBCA6B)
         x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))

@@ -34,22 +34,34 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
     return y.astype(out_dtype)
 
 
-def _bernoulli_mask(key_data, keep: float, shape):
-    return jax.random.bernoulli(jax.random.wrap_key_data(key_data), p=keep,
-                                shape=shape)
+def _hash_mask(key_data, rate: float, shape):
+    """Keep-mask from the shared murmur counter hash over flat element
+    positions (ops/flash_attention._dropout_keep_positions — the same
+    position-seeded source the flash kernels regenerate in their backwards).
+    ~3x cheaper on the VPU than threefry bernoulli, which the r3 profile
+    measured at ~15ms/step across the per-token dropout sites."""
+    from .flash_attention import _dropout_keep_positions
+
+    n = 1
+    for d in shape:
+        n *= d
+    idx = jax.lax.iota(jnp.int32, n).reshape(shape)
+    seed = key_data.astype(jnp.uint32).reshape(-1)[:2]
+    zero = jnp.zeros((), jnp.uint32)
+    return _dropout_keep_positions(seed, zero, idx, zero, rate)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _recompute_dropout(x, rate: float, shape, key_data):
     """Dropout whose backward REGENERATES the mask from the rng key instead
-    of saving it: jax.random.bernoulli's pred mask is otherwise a per-layer
-    residual that the layer scan stacks into (n_layer, b, s, d) buffers —
-    the r3 step profile measured ~8.5ms/step of dynamic-update-slice traffic
-    at 45GB/s writing exactly those two stacked masks (plus their backward
-    reads). threefry is deterministic, so the recomputed mask is
-    BIT-IDENTICAL to the forward's and semantics match plain dropout."""
+    of saving it: a saved mask is otherwise a per-layer residual that the
+    layer scan stacks into (n_layer, b, s, d) pred buffers — the r3 step
+    profile measured ~8.5ms/step of dynamic-update-slice traffic at 45GB/s
+    writing exactly those two stacked masks (plus their backward reads).
+    The counter hash is a pure function of (key, element position), so the
+    regenerated mask is BIT-IDENTICAL to the forward's."""
     keep = 1.0 - rate
-    mask = _bernoulli_mask(key_data, keep, shape)
+    mask = _hash_mask(key_data, rate, shape)
     return jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
 
 
@@ -59,7 +71,7 @@ def _recompute_dropout_fwd(x, rate, shape, key_data):
 
 def _recompute_dropout_bwd(rate, shape, key_data, g):
     keep = 1.0 - rate
-    mask = _bernoulli_mask(key_data, keep, shape)
+    mask = _hash_mask(key_data, rate, shape)
     dx = jnp.where(mask, g * (1.0 / keep), jnp.zeros_like(g))
     return dx, np.zeros(np.shape(key_data), jax.dtypes.float0)
 

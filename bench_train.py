@@ -128,6 +128,12 @@ def main():
             jnp.zeros((), jnp.int32))
         fn = build_step(cfg, tx, remat, unroll, args.steps,
                         fused_ctx=fused_ctx)
+        xla_opts = os.environ.get("BACKPACKS_XLA_OPTS")
+        if xla_opts:
+            # A/B hook for XLA:TPU tuning knobs, e.g.
+            #   BACKPACKS_XLA_OPTS='{"xla_tpu_scoped_vmem_limit_kib":"65536"}'
+            fn = fn.lower(state, batch, rng).compile(
+                compiler_options=json.loads(xla_opts))
         t0 = time.time()
         state, losses = fn(state, batch, rng)
         _ = np.asarray(losses)

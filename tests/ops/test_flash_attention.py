@@ -375,3 +375,53 @@ def test_fixedmax_softmax_variant(monkeypatch):
     for gf, gr, name in zip(g_f, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=3e-5, rtol=3e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_dropout_hash_statistics_by_rounds(rounds):
+    """Mask-quality evidence for the FLASH_DROPOUT_ROUNDS knob: keep
+    fraction, row/column balance, and adjacent-position correlation of the
+    counter hash at 1 and 2 finalizer rounds (the threshold reads the HIGH
+    bits, which the multiplicative setup + one xorshift round already mix)."""
+    from backpacks_flash_attn_tpu.ops.flash_attention import \
+        _dropout_keep_positions
+
+    p = 0.1
+    s = 512
+    seed = jnp.asarray([0xDEADBEEF, 0x12345678], jnp.uint32)
+    q_pos = jnp.arange(s, dtype=jnp.int32)[:, None]
+    k_pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keep = np.asarray(_dropout_keep_positions(
+        seed, jnp.uint32(3), q_pos, k_pos, p, rounds=rounds))
+    frac = keep.mean()
+    assert abs(frac - (1 - p)) < 0.005, frac
+    # per-row / per-column keep fractions stay near 1-p (no striping)
+    assert np.abs(keep.mean(axis=0) - (1 - p)).max() < 0.06
+    assert np.abs(keep.mean(axis=1) - (1 - p)).max() < 0.06
+    # adjacent-position correlation ~0 along both axes
+    x = keep.astype(np.float64) - frac
+    for a, b in ((x[:, :-1], x[:, 1:]), (x[:-1], x[1:])):
+        corr = (a * b).mean() / (x.var() + 1e-12)
+        assert abs(corr) < 0.02, corr
+
+
+def test_token_dropout_mask_matches_hash_and_regenerates():
+    """ops/norms.dropout masks come from the shared counter hash (flat
+    positions), identical fwd/bwd, key-sensitive, and grads carry the same
+    mask (the backward regenerates rather than saves it)."""
+    from backpacks_flash_attn_tpu.ops import norms
+
+    rng = jax.random.PRNGKey(5)
+    x = jnp.ones((64, 128), jnp.float32)
+    y = norms.dropout(x, 0.25, rng, deterministic=False)
+    kept = np.asarray(y) != 0.0
+    assert abs(kept.mean() - 0.75) < 0.02
+    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / 0.75, rtol=1e-6)
+    # deterministic per key; different key -> different mask
+    y2 = norms.dropout(x, 0.25, rng, deterministic=False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    y3 = norms.dropout(x, 0.25, jax.random.PRNGKey(6), deterministic=False)
+    assert (np.asarray(y3) != np.asarray(y)).mean() > 0.1
+    # grad mask == fwd mask
+    g = jax.grad(lambda x: jnp.sum(norms.dropout(x, 0.25, rng, False)))(x)
+    np.testing.assert_array_equal(np.asarray(g) != 0.0, kept)
