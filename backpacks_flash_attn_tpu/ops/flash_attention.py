@@ -513,6 +513,92 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
+                            k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            dq_ref, dk_ref, dv_ref, *, block_q: int,
+                            block_k: int, q_len: int, kv_len: int,
+                            causal: bool, dropout_p: float, force_f32: bool):
+    """Single-pass backward: grid (b, h, n_k, n_q), qi innermost. The split
+    dq and dk/dv kernels each recompute the (s, mask, dropout-hash, exp)
+    tile — 2x the elementwise work and 7 MXU dots; this computes the tile
+    ONCE and emits all three gradients (5 dots). dk/dv blocks are indexed by
+    the second-to-innermost grid dim, so they stay VMEM-resident across the
+    qi sweep and accumulate in f32; dq blocks are revisited once per kj
+    (outer), read-modify-write, initialized at kj == 0."""
+    kj = pl.program_id(2)
+    qi = pl.program_id(3)
+    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
+          + pl.program_id(1))
+    dq_base = qoff_ref[pl.program_id(0)]
+    dk0 = koff_ref[pl.program_id(0)] + kj * block_k
+    q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+
+    # dk/dv blocks are indexed by kj only: with qi INNERMOST their revisits
+    # are consecutive, the one accumulation pattern Pallas TPU supports on
+    # output blocks (same as the fused-ctx inference kernel). dq would be
+    # revisited non-consecutively (across the outer kj), so it is emitted as
+    # per-kj PARTIALS instead — each block written exactly once — and summed
+    # outside the kernel.
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    if causal:
+        # tile intersects the causal lower triangle (absolute q position is
+        # q_off + local row; q_off < 0 ring pairs can be entirely inactive)
+        active = (q_off + (qi + 1) * block_q - 1) >= kj * block_k
+    else:
+        active = qi >= 0
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0, 0].astype(cdt)
+        do = do_ref[0, 0].astype(cdt)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        k = k_ref[0, 0].astype(cdt)
+        v = v_ref[0, 0].astype(cdt)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = _bwd_mask(qi * block_q, kj * block_k, block_q, block_k,
+                         q_len, kv_len, causal, q_off=q_off)
+        p = jnp.where(mask, _pexp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_p > 0.0:
+            keep = _dropout_keep(seed_ref, bh, dq_base + qi * block_q, dk0,
+                                 block_q, block_k, dropout_p)
+            scale_keep = 1.0 / (1.0 - dropout_p)
+            p_v = jnp.where(keep, p * scale_keep, 0.0)
+            dp = jnp.where(keep, dp * scale_keep, 0.0)
+        else:
+            p_v = p
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p_v.astype(cdt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        ds = p * (dp - delta)
+        dk_ref[0, 0] += jax.lax.dot_general(
+            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dq_ref[0, 0, 0] = jax.lax.dot_general(
+            ds.astype(cdt), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        # dq partial blocks are write-once: inactive tiles must still zero
+        # their slot so the outside sum sees no garbage
+        dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
+
+
+# default off until the on-chip A/B lands (r2 lesson: Pallas "obvious wins"
+# — fused-ctx training, fused-MLP forward — both lost their A/Bs)
+_FUSED_BWD = os.environ.get("FLASH_FUSED_BWD", "0") == "1"
+
+
 def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                dropout_p=0.0, bias=None, q_offsets=None, k_offsets=None,
                bh_offset=None):
@@ -606,29 +692,65 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                                             jnp.float32))
         dq_specs.append(pl.BlockSpec((1, 1, block_q, sk_pad),
                                      lambda bi, hi, i: (bi, hi, i, 0)))
-    dq_res = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, **common),
-        grid=(b, h, n_qb),
-        in_specs=[sspec, sspec, sspec, sspec, qspec, kfull, kfull, qspec,
-                  rblk, rblk, bias_q_blk],
-        out_specs=dq_specs,
-        out_shape=dq_outs,
-        interpret=_interpret(),
-    )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p, delta,
-      bias_p)
-    dq, dbias = (dq_res if has_bias else (dq_res[0], None))
+    if _FUSED_BWD and not has_bias:
+        # single-pass fused backward: one (s, mask, hash, exp) recompute per
+        # tile instead of two, 5 MXU dots instead of 7. f32 outputs so the
+        # dq read-modify-write and the resident dk/dv accumulate exactly.
+        grid4 = (b, h, n_kb, n_qb)
+        q4 = pl.BlockSpec((1, 1, block_q, d_pad),
+                          lambda bi, hi, kj, qi: (bi, hi, qi, 0))
+        k4 = pl.BlockSpec((1, 1, block_k, d_pad),
+                          lambda bi, hi, kj, qi: (bi, hi, kj, 0))
+        r4 = pl.BlockSpec((1, 1, block_q, 1),
+                          lambda bi, hi, kj, qi: (bi, hi, qi, 0))
+        dq_part4 = pl.BlockSpec((1, 1, 1, block_q, d_pad),
+                                lambda bi, hi, kj, qi: (kj, bi, hi, qi, 0))
+        common4 = dict(common)
+        common4.pop("has_bias")
+        dq_parts, dkf, dvf = pl.pallas_call(
+            functools.partial(_flash_bwd_fused_kernel, **common4),
+            grid=grid4,
+            in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4, r4],
+            out_specs=[dq_part4, k4, k4],
+            out_shape=[jax.ShapeDtypeStruct((n_kb, b, h, sq_pad, d_pad),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
+                                            jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary",
+                                     "arbitrary")),
+            interpret=_interpret(),
+        )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
+          delta)
+        dq, dbias = dq_parts.sum(axis=0).astype(q.dtype), None
+        dk, dv = dkf.astype(k.dtype), dvf.astype(v.dtype)
+    else:
+        dq_res = pl.pallas_call(
+            functools.partial(_flash_bwd_dq_kernel, **common),
+            grid=(b, h, n_qb),
+            in_specs=[sspec, sspec, sspec, sspec, qspec, kfull, kfull, qspec,
+                      rblk, rblk, bias_q_blk],
+            out_specs=dq_specs,
+            out_shape=dq_outs,
+            interpret=_interpret(),
+        )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
+          delta, bias_p)
+        dq, dbias = (dq_res if has_bias else (dq_res[0], None))
 
-    dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb, **common),
-        grid=(b, h, n_kb),
-        in_specs=[sspec, sspec, sspec, sspec, qfull, kspec, kspec, qfull,
-                  rfull, rfull, bias_k_blk],
-        out_specs=[kspec, kspec],
-        out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
-        interpret=_interpret(),
-    )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p, delta,
-      bias_p)
+        dk, dv = pl.pallas_call(
+            functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb,
+                              **common),
+            grid=(b, h, n_kb),
+            in_specs=[sspec, sspec, sspec, sspec, qfull, kspec, kspec, qfull,
+                      rfull, rfull, bias_k_blk],
+            out_specs=[kspec, kspec],
+            out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
+                       jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
+            interpret=_interpret(),
+        )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
+          delta, bias_p)
 
     dq = dq[:, :, :sq, :d]
     if not (isinstance(scale, float) and scale == 1.0):

@@ -425,3 +425,64 @@ def test_token_dropout_mask_matches_hash_and_regenerates():
     # grad mask == fwd mask
     g = jax.grad(lambda x: jnp.sum(norms.dropout(x, 0.25, rng, False)))(x)
     np.testing.assert_array_equal(np.asarray(g) != 0.0, kept)
+
+
+@pytest.mark.parametrize("causal,p_drop", [(True, 0.0), (False, 0.0),
+                                           (True, 0.17)])
+def test_fused_bwd_matches_split_kernels(monkeypatch, causal, p_drop):
+    """FLASH_FUSED_BWD single-pass backward (dq+dk+dv in one kernel, one
+    (s, mask, hash, exp) recompute per tile) must match the split dq / dkv
+    kernels bit-for-bit in mask choice and to fp tolerance in the grads."""
+    from backpacks_flash_attn_tpu.ops import flash_attention as fa
+
+    b, h, s, d = 2, 2, 256, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(31), b, s, h, d, jnp.float32)
+    rng = jax.random.PRNGKey(32)
+    ct = jax.random.normal(jax.random.PRNGKey(33), q.shape, jnp.float32)
+
+    def run():
+        def f(q, k, v):
+            return flash_attention(q, k, v, causal=causal, dropout_p=p_drop,
+                                   dropout_rng=rng, block_q=128, block_k=128)
+        _, vjp = jax.vjp(f, q, k, v)
+        return vjp(ct)
+
+    monkeypatch.setattr(fa, "_FUSED_BWD", False)
+    want = run()
+    monkeypatch.setattr(fa, "_FUSED_BWD", True)
+    got = run()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_fused_bwd_matches_split_with_offsets(monkeypatch):
+    """Ring-style chunk pairs: global q/k offsets (including a pair where q
+    sits entirely BEFORE k, so every tile is causally inactive and the fused
+    kernel's dq/dk/dv inits must still zero the outputs)."""
+    from backpacks_flash_attn_tpu.ops import flash_attention as fa
+
+    b, h, s, d = 2, 2, 128, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(41), b, s, h, d, jnp.float32)
+    out_g = jax.random.normal(jax.random.PRNGKey(42), q.shape, jnp.float32)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt, vt = jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    gp = jnp.swapaxes(out_g, 1, 2)
+    seed = jnp.asarray([3, 9], jnp.uint32)
+
+    for q_off, k_off in ((128, 0), (0, 128), (256, 128)):
+        out, lse = fa._flash_fwd(qt, kt, vt, None, 1.0, True, 128, 128,
+                                 q_offsets=jnp.full((b,), q_off, jnp.int32),
+                                 k_offsets=jnp.full((b,), k_off, jnp.int32))
+        args = (qt, kt, vt, out, lse, gp, seed, 1.0, True, 128, 128)
+        kw = dict(dropout_p=0.11,
+                  q_offsets=jnp.full((b,), q_off, jnp.int32),
+                  k_offsets=jnp.full((b,), k_off, jnp.int32))
+        monkeypatch.setattr(fa, "_FUSED_BWD", False)
+        want = fa._flash_bwd(*args, **kw)
+        monkeypatch.setattr(fa, "_FUSED_BWD", True)
+        got = fa._flash_bwd(*args, **kw)
+        for g, w in zip(got[:3], want[:3]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"q_off={q_off} k_off={k_off}")

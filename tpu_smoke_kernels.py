@@ -78,6 +78,16 @@ gref = jax.grad(loss_ref, (0, 1, 2))(qa, ka, va)
 for name, a, bb in zip(("dq", "dk", "dv"), gflash, gref):
     check(name, a, bb)
 
+# --- fused single-pass flash bwd (round-3; FLASH_FUSED_BWD) ----------------
+print("flash fused single-pass bwd:")
+fa._FUSED_BWD = True
+try:
+    gfused = jax.jit(jax.grad(loss_flash, (0, 1, 2)))(qa, ka, va)
+    for name, a, bb in zip(("dq", "dk", "dv"), gfused, gref):
+        check(name, a, bb)
+finally:
+    fa._FUSED_BWD = False
+
 # --- blocksparse bwd (round-2) --------------------------------------------
 print("blocksparse fwd+bwd:")
 layout = jnp.ones((s // 128, s // 128), bool)
