@@ -473,11 +473,14 @@ def backpack_forward_with_cache(
     if cache.quantized:
         from ..ops import quant
         k8, ksc = quant.quantize_activations_int8(k_flat, axis=1)
-        ctx_k = gpt_lib.update_rows_axis(cache.ctx_k, k8, row_off, axis=2)
-        ctx_k_scale = gpt_lib.update_rows_axis(ctx_k_scale, ksc[:, 0, :],
-                                               row_off, axis=1)
+        ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k8, row_off,
+                                                  axis=2, window=window)
+        ctx_k_scale = gpt_lib.update_rows_axis_windowed(
+            ctx_k_scale, ksc[:, 0, :], row_off, axis=1, window=window)
     else:
-        ctx_k = gpt_lib.update_rows_axis(cache.ctx_k, k_flat, row_off, axis=2)
+        ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k_flat,
+                                                  row_off, axis=2,
+                                                  window=window)
 
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
     if sense_edit is not None:
@@ -487,12 +490,14 @@ def backpack_forward_with_cache(
     if cache.quantized:
         from ..ops import quant
         s8, ssc = quant.quantize_activations_int8(senses_t, axis=2)
-        content = gpt_lib.update_rows_axis(cache.content, s8, row_off, axis=1)
-        content_scale = gpt_lib.update_rows_axis(content_scale, ssc[..., 0],
-                                                 row_off, axis=1)
+        content = gpt_lib.update_rows_axis_windowed(cache.content, s8, row_off,
+                                                    axis=1, window=window)
+        content_scale = gpt_lib.update_rows_axis_windowed(
+            content_scale, ssc[..., 0], row_off, axis=1, window=window)
     else:
-        content = gpt_lib.update_rows_axis(cache.content, senses_t, row_off,
-                                           axis=1)
+        content = gpt_lib.update_rows_axis_windowed(cache.content, senses_t,
+                                                    row_off, axis=1,
+                                                    window=window)
 
     scale = cfg.sense_head_dim ** -0.5
 

@@ -300,12 +300,50 @@ def gpt_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array, *,
     return hidden
 
 
+def _masked_row_write(buf: jax.Array, new: jax.Array, offsets: jax.Array,
+                      axis: int) -> jax.Array:
+    """buf <- new written along `axis` at PER-ROW offsets (b,), without XLA
+    scatter.
+
+    A vmapped dynamic_update_slice with per-row offsets lowers to scatter,
+    which XLA:TPU serializes into a per-row loop — measured at ~138ms/step
+    on the per-slot decode path (bench_results/spec_r3.json) vs ~3ms for the
+    scalar-length path: a silent ~50x tax on the WHOLE serving engine, every
+    step, every layer. Instead:
+
+      * s == 1 (the decode hot path): a one-hot select along the axis —
+        buf = where(pos == offset, new, buf). Fused elementwise, one pass.
+      * s > 1 (admission prefill / speculative verification): a one-hot
+        MATMUL — delta[..., S, :] = onehot[S, s] @ new[..., s, :] rides the
+        MXU and is exact for cache values (int8 fits f32 accumulation).
+    """
+    S = buf.shape[axis]
+    s = new.shape[axis]
+    b = buf.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, S), 1)
+    off = offsets.reshape(b, *([1] * (buf.ndim - 1)))
+    posx = pos.reshape(b, *([1] * (axis - 1)), S,
+                       *([1] * (buf.ndim - axis - 1)))
+    if s == 1:
+        # new's size-1 axis broadcasts across S inside the select
+        return jnp.where(posx == off, new.astype(buf.dtype), buf)
+    # one-hot matmul: onehot (b, S, s); contract new's s-axis on the MXU
+    onehot = (pos[:, :, None] - offsets[:, None, None]
+              == jnp.arange(s, dtype=jnp.int32)[None, None, :])
+    nf = jnp.moveaxis(new.astype(jnp.float32), axis, -1)   # (b, ..., s)
+    bcast = "".join(chr(ord("u") + i) for i in range(buf.ndim - 2))
+    delta = jnp.einsum(f"bMs,b{bcast}s->b{bcast}M", onehot.astype(jnp.float32),
+                       nf)
+    delta = jnp.moveaxis(delta, -1, axis)
+    inside = (posx >= off) & (posx < off + s)
+    return jnp.where(inside, delta.astype(buf.dtype), buf)
+
+
 def _update_rows(buf: jax.Array, new: jax.Array,
                  offsets: jax.Array) -> jax.Array:
     """buf (b, S, ...) <- new (b, s, ...) written at per-row offsets (b,) —
     the serving-slot cache write (each slot is at its own decode position)."""
-    return jax.vmap(lambda c, n, o: jax.lax.dynamic_update_slice(
-        c, n.astype(c.dtype), (o,) + (0,) * (c.ndim - 1)))(buf, new, offsets)
+    return _masked_row_write(buf, new, offsets, axis=1)
 
 
 def update_rows_axis(buf: jax.Array, new: jax.Array, offsets,
@@ -313,16 +351,28 @@ def update_rows_axis(buf: jax.Array, new: jax.Array, offsets,
     """buf (b, ...) <- new (b, ...) written along `axis` (absolute, counting
     the batch axis) at a scalar or per-row (b,) offset."""
     if jnp.asarray(offsets).ndim == 1:
-        def one(c, n, o):
-            idx = [0] * c.ndim
-            idx[axis - 1] = o
-            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype),
-                                                tuple(idx))
-        return jax.vmap(one)(buf, new, offsets)
+        return _masked_row_write(buf, new, offsets, axis)
     idx = [0] * buf.ndim
     idx[axis] = offsets
     return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
                                         tuple(idx))
+
+
+def update_rows_axis_windowed(buf: jax.Array, new: jax.Array, offsets,
+                              axis: int, window: Optional[int]) -> jax.Array:
+    """update_rows_axis restricted to the first `window` columns: the
+    per-row masked write streams the whole buffer along `axis`, but writes
+    always land below the active length bucket (callers guarantee
+    max(offsets)+s <= window), so only the bucket prefix needs the pass —
+    the same static length-bucketing that cuts decode READ traffic."""
+    S = buf.shape[axis]
+    if (window is None or window >= S
+            or jnp.asarray(offsets).ndim == 0):
+        return update_rows_axis(buf, new, offsets, axis)
+    view = jax.lax.slice_in_dim(buf, 0, window, axis=axis)
+    view = update_rows_axis(view, new, offsets, axis)
+    return jax.lax.dynamic_update_slice(buf, view.astype(buf.dtype),
+                                        (0,) * buf.ndim)
 
 
 def gpt_forward_with_cache(
@@ -390,15 +440,16 @@ def gpt_forward_with_cache(
 
         Scalar offsets write the small block straight into the stacked buffer
         (an in-place dynamic_update_slice on the scan carry — no layer copy);
-        per-row offsets (serving) go through the vmapped row write."""
+        per-row offsets (serving) use the masked row write on the layer's
+        WINDOW prefix (writes land below the active length bucket)."""
         if not vec:
             idx = [0] * all_buf.ndim
             idx[0] = li
             idx[axis + 1] = offset
             return jax.lax.dynamic_update_slice(
                 all_buf, new.astype(all_buf.dtype)[None], tuple(idx))
-        layer = update_rows_axis(_layer(all_buf, li), new,
-                                 jnp.repeat(offset, h), axis)
+        layer = _layer(all_buf, li, win_axis=axis + 1)
+        layer = update_rows_axis(layer, new, jnp.repeat(offset, h), axis)
         zeros = (0,) * (all_buf.ndim - 1)
         return jax.lax.dynamic_update_slice(all_buf, layer[None],
                                             (li,) + zeros)

@@ -798,8 +798,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     dropout_rng: Optional[jax.Array] = None,
                     q_offsets: Optional[jax.Array] = None,
                     attn_bias: Optional[jax.Array] = None,
-                    block_q: int = 512, block_k: int = 512) -> jax.Array:
+                    block_q: int = 256, block_k: int = 256) -> jax.Array:
     """FlashAttention forward (differentiable).
+
+    Default blocks 256x256: measured +6.2% end-to-end training throughput
+    vs 512x512 at s=512 on v5e (bench_results/train_blk256_r3.json — one
+    512-tile computes the whole dead causal upper triangle; 256 tiles skip
+    1 of 4 via the causal loop bounds; 128 loses to grid overhead).
+    FLASH_BLOCK_Q/FLASH_BLOCK_K env vars override for A/Bs.
 
     attn_bias: additive score bias (b|1, h|1, sq, sk), e.g. ALiBi slopes or
     relative-position bias — the capability of the reference's Triton kernel

@@ -146,11 +146,24 @@ def main():
     drafts = jnp.ones((b, k), jnp.int32)
 
     results = {}
+    # scalar-length control: bench.py's headline config measures ~2.9ms/step
+    # at batch 128 with a SCALAR length counter, while the r3 spec runs saw
+    # ~138ms/step with the per-slot cache — this baseline separates
+    # "per-slot decode lowers badly on TPU" from "this bench is broken"
+    cs = bp.init_backpack_cache(cfg, b, max_len, dtype=jnp.int8)
+    _, cs = bp.backpack_forward_with_cache(qparams, cfg, ids, cs)
+    t_scalar = time_best(make_plain_loop(cfg, steps, window), args.reps,
+                         qparams, cs, token)
+    results["plain_scalar_ms"] = t_scalar / steps * 1e3
+    print(f"scalar-length plain: {results['plain_scalar_ms']:.3f} ms/step",
+          flush=True)
+
     plain = make_plain_loop(cfg, steps, window)
     t_plain = time_best(plain, args.reps,
                         qparams, jax.tree.map(jnp.copy, cache0), token)
     per_plain = t_plain / steps
     results["plain_ms"] = per_plain * 1e3
+    print(f"per-slot plain: {results['plain_ms']:.3f} ms/step", flush=True)
 
     verify = make_verify_loop(cfg, steps, window, k)
     t_ver = time_best(verify, args.reps,

@@ -25,6 +25,21 @@ run_step () {
 # kernel smoke first (now covers the fused single-pass bwd lowering)
 run_step 1800 python tpu_smoke_kernels.py || { echo SMOKE-RED; exit 1; }
 
+# per-slot vs scalar decode-step cost (the r3c spec runs measured
+# ~138ms/step on the per-slot cache — 50x the scalar-length headline; the
+# scalar control inside bench_spec_step localizes it on-chip)
+run_step 1800 python bench_spec_step.py --steps 160 --reps 2 \
+    --json bench_results/spec_r3d.json
+
+# r3c skipped these two on transient unhealthy probes:
+# post-dropout-fix default re-measure + full profile, and the rounds A/B
+run_step 3600 python bench_train.py --steps 8 --reps 3 --variants none:1 \
+    --profile none:1 --json bench_results/train_r3c.json
+run_step 2400 env FLASH_DROPOUT_ROUNDS=1 python bench_train.py --steps 8 \
+    --reps 3 --variants none:1 --json bench_results/train_rounds1_r3.json
+run_step 3600 python bench_window_buckets.py --batch 64 --steps 320 \
+    --json bench_results/window_buckets_r3.json
+
 run_step 2400 env FLASH_FUSED_BWD=1 python bench_train.py --steps 8 \
     --reps 3 --variants none:1 --json bench_results/train_fusedbwd_r3.json
 run_step 2400 env FLASH_FUSED_BWD=1 FLASH_DROPOUT_ROUNDS=1 \
