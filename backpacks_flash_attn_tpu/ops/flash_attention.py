@@ -75,13 +75,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# A/B knob (r3: the attention-dropout hash measured 10.4ms of a 240ms
-# train step): 1 finalizer round halves the mix cost; the multiplicative
-# setup already diffuses the counters upward and one xorshift-multiply
-# round diffuses back down, which is plenty for a dropout threshold read
-# off the HIGH bits. Default stays the full 2-round murmur3 finalizer
-# until the on-chip A/B + mask-statistics check say otherwise.
-_DROPOUT_ROUNDS = int(os.environ.get("FLASH_DROPOUT_ROUNDS", "2"))
+# The attention-dropout hash measured 10.4ms of a 240ms train step (r3);
+# 1 finalizer round halves the mix cost — the multiplicative setup already
+# diffuses the counters upward and one xorshift-multiply round diffuses
+# back down, which is plenty for a dropout threshold read off the HIGH
+# bits (statistics tested at both round counts). Default 1 since the
+# on-chip A/B: +0.8% end-to-end train throughput
+# (bench_results/train_fusedbwd_r1_r3.json vs train_fusedbwd_r3.json).
+_DROPOUT_ROUNDS = int(os.environ.get("FLASH_DROPOUT_ROUNDS", "1"))
 
 
 def _dropout_keep_positions(seed_ref, bh: jax.Array, q_pos: jax.Array,
@@ -594,9 +595,10 @@ def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
 
-# default off until the on-chip A/B lands (r2 lesson: Pallas "obvious wins"
-# — fused-ctx training, fused-MLP forward — both lost their A/Bs)
-_FUSED_BWD = os.environ.get("FLASH_FUSED_BWD", "0") == "1"
+# default ON since the r3 on-chip A/B: +0.6% end-to-end train throughput
+# (bench_results/train_fusedbwd_r3.json vs train_r3c.json) and fewer
+# kernels to schedule; exact against the split kernels (tests).
+_FUSED_BWD = os.environ.get("FLASH_FUSED_BWD", "1") == "1"
 
 
 def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,

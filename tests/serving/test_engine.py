@@ -183,7 +183,9 @@ def test_window_bucketing_matches_full_window():
         eng = ServingEngine(params, cfg, max_slots=4, max_seqlen=256,
                             cache_dtype=jnp.float32, eos_id=-1, seed=7,
                             control_table=table)
-        assert eng.window_buckets == [64, 128, 192, 256]
+        # 128-multiples only (misaligned buckets measured 2-3x slower on
+        # the (8,128)-tiled cache S axis, bench_results/window_buckets_r3)
+        assert eng.window_buckets == [128, 256]
         if buckets == "full":
             eng.window_buckets = [256]
         r1 = eng.submit(list(range(1, 9)), max_new_tokens=12)

@@ -78,7 +78,8 @@ def test_speculative_accepts_on_repetitive_sequence(setup):
     cfg, params = setup
     prompt = [7, 3, 7, 3, 7, 3]
     plain = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
-                          cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+                          cache_dtype=jnp.float32, use_flash=False,
+                          eos_id=-1, spec_tokens=0)
     r0 = plain.submit(prompt, max_new_tokens=24)
     plain_tokens = plain.run()[r0].tokens
     spec = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
@@ -99,7 +100,8 @@ def test_speculative_eos_mid_draft(setup):
     cfg, params = setup
     prompt = [3, 1, 4]
     plain = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
-                          cache_dtype=jnp.float32, use_flash=False, eos_id=-1)
+                          cache_dtype=jnp.float32, use_flash=False,
+                          eos_id=-1, spec_tokens=0)
     r0 = plain.submit(prompt, max_new_tokens=12)
     want = plain.run()[r0].tokens
     idx = next((i for i in range(1, 12) if want[i] not in want[:i]), None)
