@@ -322,15 +322,28 @@ def insert_cache_slot(big, small, slot) -> "BackpackCache":
 
     h = g_small.k.shape[1]        # rows per slot in the gpt cache (= n_head)
     nv = small.ctx_k.shape[0]     # rows per slot in the backpack caches
+    new_len_s = jnp.asarray(g_small.length).reshape(-1)[0]
+    stage_kw = {}
+    if g_big.staged:
+        # the fresh slot's staged entries are stale: invalidate its
+        # stage_pos row and advance its flushed horizon to the prefill
+        # length (the prefill went into the MAIN cache rows)
+        stage_kw = dict(
+            stage_pos=jax.lax.dynamic_update_slice(
+                g_big.stage_pos,
+                jnp.full((1, g_big.stage_pos.shape[1]), -1, jnp.int32),
+                (jnp.asarray(slot, jnp.int32), jnp.asarray(0, jnp.int32))),
+            base_len=g_big.base_len.at[slot].set(new_len_s),
+        )
     gpt_cache = g_big._replace(
         k=put(g_big.k, g_small.k, 1, h),
         v=put(g_big.v, g_small.v, 1, h),
-        length=g_big.length.at[slot].set(
-            jnp.asarray(g_small.length).reshape(-1)[0]),
+        length=g_big.length.at[slot].set(new_len_s),
         k_scale=(put(g_big.k_scale, g_small.k_scale, 1, h)
                  if g_big.k_scale is not None else None),
         v_scale=(put(g_big.v_scale, g_small.v_scale, 1, h)
                  if g_big.v_scale is not None else None),
+        **stage_kw,
     )
     return big._replace(
         gpt=gpt_cache,
@@ -343,6 +356,57 @@ def insert_cache_slot(big, small, slot) -> "BackpackCache":
         content_scale=(put(big.content_scale, small.content_scale, 0, nv)
                        if big.content_scale is not None else None),
     )
+
+
+def flush_cache(cache: "BackpackCache",
+                window=None) -> "BackpackCache":
+    """Merge the staging blocks into the main caches (gpt.flush_kv_cache for
+    the KV stack; the same one-hot MXU scatter for the contextualization-key
+    and sense caches) and reset the stage. The serving engine calls this
+    every ~C decode steps and before slot extraction / control-slot steps —
+    the once-per-C amortization that makes staged decode cheap."""
+    if not cache.staged:
+        return cache
+    g = cache.gpt
+    b, C = g.stage_pos.shape
+    e = cache.ctx_k.shape[0]
+    nv = e // b
+    S = cache.ctx_k.shape[-1]
+    w = min(window, S) if window is not None else S
+    valid = (g.stage_pos >= 0) & (g.stage_pos < cache.length[:, None])
+    pos = jnp.arange(w, dtype=jnp.int32)
+    onehot = ((pos[None, :, None] == g.stage_pos[:, None, :])
+              & valid[:, None, :])
+    oh = jnp.repeat(onehot, nv, axis=0).astype(jnp.float32)      # (E, w, C)
+    wrote = oh.sum(axis=2) > 0.5                                 # (E, w)
+
+    def merge(buf, st, layout):
+        if buf is None:
+            return None
+        axis = 2 if layout == "kt" else 1
+        view = jax.lax.slice_in_dim(buf, 0, w, axis=axis)
+        stf = st.astype(jnp.float32)
+        if layout == "kt":      # buf (E, dnv_pad, S); st (E, C, dnv_pad)
+            delta = jnp.einsum("ewc,ecd->edw", oh, stf)
+            m = wrote[:, None, :]
+        elif layout == "v":     # buf (E, S, d); st (E, C, d)
+            delta = jnp.einsum("ewc,ecd->ewd", oh, stf)
+            m = wrote[..., None]
+        else:                   # 'sc': buf (E, S); st (E, C)
+            delta = jnp.einsum("ewc,ec->ew", oh, stf)
+            m = wrote
+        view = jnp.where(m, delta.astype(buf.dtype), view)
+        return jax.lax.dynamic_update_slice(buf, view, (0,) * buf.ndim)
+
+    return cache._replace(
+        gpt=gpt_lib.flush_kv_cache(g, window=window),
+        ctx_k=merge(cache.ctx_k, cache.ctx_k_stage, "kt"),
+        content=merge(cache.content, cache.content_stage, "v"),
+        ctx_k_scale=(merge(cache.ctx_k_scale, cache.ctx_ks_stage, "sc")
+                     if cache.ctx_k_scale is not None else None),
+        content_scale=(merge(cache.content_scale, cache.content_ss_stage,
+                             "sc")
+                       if cache.content_scale is not None else None))
 
 
 def extract_cache_slot(big, row, cfg: "BackpackConfig") -> "BackpackCache":
@@ -401,24 +465,48 @@ class BackpackCache(NamedTuple):
     length: jax.Array
     content_scale: Optional[jax.Array] = None
     ctx_k_scale: Optional[jax.Array] = None
+    # staging block (serving; mirrors gpt.KVCache staging — the scalar
+    # pointer / positions / base_len live on the nested gpt cache):
+    # ctx_k_stage (E, C, dnv_pad), content_stage (E, C, d), scales (E, C)
+    ctx_k_stage: Optional[jax.Array] = None
+    ctx_ks_stage: Optional[jax.Array] = None
+    content_stage: Optional[jax.Array] = None
+    content_ss_stage: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
         return self.content.dtype == jnp.int8
 
+    @property
+    def staged(self) -> bool:
+        return self.ctx_k_stage is not None
+
 
 def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
                         dtype=jnp.bfloat16,
-                        per_slot: bool = False) -> BackpackCache:
+                        per_slot: bool = False,
+                        stage: int = 0) -> BackpackCache:
     """per_slot=True gives each batch row its own length counter (continuous-
-    batching serving slots); False is the uniform-batch scalar counter."""
+    batching serving slots); False is the uniform-batch scalar counter.
+    stage > 0 adds `stage`-column staging blocks (see gpt.init_kv_cache)."""
     content_dtype = dtype
     ctx_dtype = dtype
     len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
     e = batch * cfg.num_senses
+    stage_kw = {}
+    if stage > 0:
+        stage_kw = dict(
+            ctx_k_stage=jnp.zeros((e, stage, cfg.sense_head_dim_padded),
+                                  ctx_dtype),
+            content_stage=jnp.zeros((e, stage, cfg.n_embd), content_dtype),
+            ctx_ks_stage=(jnp.ones((e, stage), jnp.float32)
+                          if dtype == jnp.int8 else None),
+            content_ss_stage=(jnp.ones((e, stage), jnp.float32)
+                              if dtype == jnp.int8 else None),
+        )
     return BackpackCache(
         gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype,
-                                  per_slot=per_slot),
+                                  per_slot=per_slot, stage=stage),
         ctx_k=jnp.zeros((e, cfg.sense_head_dim_padded, max_seqlen),
                         ctx_dtype),
         content=jnp.zeros((e, max_seqlen, cfg.n_embd), content_dtype),
@@ -427,6 +515,7 @@ def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
                        if dtype == jnp.int8 else None),
         ctx_k_scale=(jnp.ones((e, max_seqlen), jnp.float32)
                      if dtype == jnp.int8 else None),
+        **stage_kw,
     )
 
 
@@ -460,44 +549,72 @@ def backpack_forward_with_cache(
     max_s = cache.ctx_k.shape[-1]
     row_off = jnp.repeat(offset, nv) if vec else offset
 
+    staged = cache.staged and vec and s <= gpt_lib.FLAT_MULTI_MAX
+    if staged:
+        assert sense_edit is None, "staging does not take sense edits " \
+            "(the engine flushes and disables staging for control slots)"
+    stage_ptr0 = cache.gpt.stage_ptr if cache.staged else None
     contextl, gpt_cache = gpt_lib.gpt_forward_with_cache(
         params["gpt"], cfg, input_ids, cache.gpt, use_flash=use_flash,
         window=window)
     q, k_new = context_qk(params, cfg, contextl)  # (b, s, nv, dnv)
     # flat layouts: ctx_k (E, dnv_pad, S) / content (E, S, d) / scale (E, S)
     dnv_pad = cfg.sense_head_dim_padded
-    k_flat = k_new.transpose(0, 2, 3, 1).reshape(e, dnv, s)
-    if dnv_pad != dnv:
-        k_flat = jnp.pad(k_flat, ((0, 0), (0, dnv_pad - dnv), (0, 0)))
-    ctx_k_scale = cache.ctx_k_scale
-    if cache.quantized:
-        from ..ops import quant
-        k8, ksc = quant.quantize_activations_int8(k_flat, axis=1)
-        ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k8, row_off,
-                                                  axis=2, window=window)
-        ctx_k_scale = gpt_lib.update_rows_axis_windowed(
-            ctx_k_scale, ksc[:, 0, :], row_off, axis=1, window=window)
-    else:
-        ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k_flat,
-                                                  row_off, axis=2,
-                                                  window=window)
-
     senses_new = content_forward(params, cfg, input_ids)  # (b, s, nv, d)
     if sense_edit is not None:
         senses_new = apply_sense_edit(senses_new, input_ids, sense_edit)
     senses_t = senses_new.transpose(0, 2, 1, 3).reshape(e, s, d)
-    content_scale = cache.content_scale
-    if cache.quantized:
-        from ..ops import quant
-        s8, ssc = quant.quantize_activations_int8(senses_t, axis=2)
-        content = gpt_lib.update_rows_axis_windowed(cache.content, s8, row_off,
-                                                    axis=1, window=window)
-        content_scale = gpt_lib.update_rows_axis_windowed(
-            content_scale, ssc[..., 0], row_off, axis=1, window=window)
+    ctx_k, ctx_k_scale = cache.ctx_k, cache.ctx_k_scale
+    content, content_scale = cache.content, cache.content_scale
+    ctx_k_stage, ctx_ks_stage = cache.ctx_k_stage, cache.ctx_ks_stage
+    content_stage = cache.content_stage
+    content_ss_stage = cache.content_ss_stage
+
+    def _put_stage(buf, new):
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype), (0, stage_ptr0, 0))
+
+    if staged:
+        # append at the scalar stage pointer (see gpt.KVCache staging)
+        k_st = k_new.transpose(0, 2, 1, 3).reshape(e, s, dnv)
+        if dnv_pad != dnv:
+            k_st = jnp.pad(k_st, ((0, 0), (0, 0), (0, dnv_pad - dnv)))
+        if cache.quantized:
+            from ..ops import quant
+            k8s, kss = quant.quantize_activations_int8(k_st, axis=2)
+            s8s, sss = quant.quantize_activations_int8(senses_t, axis=2)
+            ctx_k_stage = _put_stage(ctx_k_stage, k8s)
+            content_stage = _put_stage(content_stage, s8s)
+            ctx_ks_stage = jax.lax.dynamic_update_slice(
+                ctx_ks_stage, kss[..., 0], (0, stage_ptr0))
+            content_ss_stage = jax.lax.dynamic_update_slice(
+                content_ss_stage, sss[..., 0], (0, stage_ptr0))
+        else:
+            ctx_k_stage = _put_stage(ctx_k_stage, k_st)
+            content_stage = _put_stage(content_stage, senses_t)
     else:
-        content = gpt_lib.update_rows_axis_windowed(cache.content, senses_t,
-                                                    row_off, axis=1,
-                                                    window=window)
+        k_flat = k_new.transpose(0, 2, 3, 1).reshape(e, dnv, s)
+        if dnv_pad != dnv:
+            k_flat = jnp.pad(k_flat, ((0, 0), (0, dnv_pad - dnv), (0, 0)))
+        if cache.quantized:
+            from ..ops import quant
+            k8, ksc = quant.quantize_activations_int8(k_flat, axis=1)
+            ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k8,
+                                                      row_off, axis=2,
+                                                      window=window)
+            ctx_k_scale = gpt_lib.update_rows_axis_windowed(
+                ctx_k_scale, ksc[:, 0, :], row_off, axis=1, window=window)
+            s8, ssc = quant.quantize_activations_int8(senses_t, axis=2)
+            content = gpt_lib.update_rows_axis_windowed(
+                cache.content, s8, row_off, axis=1, window=window)
+            content_scale = gpt_lib.update_rows_axis_windowed(
+                content_scale, ssc[..., 0], row_off, axis=1, window=window)
+        else:
+            ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k_flat,
+                                                      row_off, axis=2,
+                                                      window=window)
+            content = gpt_lib.update_rows_axis_windowed(
+                cache.content, senses_t, row_off, axis=1, window=window)
 
     scale = cfg.sense_head_dim ** -0.5
 
@@ -535,7 +652,17 @@ def backpack_forward_with_cache(
                                                              ).reshape(e, dnv)
         if dnv_pad != dnv:
             q_flat = jnp.pad(q_flat, ((0, 0), (0, dnv_pad - dnv)))
-        out = decode_attention(q_flat, ctx_k_r, ks_r, content_r, vs, lens)
+        if staged:
+            from ..ops.decode_attention import decode_attention_flat_staged
+            assert w is None, "staging does not take sense weights"
+            out = decode_attention_flat_staged(
+                q_flat, ctx_k_r, ks_r, content_r, vs,
+                jnp.repeat(gpt_cache.base_len, nv),
+                ctx_k_stage, ctx_ks_stage, content_stage, content_ss_stage,
+                jnp.repeat(gpt_cache.stage_pos, nv, axis=0), lens)
+        else:
+            out = decode_attention(q_flat, ctx_k_r, ks_r, content_r, vs,
+                                   lens)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     elif s <= gpt_lib.FLAT_MULTI_MAX:
@@ -558,8 +685,18 @@ def backpack_forward_with_cache(
         if dnv_pad != dnv:
             q_s = jnp.pad(q_s, ((0, 0), (0, 0), (0, 0), (0, dnv_pad - dnv)))
         q_flat = q_s.transpose(0, 2, 1, 3).reshape(e, s, dnv_pad)
-        out = decode_attention_flat_multi(q_flat, ctx_k_r, ks_r, content_r,
-                                          vs, lens)           # (e, s, d)
+        if staged:
+            from ..ops.decode_attention import \
+                decode_attention_flat_multi_staged
+            assert w is None, "staging does not take sense weights"
+            out = decode_attention_flat_multi_staged(
+                q_flat, ctx_k_r, ks_r, content_r, vs,
+                jnp.repeat(gpt_cache.base_len, nv),
+                ctx_k_stage, ctx_ks_stage, content_stage, content_ss_stage,
+                jnp.repeat(gpt_cache.stage_pos, nv, axis=0), lens)
+        else:
+            out = decode_attention_flat_multi(q_flat, ctx_k_r, ks_r,
+                                              content_r, vs, lens)  # (e,s,d)
         outputs = out.reshape(b, nv, s, d).astype(jnp.float32).sum(
             axis=1).astype(contextl.dtype)
     else:
@@ -609,7 +746,11 @@ def backpack_forward_with_cache(
     logits = gpt_lib.lm_logits(params["gpt"], cfg, outputs)
     new_cache = BackpackCache(gpt=gpt_cache, ctx_k=ctx_k, content=content,
                               length=new_len, content_scale=content_scale,
-                              ctx_k_scale=ctx_k_scale)
+                              ctx_k_scale=ctx_k_scale,
+                              ctx_k_stage=ctx_k_stage,
+                              ctx_ks_stage=ctx_ks_stage,
+                              content_stage=content_stage,
+                              content_ss_stage=content_ss_stage)
     if return_ctx_q:
         return logits, new_cache, q
     return logits, new_cache

@@ -119,15 +119,36 @@ class KVCache(NamedTuple):
     length: jax.Array
     k_scale: Optional[jax.Array] = None
     v_scale: Optional[jax.Array] = None
+    # ---- staging block (serving; see init_kv_cache(stage=...)): small-s
+    # writes append here at the SCALAR stage_ptr instead of streaming the
+    # window prefix per step (the per-row masked write); flush_kv_cache
+    # merges every ~C steps. k_stage (L, E, C, dk) — C on sublanes;
+    # v_stage (L, E, C, dv); *_sc (L, E, C); stage_pos (b, C) logical
+    # positions (-1 free); base_len (b,) = lengths at the last flush.
+    k_stage: Optional[jax.Array] = None
+    v_stage: Optional[jax.Array] = None
+    ks_stage: Optional[jax.Array] = None
+    vs_stage: Optional[jax.Array] = None
+    stage_pos: Optional[jax.Array] = None
+    stage_ptr: Optional[jax.Array] = None
+    base_len: Optional[jax.Array] = None
 
     @property
     def quantized(self) -> bool:
         return self.k.dtype == jnp.int8
 
+    @property
+    def staged(self) -> bool:
+        return self.k_stage is not None
+
 
 def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
-                  dtype=jnp.bfloat16, per_slot: bool = False) -> KVCache:
-    """per_slot=True: (b,) per-row length counters for serving slots."""
+                  dtype=jnp.bfloat16, per_slot: bool = False,
+                  stage: int = 0) -> KVCache:
+    """per_slot=True: (b,) per-row length counters for serving slots.
+    stage > 0 (requires per_slot) adds a `stage`-column staging block so
+    small-s decode writes are scalar-pointer appends instead of per-row
+    window-prefix streams — see KVCache field docs and flush_kv_cache."""
     e, dh, S = batch * cfg.n_head, cfg.head_dim, max_seqlen
     k_scale = v_scale = None
     if dtype == jnp.int8:
@@ -137,10 +158,79 @@ def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
         # "attempt to donate the same buffer twice"
         k_scale = jnp.ones((cfg.n_layer, e, S), jnp.float32)
         v_scale = jnp.ones((cfg.n_layer, e, S), jnp.float32)
+    stage_kw = {}
+    if stage > 0:
+        assert per_slot, "staging is a serving-slot (per_slot) feature"
+        L, C = cfg.n_layer, stage
+        stage_kw = dict(
+            k_stage=jnp.zeros((L, e, C, dh), dtype),
+            v_stage=jnp.zeros((L, e, C, dh), dtype),
+            ks_stage=(jnp.ones((L, e, C), jnp.float32)
+                      if dtype == jnp.int8 else None),
+            vs_stage=(jnp.ones((L, e, C), jnp.float32)
+                      if dtype == jnp.int8 else None),
+            stage_pos=jnp.full((batch, C), -1, jnp.int32),
+            stage_ptr=jnp.zeros((), jnp.int32),
+            base_len=jnp.zeros((batch,), jnp.int32),
+        )
     return KVCache(k=jnp.zeros((cfg.n_layer, e, dh, S), dtype),
                    v=jnp.zeros((cfg.n_layer, e, S, dh), dtype),
                    length=jnp.zeros((batch,) if per_slot else (), jnp.int32),
-                   k_scale=k_scale, v_scale=v_scale)
+                   k_scale=k_scale, v_scale=v_scale, **stage_kw)
+
+
+def flush_kv_cache(cache: KVCache, window: Optional[int] = None) -> KVCache:
+    """Merge the staging block into the main cache and reset the stage.
+
+    A one-hot MXU scatter over the staged columns' logical positions — the
+    SAME full-prefix stream a single per-slot masked write costs, paid once
+    per ~C decode steps instead of every step. base_len advances to length;
+    stale staged duplicates (speculative rollbacks) were already
+    invalidated on write, so valid staged entries are unique per position.
+    window bounds the streamed prefix exactly like the bucketed reads."""
+    if not cache.staged:
+        return cache
+    b, C = cache.stage_pos.shape
+    e = cache.k.shape[1]
+    h = e // b
+    S = cache.k.shape[-1]
+    w = min(window, S) if window is not None else S
+    valid = (cache.stage_pos >= 0) & (cache.stage_pos
+                                      < cache.length[:, None])       # (b, C)
+    pos = jnp.arange(w, dtype=jnp.int32)
+    onehot = ((pos[None, :, None] == cache.stage_pos[:, None, :])
+              & valid[:, None, :])                                   # (b,w,C)
+    oh = jnp.repeat(onehot, h, axis=0).astype(jnp.float32)           # (E,w,C)
+    wrote = oh.sum(axis=2) > 0.5                                     # (E, w)
+
+    def merge(buf, st, layout):
+        if buf is None:
+            return None
+        view = jax.lax.slice_in_dim(buf, 0, w,
+                                    axis=3 if layout == "kt" else 2)
+        stf = st.astype(jnp.float32)
+        if layout == "kt":      # buf (L,E,dk,S); st (L,E,C,dk)
+            delta = jnp.einsum("ewc,lecd->ledw", oh, stf)
+            m = wrote[None, :, None, :]
+        elif layout == "v":     # buf (L,E,S,dv); st (L,E,C,dv)
+            delta = jnp.einsum("ewc,lecd->lewd", oh, stf)
+            m = wrote[None, :, :, None]
+        else:                   # 'sc': buf (L,E,S); st (L,E,C)
+            delta = jnp.einsum("ewc,lec->lew", oh, stf)
+            m = wrote[None]
+        view = jnp.where(m, delta.astype(buf.dtype), view)
+        return jax.lax.dynamic_update_slice(buf, view, (0,) * buf.ndim)
+
+    return cache._replace(
+        k=merge(cache.k, cache.k_stage, "kt"),
+        v=merge(cache.v, cache.v_stage, "v"),
+        k_scale=(merge(cache.k_scale, cache.ks_stage, "sc")
+                 if cache.k_scale is not None else None),
+        v_scale=(merge(cache.v_scale, cache.vs_stage, "sc")
+                 if cache.v_scale is not None else None),
+        stage_pos=jnp.full_like(cache.stage_pos, -1),
+        stage_ptr=jnp.zeros_like(cache.stage_ptr),
+        base_len=jnp.broadcast_to(cache.length, cache.base_len.shape))
 
 
 # ---------------------------------------------------------------- forward
@@ -454,8 +544,34 @@ def gpt_forward_with_cache(
         return jax.lax.dynamic_update_slice(all_buf, layer[None],
                                             (li,) + zeros)
 
+    # ---- staging (serving): small-s writes append at the SCALAR stage
+    # pointer — an in-place dynamic_update_slice, NO window-prefix stream.
+    staged = cache.staged and vec and s <= FLAT_MULTI_MAX
+    new_stage_pos = new_stage_ptr = None
+    if cache.staged:
+        # universal invalidation: any staged entry at/past this write's
+        # offset is stale (speculative rollback reuse, slot re-prefill)
+        inval = jnp.where(cache.stage_pos >= offset[:, None],
+                          jnp.int32(-1), cache.stage_pos)
+        if staged:
+            cols = (offset[:, None] + jnp.arange(s)[None, :]).astype(
+                jnp.int32)
+            new_stage_pos = jax.lax.dynamic_update_slice(
+                inval, cols, (0, cache.stage_ptr))
+            new_stage_ptr = cache.stage_ptr + s
+        else:
+            new_stage_pos, new_stage_ptr = inval, cache.stage_ptr
+
+    def _store_stage(all_buf, li, new):
+        """Append `new` (E, s, d) or (E, s) at (layer li, stage_ptr)."""
+        idx = [0] * all_buf.ndim
+        idx[0], idx[2] = li, cache.stage_ptr
+        return jax.lax.dynamic_update_slice(
+            all_buf, new.astype(all_buf.dtype)[None], tuple(idx))
+
     def scan_body(carry, xs):
-        hidden, residual, k_all, v_all, ks_all, vs_all = carry
+        (hidden, residual, k_all, v_all, ks_all, vs_all,
+         kst_all, vst_all, kss_all, vss_all) = carry
         layer_params, scale, li = xs
         qkv = dense.linear(hidden, layer_params["Wqkv"])
         qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
@@ -467,25 +583,64 @@ def gpt_forward_with_cache(
                                           seqlen_offset=offset,
                                           scale_base=cfg.rotary_emb_scale_base)
         # cache layouts: kt (E, dk, S) / v (E, S, dv) / scales (E, S)
-        kt_new = k.transpose(0, 2, 3, 1).reshape(e, dk, s)
         v_new = v.transpose(0, 2, 1, 3).reshape(e, s, dk)
-        if quantized:
-            from ..ops import quant
-            k8, ks = quant.quantize_activations_int8(kt_new, axis=1)
-            v8, vs = quant.quantize_activations_int8(v_new, axis=2)
-            k_all = _store(k_all, li, k8, axis=2)
-            v_all = _store(v_all, li, v8, axis=1)
-            ks_all = _store(ks_all, li, ks[:, 0, :], axis=1)
-            vs_all = _store(vs_all, li, vs[..., 0], axis=1)
+        if staged:
+            # append to the staging block at the scalar pointer; the MAIN
+            # cache is untouched until flush_kv_cache
+            k_st_new = k.transpose(0, 2, 1, 3).reshape(e, s, dk)
+            if quantized:
+                from ..ops import quant
+                k8s, kss = quant.quantize_activations_int8(k_st_new, axis=2)
+                v8s, vss = quant.quantize_activations_int8(v_new, axis=2)
+                kst_all = _store_stage(kst_all, li, k8s)
+                vst_all = _store_stage(vst_all, li, v8s)
+                kss_all = _store_stage(kss_all, li, kss[..., 0])
+                vss_all = _store_stage(vss_all, li, vss[..., 0])
+            else:
+                kst_all = _store_stage(kst_all, li, k_st_new)
+                vst_all = _store_stage(vst_all, li, v_new)
         else:
-            k_all = _store(k_all, li, kt_new, axis=2)
-            v_all = _store(v_all, li, v_new, axis=1)
+            kt_new = k.transpose(0, 2, 3, 1).reshape(e, dk, s)
+            if quantized:
+                from ..ops import quant
+                k8, ks = quant.quantize_activations_int8(kt_new, axis=1)
+                v8, vs = quant.quantize_activations_int8(v_new, axis=2)
+                k_all = _store(k_all, li, k8, axis=2)
+                v_all = _store(v_all, li, v8, axis=1)
+                ks_all = _store(ks_all, li, ks[:, 0, :], axis=1)
+                vs_all = _store(vs_all, li, vs[..., 0], axis=1)
+            else:
+                k_all = _store(k_all, li, kt_new, axis=2)
+                v_all = _store(v_all, li, v_new, axis=1)
         kt_cache = _layer(k_all, li, win_axis=3)  # (E, dk, S|window)
         v_cache = _layer(v_all, li, win_axis=2)   # (E, S|window, dv)
         k_sc = _layer(ks_all, li, win_axis=2) if quantized else None
         v_sc = _layer(vs_all, li, win_axis=2) if quantized else None
         S = kt_cache.shape[-1]
-        if s == 1:
+        if staged:
+            from ..ops.decode_attention import (
+                decode_attention_flat_multi_staged,
+                decode_attention_flat_staged)
+            k_st = _layer(kst_all, li)
+            v_st = _layer(vst_all, li)
+            ks_st = _layer(kss_all, li) if quantized else None
+            vs_st = _layer(vss_all, li) if quantized else None
+            base_e = jnp.repeat(cache.base_len, h)
+            lens_e = jnp.repeat(new_len, h)
+            pos_e = jnp.repeat(new_stage_pos, h, axis=0)
+            qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+            if s == 1:
+                ctx = decode_attention_flat_staged(
+                    qf[:, 0].reshape(e, dk), kt_cache, k_sc, v_cache, v_sc,
+                    base_e, k_st, ks_st, v_st, vs_st, pos_e, lens_e)
+                ctx = ctx.reshape(b, 1, h, dk)
+            else:
+                q_flat = qf.transpose(0, 2, 1, 3).reshape(e, s, dk)
+                ctx = decode_attention_flat_multi_staged(
+                    q_flat, kt_cache, k_sc, v_cache, v_sc, base_e,
+                    k_st, ks_st, v_st, vs_st, pos_e, lens_e)
+                ctx = ctx.reshape(b, h, s, dk).transpose(0, 2, 1, 3)
+        elif s == 1:
             # single-pass decode over the stored-precision flat cache
             lens = jnp.repeat(new_len, h) if vec else new_len
             ctx = decode_attention(
@@ -541,18 +696,34 @@ def gpt_forward_with_cache(
         hidden, residual = norms.dropout_add_layer_norm(
             mlp_out, residual, layer_params["norm2"]["weight"],
             layer_params["norm2"]["bias"], 0.0, cfg.layer_norm_epsilon)
-        return (hidden, residual, k_all, v_all, ks_all, vs_all), None
+        return (hidden, residual, k_all, v_all, ks_all, vs_all,
+                kst_all, vst_all, kss_all, vss_all), None
 
     dummy = jnp.zeros((1,))  # placeholder carry when the cache is fp
     carry0 = (hidden, residual, cache.k, cache.v,
               cache.k_scale if quantized else dummy,
-              cache.v_scale if quantized else dummy)
+              cache.v_scale if quantized else dummy,
+              cache.k_stage if cache.staged else dummy,
+              cache.v_stage if cache.staged else dummy,
+              cache.ks_stage if cache.staged and quantized else dummy,
+              cache.vs_stage if cache.staged and quantized else dummy)
     xs = (params["layers"], scales, jnp.arange(cfg.n_layer))
-    (hidden, _, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+    (hidden, _, new_k, new_v, new_ks, new_vs,
+     new_kst, new_vst, new_kss, new_vss), _ = jax.lax.scan(
         scan_body, carry0, xs)
-    return hidden, KVCache(k=new_k, v=new_v, length=new_len,
-                           k_scale=new_ks if quantized else None,
-                           v_scale=new_vs if quantized else None)
+    return hidden, KVCache(
+        k=new_k, v=new_v, length=new_len,
+        k_scale=new_ks if quantized else None,
+        v_scale=new_vs if quantized else None,
+        k_stage=new_kst if cache.staged else None,
+        v_stage=new_vst if cache.staged else None,
+        ks_stage=new_kss if cache.staged and quantized else None,
+        vs_stage=new_vss if cache.staged and quantized else None,
+        stage_pos=new_stage_pos, stage_ptr=new_stage_ptr,
+        # a big-s write on a staged cache lands in the MAIN cache (masked
+        # row write), so those rows' flushed horizon advances with it
+        base_len=(cache.base_len if staged or not cache.staged else
+                  jnp.broadcast_to(new_len, cache.base_len.shape)))
 
 
 # ---------------------------------------------------------------- LM head

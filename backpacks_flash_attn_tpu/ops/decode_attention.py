@@ -540,3 +540,100 @@ def decode_attention_flat_multi(q, kt, ks, v, vs, length):
     out = jnp.einsum("ets,esd->etd", p.astype(compute), v.astype(compute),
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+# --------------------------------------------------------------- staged
+
+def decode_attention_flat_staged(q, kt, ks, v, vs, base_len,
+                                 k_st, ks_st, v_st, vs_st, st_pos, length):
+    """Two-segment decode attention for the STAGING-BLOCK serving cache.
+
+    Per-slot cache writes cost a full window-prefix stream per step even
+    scatter-free (the masked row write); the staging design instead appends
+    each step's K/V to a small C-column block at a SCALAR pointer (an
+    in-place dynamic_update_slice) and flushes every ~C steps. Decode then
+    attends over two segments merged in ONE softmax:
+
+      main:   kt (E, dk, W) columns, valid where pos < base_len (the length
+              at the last flush — columns beyond it are stale),
+      staged: k_st (E, C, dk) columns (C on SUBLANES so C=64 tiles cleanly),
+              valid where 0 <= st_pos < length (st_pos carries each staged
+              column's logical position; -1 = free; rollback-invalidated
+              entries have pos >= length).
+
+    Scales ks/vs (ks_st/vs_st) as in decode_attention_flat. Returns (E, dv).
+    """
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    E = q.shape[0]
+    base = jnp.broadcast_to(jnp.asarray(base_len, jnp.int32).reshape(-1), (E,))
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (E,))
+
+    s_m = jnp.einsum("ed,eds->es", q.astype(compute), kt.astype(compute),
+                     preferred_element_type=jnp.float32)
+    if ks is not None:
+        s_m = s_m * ks
+    pos = jnp.arange(kt.shape[-1])[None, :]
+    s_m = jnp.where(pos < base[:, None], s_m, NEG)
+
+    s_s = jnp.einsum("ed,ecd->ec", q.astype(compute), k_st.astype(compute),
+                     preferred_element_type=jnp.float32)
+    if ks_st is not None:
+        s_s = s_s * ks_st
+    st_ok = (st_pos >= 0) & (st_pos < lens[:, None])
+    s_s = jnp.where(st_ok, s_s, NEG)
+
+    p = jax.nn.softmax(jnp.concatenate([s_m, s_s], axis=1), axis=-1)
+    p_m, p_s = p[:, :s_m.shape[1]], p[:, s_m.shape[1]:]
+    if vs is not None:
+        p_m = p_m * vs
+    if vs_st is not None:
+        p_s = p_s * vs_st
+    out = jnp.einsum("es,esd->ed", p_m.astype(compute), v.astype(compute),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("ec,ecd->ed", p_s.astype(compute),
+                           v_st.astype(compute),
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def decode_attention_flat_multi_staged(q, kt, ks, v, vs, base_len,
+                                       k_st, ks_st, v_st, vs_st, st_pos,
+                                       length):
+    """Staged variant of decode_attention_flat_multi: q (E, t, dk) rows at
+    absolute positions length-t+u. The t new rows live in the STAGED block
+    (written before this call, layout k_st (E, C, dk)), so the main segment
+    is valid below base_len for every query row, and the staged segment
+    applies the per-row causal limit st_pos < length - (t-1-u).
+    Returns (E, t, dv)."""
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    E, t, _ = q.shape
+    base = jnp.broadcast_to(jnp.asarray(base_len, jnp.int32).reshape(-1), (E,))
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (E,))
+
+    s_m = jnp.einsum("etd,eds->ets", q.astype(compute), kt.astype(compute),
+                     preferred_element_type=jnp.float32)
+    if ks is not None:
+        s_m = s_m * ks[:, None, :]
+    pos = jnp.arange(kt.shape[-1])[None, None, :]
+    s_m = jnp.where(pos < base[:, None, None], s_m, NEG)
+
+    s_s = jnp.einsum("etd,ecd->etc", q.astype(compute), k_st.astype(compute),
+                     preferred_element_type=jnp.float32)
+    if ks_st is not None:
+        s_s = s_s * ks_st[:, None, :]
+    limit = lens[:, None, None] - (t - 1 - jnp.arange(t))[None, :, None]
+    st_ok = (st_pos[:, None, :] >= 0) & (st_pos[:, None, :] < limit)
+    s_s = jnp.where(st_ok, s_s, NEG)
+
+    p = jax.nn.softmax(jnp.concatenate([s_m, s_s], axis=2), axis=-1)
+    p_m, p_s = p[:, :, :s_m.shape[2]], p[:, :, s_m.shape[2]:]
+    if vs is not None:
+        p_m = p_m * vs[:, None, :]
+    if vs_st is not None:
+        p_s = p_s * vs_st[:, None, :]
+    out = jnp.einsum("ets,esd->etd", p_m.astype(compute), v.astype(compute),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("etc,ecd->etd", p_s.astype(compute),
+                           v_st.astype(compute),
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

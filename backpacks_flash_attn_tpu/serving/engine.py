@@ -96,7 +96,8 @@ class ServingEngine:
                  spec_tokens: int = 4, spec_ngram: int = 3,
                  spec_min_acceptance: float = 0.05,
                  spec_cooldown: int = 16,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0,
+                 stage_tokens: int = 64):
         """control_table: optional (vocab, nv) multiplicative weight table
         (eval/control.control_weights). Requests submitted with control=True
         decode with the full annealed topic-control intervention while
@@ -154,8 +155,17 @@ class ServingEngine:
         self.sched = make_scheduler(max_slots, max_seqlen, eos_id,
                                     prefer_native=prefer_native_scheduler)
         self.cache_dtype = cache_dtype
+        # staging block (stage_tokens > 0): decode/verify writes append to a
+        # C-column block at a SCALAR pointer instead of streaming the window
+        # prefix per step (models/gpt.py KVCache staging; measured: the
+        # masked per-row write costs ~2.7x the scalar-length step). The
+        # engine flushes when the block fills and for intervention steps.
+        self._stage_cap = int(stage_tokens)
+        self._stage_used = 0
         self.cache = bp.init_backpack_cache(cfg, max_slots, max_seqlen,
-                                            dtype=cache_dtype, per_slot=True)
+                                            dtype=cache_dtype, per_slot=True,
+                                            stage=self._stage_cap)
+        self._flush_fn = jax.jit(bp.flush_cache, donate_argnums=(0,))
         # host-side per-slot positions: the engine picks a static `window`
         # length bucket per dispatch (decode reads only a cache prefix) —
         # device lengths would cost a fetch round-trip per step
@@ -974,6 +984,33 @@ class ServingEngine:
 
     # ------------------------------------------------------------ stepping
 
+    def _plain_view(self, cache):
+        """Cache without the staging fields: intervention step functions
+        (control / negative / sense-weighted) read the raw cache buffers and
+        are compiled against the unstaged structure."""
+        g = cache.gpt._replace(k_stage=None, v_stage=None, ks_stage=None,
+                               vs_stage=None, stage_pos=None, stage_ptr=None,
+                               base_len=None)
+        return cache._replace(gpt=g, ctx_k_stage=None, ctx_ks_stage=None,
+                              content_stage=None, content_ss_stage=None)
+
+    def _restage(self, stage_bufs):
+        """Re-attach (empty) staging after a plain-view dispatch: the step
+        wrote the MAIN cache, so the flushed horizon is the new length."""
+        g = self.cache.gpt
+        C = self._stage_cap
+        self.cache = self.cache._replace(
+            gpt=g._replace(
+                k_stage=stage_bufs[0], v_stage=stage_bufs[1],
+                ks_stage=stage_bufs[2], vs_stage=stage_bufs[3],
+                stage_pos=jnp.full((self.max_slots, C), -1, jnp.int32),
+                stage_ptr=jnp.zeros((), jnp.int32),
+                # jnp.copy: astype-to-same-dtype returns the SAME array, and
+                # an aliased length/base_len pair breaks donating dispatches
+                base_len=jnp.copy(g.length).astype(jnp.int32)),
+            ctx_k_stage=stage_bufs[4], ctx_ks_stage=stage_bufs[5],
+            content_stage=stage_bufs[6], content_ss_stage=stage_bufs[7])
+
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit whatever fits, then run ONE decode step for all active slots.
         Returns [(request_id, token, finished)] for this step's emissions."""
@@ -986,6 +1023,22 @@ class ServingEngine:
             return []
         self._rng, sub = jax.random.split(self._rng)
         k = self.spec_tokens
+        stage_bufs = None
+        if self._stage_cap:
+            plain_view = (self._uses_negative or self._uses_control
+                          or self._uses_weights)
+            if plain_view:
+                if self._stage_used:
+                    self.cache = self._flush_fn(self.cache)
+                    self._stage_used = 0
+                c = self.cache
+                stage_bufs = (c.gpt.k_stage, c.gpt.v_stage, c.gpt.ks_stage,
+                              c.gpt.vs_stage, c.ctx_k_stage, c.ctx_ks_stage,
+                              c.content_stage, c.content_ss_stage)
+                self.cache = self._plain_view(c)
+            elif self._stage_used + k + 1 > self._stage_cap:
+                self.cache = self._flush_fn(self.cache)
+                self._stage_used = 0
         max_active_len = max(
             (int(self.host_lengths[sl]) for sl in range(self.max_slots)
              if self.sched.slot_active(sl)), default=0)
@@ -1010,6 +1063,10 @@ class ServingEngine:
                 jnp.asarray(self.emitted.astype(np.int32)),
                 jnp.asarray(self.min_tokens.astype(np.int32)), sub,
                 jnp.asarray(self.sense_weights))
+            if stage_bufs is not None:
+                self._restage(stage_bufs)
+            elif self._stage_cap:
+                self._stage_used += k + 1
             em = np.asarray(emitted)
             ne = np.asarray(n_emit)
             lps = np.asarray(lp_arr) if self._uses_logprobs else None
@@ -1094,6 +1151,10 @@ class ServingEngine:
                 self.token_counts, jnp.asarray(self.freq_p),
                 jnp.asarray(self.pres_p), sub,
                 jnp.asarray(self.sense_weights))
+        if stage_bufs is not None:
+            self._restage(stage_bufs)
+        elif self._stage_cap:
+            self._stage_used += 1
         toks = np.asarray(self.tokens[:, 0])
         lps = np.asarray(lp_arr) if self._uses_logprobs else None
         out = []

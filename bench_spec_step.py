@@ -117,6 +117,8 @@ def main():
     ap.add_argument("--steps", type=int, default=448)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--stage", type=int, default=64,
+                    help="staging-block columns to A/B (0 disables)")
     ap.add_argument("--model", default="backpack-small",
                     help="backpack-small, or backpack-test for a CPU smoke")
     ap.add_argument("--json", default="")
@@ -164,6 +166,38 @@ def main():
     per_plain = t_plain / steps
     results["plain_ms"] = per_plain * 1e3
     print(f"per-slot plain: {results['plain_ms']:.3f} ms/step", flush=True)
+
+    if args.stage > 0:
+        # staged per-slot decode (models/gpt.py staging block): scalar-
+        # pointer appends + two-segment reads; the flush is measured
+        # separately and amortized over the block size
+        cs2 = bp.init_backpack_cache(cfg, b, max_len, dtype=jnp.int8,
+                                     per_slot=True, stage=args.stage)
+        _, cs2 = bp.backpack_forward_with_cache(qparams, cfg, ids, cs2)
+        t_staged = time_best(make_plain_loop(cfg, steps, window), args.reps,
+                             qparams, cs2, token)
+        results["staged_plain_ms"] = t_staged / steps * 1e3
+
+        def flush_loop(params, cache, token):
+            def body(c, _):
+                c = bp.flush_cache(c)
+                # keep a data dependency on the token so nothing is DCE'd
+                return c, ()
+            cache, _ = jax.lax.scan(body, cache, None, length=32)
+            return token, cache
+
+        cs3 = bp.init_backpack_cache(cfg, b, max_len, dtype=jnp.int8,
+                                     per_slot=True, stage=args.stage)
+        _, cs3 = bp.backpack_forward_with_cache(qparams, cfg, ids, cs3)
+        t_flush = time_best(jax.jit(flush_loop, donate_argnums=(1,)),
+                            args.reps, qparams, cs3, token)
+        results["flush_ms"] = t_flush / 32 * 1e3
+        results["staged_amortized_ms"] = (results["staged_plain_ms"]
+                                          + results["flush_ms"] / args.stage)
+        print(f"staged plain: {results['staged_plain_ms']:.3f} ms/step + "
+              f"flush {results['flush_ms']:.3f}/{args.stage} -> "
+              f"{results['staged_amortized_ms']:.3f} ms/step amortized",
+              flush=True)
 
     verify = make_verify_loop(cfg, steps, window, k)
     t_ver = time_best(verify, args.reps,
