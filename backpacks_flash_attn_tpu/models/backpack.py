@@ -549,7 +549,8 @@ def backpack_forward_with_cache(
     max_s = cache.ctx_k.shape[-1]
     row_off = jnp.repeat(offset, nv) if vec else offset
 
-    staged = cache.staged and vec and s <= gpt_lib.FLAT_MULTI_MAX
+    staged = (cache.staged and vec and s <= gpt_lib.FLAT_MULTI_MAX
+              and s <= cache.ctx_k_stage.shape[1] if cache.staged else False)
     if staged:
         assert sense_edit is None, "staging does not take sense edits " \
             "(the engine flushes and disables staging for control slots)"

@@ -546,7 +546,8 @@ def gpt_forward_with_cache(
 
     # ---- staging (serving): small-s writes append at the SCALAR stage
     # pointer — an in-place dynamic_update_slice, NO window-prefix stream.
-    staged = cache.staged and vec and s <= FLAT_MULTI_MAX
+    staged = (cache.staged and vec and s <= FLAT_MULTI_MAX
+              and s <= cache.k_stage.shape[2] if cache.staged else False)
     new_stage_pos = new_stage_ptr = None
     if cache.staged:
         # universal invalidation: any staged entry at/past this write's

@@ -42,12 +42,20 @@ def make_plain_loop(cfg, n_steps, window):
     def body(params, carry, _):
         token, cache = carry
         old_len = cache.length
+        old_g = cache.gpt
         logits, cache = bp.backpack_forward_with_cache(params, cfg, token,
                                                        cache, window=window)
         # pin the offset: stationary shapes/offsets across the scan and
-        # across donated reps (token keeps the data dependency alive)
+        # across donated reps (token keeps the data dependency alive).
+        # Staged caches also pin the stage pointer/positions — the write
+        # cost is pointer-independent and an unpinned pointer would run
+        # off the end of the C-column block after C scan steps.
+        gkw = dict(length=old_len)
+        if cache.gpt.staged:
+            gkw.update(stage_ptr=old_g.stage_ptr, stage_pos=old_g.stage_pos,
+                       base_len=old_g.base_len)
         cache = cache._replace(length=old_len,
-                               gpt=cache.gpt._replace(length=old_len))
+                               gpt=cache.gpt._replace(**gkw))
         nxt = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
         return (nxt, cache), ()
 
@@ -155,7 +163,7 @@ def main():
     cs = bp.init_backpack_cache(cfg, b, max_len, dtype=jnp.int8)
     _, cs = bp.backpack_forward_with_cache(qparams, cfg, ids, cs)
     t_scalar = time_best(make_plain_loop(cfg, steps, window), args.reps,
-                         qparams, cs, token)
+                         qparams, jax.tree.map(jnp.copy, cs), token)
     results["plain_scalar_ms"] = t_scalar / steps * 1e3
     print(f"scalar-length plain: {results['plain_scalar_ms']:.3f} ms/step",
           flush=True)
@@ -175,7 +183,7 @@ def main():
                                      per_slot=True, stage=args.stage)
         _, cs2 = bp.backpack_forward_with_cache(qparams, cfg, ids, cs2)
         t_staged = time_best(make_plain_loop(cfg, steps, window), args.reps,
-                             qparams, cs2, token)
+                             qparams, jax.tree.map(jnp.copy, cs2), token)
         results["staged_plain_ms"] = t_staged / steps * 1e3
 
         def flush_loop(params, cache, token):
@@ -190,7 +198,8 @@ def main():
                                      per_slot=True, stage=args.stage)
         _, cs3 = bp.backpack_forward_with_cache(qparams, cfg, ids, cs3)
         t_flush = time_best(jax.jit(flush_loop, donate_argnums=(1,)),
-                            args.reps, qparams, cs3, token)
+                            args.reps, qparams,
+                            jax.tree.map(jnp.copy, cs3), token)
         results["flush_ms"] = t_flush / 32 * 1e3
         results["staged_amortized_ms"] = (results["staged_plain_ms"]
                                           + results["flush_ms"] / args.stage)
