@@ -105,13 +105,18 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
                     *, train: bool = False,
                     rng: Optional[jax.Array] = None,
                     embedded: Optional[jax.Array] = None,
-                    scan_unroll: int = 1) -> jax.Array:
+                    scan_unroll: int = 1,
+                    dropout_idx: Optional[jax.Array] = None) -> jax.Array:
     """Sense network C(x): (b, s) -> (b, s, nv, d). Strictly per-token — no
     position embeddings, no mixing (reference: backpack.py:251-276).
 
     embedded: optional pre-gathered wte rows (b, s, d) — the TP decode path
     (parallel/tp_decode.py) psums its vocab-sharded embedding once and reuses
-    it here instead of re-gathering."""
+    it here instead of re-gathering.
+
+    dropout_idx: optional GLOBAL flat positions of this chunk's elements in
+    the unsharded (B, S, d) tensor — sharded callers (parallel/cp_train.py)
+    pass it so every dropout mask is bit-identical to single-device."""
     b, s = input_ids.shape
     cp = params["content"]
     if "table" in cp:
@@ -142,7 +147,7 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
     hidden, residual = norms.dropout_add_layer_norm(
         hidden, None, cp["ln_0"]["weight"], cp["ln_0"]["bias"],
         cfg.embd_pdrop, cfg.layer_norm_epsilon, rng=r_emb,
-        deterministic=not train)
+        deterministic=not train, dropout_idx=dropout_idx)
 
     def scan_body(carry, xs):
         hidden, residual = carry
@@ -157,12 +162,12 @@ def content_forward(params: Params, cfg: BackpackConfig, input_ids: jax.Array,
         hidden, residual = norms.dropout_add_layer_norm(
             hidden, residual, blk["norm1"]["weight"], blk["norm1"]["bias"],
             cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r1,
-            deterministic=not train)
+            deterministic=not train, dropout_idx=dropout_idx)
         mlp_out = dense.mlp(hidden, blk["mlp"], cfg.activation)
         hidden, residual = norms.dropout_add_layer_norm(
             mlp_out, residual, blk["norm2"]["weight"], blk["norm2"]["bias"],
             cfg.resid_pdrop, cfg.layer_norm_epsilon, rng=r2,
-            deterministic=not train)
+            deterministic=not train, dropout_idx=dropout_idx)
         return (hidden, residual), None
 
     xs = (cp["blocks"], blk_rngs) if blk_rngs is not None else cp["blocks"]

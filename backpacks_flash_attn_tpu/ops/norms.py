@@ -34,25 +34,32 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
     return y.astype(out_dtype)
 
 
-def _hash_mask(key_data, rate: float, shape):
+def _hash_mask(key_data, rate: float, shape, idx=None):
     """Keep-mask from the shared murmur counter hash over flat element
     positions (ops/flash_attention._dropout_keep_positions — the same
     position-seeded source the flash kernels regenerate in their backwards).
     ~3x cheaper on the VPU than threefry bernoulli, which the r3 profile
-    measured at ~15ms/step across the per-token dropout sites."""
+    measured at ~15ms/step across the per-token dropout sites.
+
+    idx (optional, int32, broadcastable to shape): GLOBAL flat element
+    positions. A sequence/batch-sharded caller (parallel/cp_train.py) passes
+    the positions its local chunk occupies in the unsharded (B, S, D) tensor
+    — the mask is then bit-identical to the single-device mask, the same
+    global-counter trick the flash kernels use for attention dropout."""
     from .flash_attention import _dropout_keep_positions
 
-    n = 1
-    for d in shape:
-        n *= d
-    idx = jax.lax.iota(jnp.int32, n).reshape(shape)
+    if idx is None:
+        n = 1
+        for d in shape:
+            n *= d
+        idx = jax.lax.iota(jnp.int32, n).reshape(shape)
     seed = key_data.astype(jnp.uint32).reshape(-1)[:2]
     zero = jnp.zeros((), jnp.uint32)
     return _dropout_keep_positions(seed, zero, idx, zero, rate)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _recompute_dropout(x, rate: float, shape, key_data):
+def _recompute_dropout(x, rate: float, shape, key_data, idx):
     """Dropout whose backward REGENERATES the mask from the rng key instead
     of saving it: a saved mask is otherwise a per-layer residual that the
     layer scan stacks into (n_layer, b, s, d) pred buffers — the r3 step
@@ -61,31 +68,38 @@ def _recompute_dropout(x, rate: float, shape, key_data):
     The counter hash is a pure function of (key, element position), so the
     regenerated mask is BIT-IDENTICAL to the forward's."""
     keep = 1.0 - rate
-    mask = _hash_mask(key_data, rate, shape)
+    mask = _hash_mask(key_data, rate, shape, idx)
     return jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
 
 
-def _recompute_dropout_fwd(x, rate, shape, key_data):
-    return _recompute_dropout(x, rate, shape, key_data), key_data
+def _recompute_dropout_fwd(x, rate, shape, key_data, idx):
+    return _recompute_dropout(x, rate, shape, key_data, idx), (key_data, idx)
 
 
-def _recompute_dropout_bwd(rate, shape, key_data, g):
+def _recompute_dropout_bwd(rate, shape, res, g):
+    key_data, idx = res
     keep = 1.0 - rate
-    mask = _hash_mask(key_data, rate, shape)
+    mask = _hash_mask(key_data, rate, shape, idx)
     dx = jnp.where(mask, g * (1.0 / keep), jnp.zeros_like(g))
-    return dx, np.zeros(np.shape(key_data), jax.dtypes.float0)
+    zt = lambda a: (None if a is None
+                    else np.zeros(np.shape(a), jax.dtypes.float0))
+    return dx, zt(key_data), zt(idx)
 
 
 _recompute_dropout.defvjp(_recompute_dropout_fwd, _recompute_dropout_bwd)
 
 
 def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
-            deterministic: bool) -> jax.Array:
+            deterministic: bool, idx: Optional[jax.Array] = None) -> jax.Array:
+    """idx: optional GLOBAL flat element positions (see _hash_mask) for
+    sharded callers that need the single-device masks bit-exactly."""
     if deterministic or rate == 0.0 or rng is None:
         return x
     if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
         rng = jax.random.key_data(rng)
-    return _recompute_dropout(x, float(rate), x.shape, rng)
+    if idx is not None:
+        idx = jnp.broadcast_to(idx, x.shape)
+    return _recompute_dropout(x, float(rate), x.shape, rng, idx)
 
 
 def dropout_add_layer_norm(
@@ -103,6 +117,7 @@ def dropout_add_layer_norm(
     prenorm: bool = True,
     residual_in_fp32: bool = True,
     out_dtype=None,
+    dropout_idx: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """dropout(x [*colscale]) [*rowscale] + residual -> LayerNorm.
 
@@ -115,7 +130,7 @@ def dropout_add_layer_norm(
     out_dtype = out_dtype if out_dtype is not None else x.dtype
     if colscale is not None:
         x = x * colscale.astype(x.dtype)
-    y = dropout(x, dropout_p, rng, deterministic)
+    y = dropout(x, dropout_p, rng, deterministic, idx=dropout_idx)
     if rowscale is not None:
         y = y * rowscale[..., None].astype(y.dtype)
     res_dtype = jnp.float32 if residual_in_fp32 else y.dtype

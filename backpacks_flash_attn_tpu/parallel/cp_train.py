@@ -17,14 +17,16 @@ one chip's HBM — the CP counterpart of the reference's single-GPU 64K
 FlashAttention claim (flash_attn_README.md:93).
 
 Loss and gradients are exactly the single-device backpack_forward loss
-(tests/parallel/test_cp_train.py). train=True enables the per-token dropout
-sites (embedding / residual / content-network) with per-(data, seq)-shard
-rng derivation via fold_in — masks are independent across chunks and
-deterministic given the step rng, but by construction NOT bit-identical to
-the single-device mask layout. Attention-probability dropout (attn_pdrop,
-attn_impl='flash' + layout='natural') rides the kernel's counter-hash with
-GLOBAL q/k offsets and batch-row streams, so CP attention-dropout masks ARE
-the single-device masks (tested exactly). Rotary embeddings are supported
+(tests/parallel/test_cp_train.py) — INCLUDING under dropout: the step rng
+is replicated and every site derives its key by the single-device chain
+(backpack_forward -> gpt_forward -> _block), while masks come from the
+shared global-position counter hash (ops/flash_attention
+._dropout_keep_positions) — attention sites hash GLOBAL (q, k, batch*head)
+coordinates inside the ring, per-token sites (embedding / residual /
+content network) hash the chunk's element positions in the unsharded
+(B, s, d) tensor (norms.dropout idx=). CP training is therefore
+bit-identical to single-device under all dropout. Rotary embeddings are
+supported
 via per-chunk absolute offsets; attn_dwconv (a cross-token conv) is not.
 """
 
@@ -122,47 +124,42 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
             y_loc = lax.dynamic_slice(y, (0, off), (b, c))
             pos = off + jnp.arange(c)
 
+        boff = lax.axis_index("data") * b
         if train and rng is not None:
-            # one independent stream per (data shard, seq chunk)
-            shard = lax.axis_index("data") * Sx + i
-            r_loc = jax.random.fold_in(rng, shard)
-            r_emb, r_content, r_layers = jax.random.split(r_loc, 3)
-            layer_rngs = jax.random.split(r_layers, (cfg.n_layer, 2))
+            # SINGLE-DEVICE rng derivation chain, REPLICATED across shards
+            # (backpack_forward -> gpt_forward -> _block split(.,3)): every
+            # dropout mask — attention (in-ring counter hash with global
+            # q/k positions + bh_offset) and per-token (counter hash over
+            # `gidx`, the chunk's element positions in the unsharded
+            # (B, s, d) tensor) — is bit-identical to the unsharded model.
+            r_gpt = (jax.random.split(rng)[0] if model == "backpack"
+                     else rng)
+            r_content = (jax.random.split(rng)[1] if model == "backpack"
+                         else None)
+            r_emb, r_layers = jax.random.split(r_gpt)
+            layer_rngs = jax.random.split(r_layers, cfg.n_layer)
+            gidx = (((jnp.arange(b, dtype=jnp.int32)[:, None] + boff) * s
+                     + pos.astype(jnp.int32)[None, :])[:, :, None]
+                    * cfg.n_embd + jnp.arange(cfg.n_embd, dtype=jnp.int32))
         else:
-            r_emb = r_content = layer_rngs = None
-        if use_attn_drop and rng is not None:
-            # attention dropout rngs follow the SINGLE-DEVICE derivation
-            # chain (backpack_forward -> gpt_forward -> _block split(.,3)[0])
-            # and are REPLICATED across 'seq' — the global-position hash then
-            # reproduces the unsharded masks exactly; bh_offset globalizes
-            # the batch-row stream across 'data' shards.
-            r_gpt_sd = (jax.random.split(rng)[0] if model == "backpack"
-                        else rng)
-            _, r_layers_sd = jax.random.split(r_gpt_sd)
-            gpt_layer_rngs = jax.random.split(r_layers_sd, cfg.n_layer)
-            attn_rngs = jax.vmap(
-                lambda kk: jax.random.split(kk, 3)[0])(gpt_layer_rngs)
-            boff = lax.axis_index("data") * b
-        else:
-            attn_rngs, boff = None, 0
+            r_emb = r_content = layer_rngs = gidx = None
 
         gp = params["gpt"] if model == "backpack" else params
         hidden = gpt_lib.embed(gp, cfg, x_loc, pos[None])
         hidden, residual = norms.dropout_add_layer_norm(
             hidden, None, gp["ln_0"]["weight"], gp["ln_0"]["bias"],
             cfg.embd_pdrop if train else 0.0, eps, rng=r_emb,
-            deterministic=not train)
+            deterministic=not train, dropout_idx=gidx)
         scales = gpt_lib._softmax_scales(cfg)
 
         def block(carry, xs):
             h, r = carry
             arng = None
-            if layer_rngs is not None and attn_rngs is not None:
-                lp, scale, lrng, arng = xs
-                r1, r2 = lrng[0], lrng[1]
-            elif layer_rngs is not None:
+            if layer_rngs is not None:
                 lp, scale, lrng = xs
-                r1, r2 = lrng[0], lrng[1]
+                r_attn, r1, r2 = jax.random.split(lrng, 3)
+                if use_attn_drop:
+                    arng = r_attn
             else:
                 (lp, scale), r1, r2 = xs, None, None
             qkv = dense.linear(h, lp["Wqkv"]).reshape(
@@ -191,7 +188,7 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
             h, r = norms.dropout_add_layer_norm(
                 mixer_out, r, lp["norm1"]["weight"], lp["norm1"]["bias"],
                 cfg.resid_pdrop if train else 0.0, eps, rng=r1,
-                deterministic=not train)
+                deterministic=not train, dropout_idx=gidx)
             if "moe" in lp:
                 from ..ops import moe as moe_lib
                 # routing is per-token, so MoE is CP-local; capacity (and
@@ -208,12 +205,10 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
             h, r = norms.dropout_add_layer_norm(
                 mlp_out, r, lp["norm2"]["weight"], lp["norm2"]["bias"],
                 cfg.resid_pdrop if train else 0.0, eps, rng=r2,
-                deterministic=not train)
+                deterministic=not train, dropout_idx=gidx)
             return (h, r), aux
 
-        if layer_rngs is not None and attn_rngs is not None:
-            xs = (gp["layers"], scales, layer_rngs, attn_rngs)
-        elif layer_rngs is not None:
+        if layer_rngs is not None:
             xs = (gp["layers"], scales, layer_rngs)
         else:
             xs = (gp["layers"], scales)
@@ -225,7 +220,8 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
             # Backpack tail: contextualization = ring attention with the
             # d-wide sense vectors as values, per-sense outputs summed.
             content = bp.content_forward(params, cfg, x_loc, train=train,
-                                         rng=r_content)          # (b,c,nv,d)
+                                         rng=r_content,
+                                         dropout_idx=gidx)       # (b,c,nv,d)
             q_ctx, k_ctx = bp.context_qk(params, cfg, contextl)
             per_sense = ctx_attn(q_ctx, k_ctx, content,
                                  cfg.sense_head_dim ** -0.5)  # (b, c, nv, d)
@@ -252,8 +248,9 @@ def make_cp_loss_fn(cfg, mesh: Mesh, *,
     Differentiable end-to-end (ring transposes are the reverse ring);
     s must divide by mesh.shape['seq'] (by 2x under layout='zigzag').
     train=True enables dropout and the loss takes a step rng as its third
-    argument (replicated; per-shard streams are derived inside via
-    fold_in). layout='zigzag' uses the load-balanced chunk assignment
+    argument (replicated; masks regenerate from the single-device rng chain
+    + global-position counter hash, bit-identical to unsharded training).
+    layout='zigzag' uses the load-balanced chunk assignment
     (chunks i and 2S-1-i per device) for equal causal work per ring step."""
     body = _make_local_loss(cfg, label_smoothing=label_smoothing,
                             attn_impl=attn_impl, train=train,
@@ -308,10 +305,9 @@ def make_cp_sharded_train_step(cfg, tx, mesh: Mesh, *,
     """Training-CLI-shaped CP step: step(TrainState, batch, rng) ->
     (TrainState, {'loss', 'grad_norm'}), jitted over a ('data', 'seq') mesh
     with ids sharded on 'data' and params replicated. Dropout runs in train
-    mode (per-shard streams for the per-token sites; global-position
-    in-kernel masks for attn_pdrop — requires attn_impl='flash' when
-    cfg.attn_pdrop > 0). The sequence axis must divide by mesh.shape['seq']
-    (2x under layout='zigzag')."""
+    mode with masks bit-identical to single-device training (global-position
+    counter hash at every site — see the module docstring). The sequence
+    axis must divide by mesh.shape['seq'] (2x under layout='zigzag')."""
     from jax.sharding import NamedSharding
 
     from ..training.train import TrainState

@@ -157,9 +157,11 @@ class ServingEngine:
         self.cache_dtype = cache_dtype
         # staging block (stage_tokens > 0): decode/verify writes append to a
         # C-column block at a SCALAR pointer instead of streaming the window
-        # prefix per step (models/gpt.py KVCache staging; measured: the
-        # masked per-row write costs ~2.7x the scalar-length step). The
-        # engine flushes when the block fills and for intervention steps.
+        # prefix per step (models/gpt.py KVCache staging). Measured on v5e
+        # (bench_results/spec_staged_r3.json, batch 64, w=256): per-slot
+        # step 4.09 -> 2.31 ms flush-amortized, 1.77x — vs 1.58 ms for the
+        # scalar-length step the masked per-row write was 2.6x. The engine
+        # flushes when the block fills and for intervention steps.
         self._stage_cap = int(stage_tokens)
         self._stage_used = 0
         self.cache = bp.init_backpack_cache(cfg, max_slots, max_seqlen,

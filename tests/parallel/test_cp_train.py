@@ -118,9 +118,9 @@ def test_cp_flash_attn_impl_matches_oracle(setup):
 
 
 def test_cp_train_mode_dropout():
-    """train=True: per-(data,seq)-shard dropout streams — deterministic in
-    the step rng, different across rngs, and matching the eval path when all
-    dropout probabilities are zero."""
+    """train=True: dropout is deterministic in the step rng, different
+    across rngs, and matches the eval path when all dropout probabilities
+    are zero."""
     cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
                          n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
                          embd_pdrop=0.1, resid_pdrop=0.1, attn_pdrop=0.0)
@@ -350,3 +350,65 @@ def test_cp_moe_matches_oracle_dropfree(layout):
                                   jax.random.PRNGKey(10 + n))
             losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("layout", ["natural", "zigzag"])
+def test_cp_all_dropout_matches_single_device(layout):
+    """FULL train-mode bit-exactness: with EVERY dropout site active
+    (embedding, residual, content network, attention probabilities), the CP
+    loss and gradients equal single-device backpack_forward(train=True) with
+    the same step rng. Per-token sites hash the chunk's GLOBAL element
+    positions (norms.dropout idx=) and share the single-device rng chain, so
+    sharding — natural or zigzag, data-sharded batch included — does not
+    change any mask."""
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                         n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                         embd_pdrop=0.15, resid_pdrop=0.1, attn_pdrop=0.35)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0, 256)
+    rng = jax.random.PRNGKey(9)
+    mesh = _mesh(2, 2)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl="flash",
+                                 layout=layout)
+
+    def oracle(p):
+        logits = bp.backpack_forward(p, cfg, ids[:, :-1], train=True,
+                                     rng=rng, use_flash=True)
+        return cross_entropy_loss(logits, ids[:, 1:])
+
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids, rng))
+        g_cp = jax.device_get(jax.jit(jax.grad(loss_fn))(params, ids, rng))
+    want = float(oracle(params))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
+    g_ref = jax.grad(oracle)(params)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, g in jax.tree_util.tree_leaves_with_path(g_cp):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
+            atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_cp_gpt_all_dropout_matches_single_device():
+    """Same bit-exactness for the plain-GPT CP path (model='gpt')."""
+    from backpacks_flash_attn_tpu.models import gpt as gpt_lib
+    cfg = BackpackConfig(vocab_size=256, n_positions=64, n_embd=32, n_head=2,
+                         n_layer=2, num_senses=2, pad_vocab_size_multiple=8,
+                         embd_pdrop=0.15, resid_pdrop=0.1, attn_pdrop=0.35)
+    params = bp.init_backpack(cfg, jax.random.PRNGKey(0))["gpt"]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0, 256)
+    rng = jax.random.PRNGKey(9)
+    mesh = _mesh(2, 2)
+    loss_fn = cp.make_cp_loss_fn(cfg, mesh, train=True, attn_impl="flash",
+                                 model="gpt")
+
+    def oracle(p):
+        hidden = gpt_lib.gpt_forward(p, cfg, ids[:, :-1], train=True,
+                                     rng=rng, use_flash=True)
+        return cross_entropy_loss(gpt_lib.lm_logits(p, cfg, hidden),
+                                  ids[:, 1:])
+
+    with mesh:
+        got = float(jax.jit(loss_fn)(params, ids, rng))
+    want = float(oracle(params))
+    assert got == pytest.approx(want, rel=2e-5), (got, want)
