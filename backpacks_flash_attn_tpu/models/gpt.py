@@ -19,6 +19,7 @@ pytree of parameters:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -737,13 +738,26 @@ def init_gpt_lm(cfg: GPTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
 
 def lm_logits(params: Params, cfg: GPTConfig, hidden: jax.Array) -> jax.Array:
     """Tied lm_head: hidden @ wte^T (reference gpt.py:270-280). Quantized
-    param trees carry an explicit 'lm_head' quantized (d, V) kernel."""
+    param trees carry an explicit 'lm_head' quantized (d, V) kernel.
+
+    Logits come back in hidden's dtype (f32 accumulation on the MXU, one
+    rounding on output): at batch 32 x 512 x 50264 an f32 logits buffer is
+    3.3 GB that the CE residual save and backward then stream twice more —
+    ~10 GB/step of pure logits traffic (r3 profile: gpt.py lm_head fusions
+    21.7 ms + CE 4.4 ms, all at HBM rates). The reference's xentropy kernel
+    reads fp16 logits and computes the lse in fp32 in-register
+    (csrc/xentropy/xentropy_kernel.cu) — bf16 logits + in-fusion f32
+    reductions (ops/cross_entropy.py:27) is the same numerics class.
+    BACKPACKS_F32_LOGITS=1 restores the f32 buffer for A/Bs."""
     if "lm_head" in params:
         from ..ops import quant
         return quant.quant_linear(hidden, params["lm_head"],
                                   ).astype(jnp.float32)
-    return jnp.dot(hidden, params["wte"].T,
-                   preferred_element_type=jnp.float32)
+    y = jnp.dot(hidden, params["wte"].T,
+                preferred_element_type=jnp.float32)
+    if os.environ.get("BACKPACKS_F32_LOGITS", "0") == "1":
+        return y
+    return y.astype(hidden.dtype)
 
 
 def gpt_lm_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array,

@@ -41,19 +41,35 @@ ACTIVATIONS = {
 }
 
 
+_F32_DENSE = os.environ.get("BACKPACKS_F32_DENSE", "0") == "1"
+
+
 def linear(x: jax.Array, params: dict, *, accum_dtype=jnp.float32) -> jax.Array:
     """x @ kernel + bias with fp32 accumulation on the MXU.
 
     params: {'kernel': (in, out), 'bias': (out,) optional}, or a quantized
     param dict from ops/quant.py (dispatched transparently so every model
     runs unchanged on INT8/INT4 weights).
+
+    bf16 x bf16 GEMMs emit bf16 directly (the MXU still accumulates in f32
+    internally; only the final store rounds) and add the bias in bf16: the
+    r3 train profile showed the preferred_element_type=f32 form streaming a
+    separate f32 buffer through standalone bias+convert passes
+    (dense.py:58-59 loop fusions, ~7 ms/step at batch 32). The reference's
+    cuBLASLt epilogue also stores fp16 right after the bias add
+    (csrc/fused_dense_lib/fused_dense.cpp:30-37). BACKPACKS_F32_DENSE=1
+    restores the f32-intermediate form for A/Bs.
     """
     from . import quant
     if quant.is_quantized(params):
         return quant.quant_linear(x, params)
     kernel = params["kernel"]
-    y = jnp.dot(x, kernel, preferred_element_type=accum_dtype)
     bias = params.get("bias")
+    if (x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
+            and accum_dtype == jnp.float32 and not _F32_DENSE):
+        y = jnp.dot(x, kernel)
+        return y + bias.astype(y.dtype) if bias is not None else y
+    y = jnp.dot(x, kernel, preferred_element_type=accum_dtype)
     if bias is not None:
         y = y + bias.astype(accum_dtype)
     return y.astype(x.dtype)

@@ -75,6 +75,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _head_pad(d: int) -> int:
+    """Padded head dim for kernel blocks. d=64 stays 64: Mosaic accepts a
+    full-dim minormost block (the vregs carry 64 dead lanes, but the dot
+    FLOPs halve to match), while padding to 128 made every q/k/v/g tensor a
+    REAL zero-padded HBM copy — 2x the kernel DMA plus explicit pad +
+    slice-back passes (r3 train profile: 6.7 ms/step of 'pad' + the
+    dq[:, :, :d] slices). Other non-multiples of 128 keep the old padding."""
+    return d if d == 64 or d % 128 == 0 else max(_round_up(d, 128), 128)
+
+
 # The attention-dropout hash measured 10.4ms of a 240ms train step (r3);
 # 1 finalizer round halves the mix cost and measured +0.8% end-to-end train
 # throughput — but the end-to-end learning test REGRESSED under it
@@ -244,7 +254,7 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
                blockmask=None, dropout_p=0.0, seed=None, q_offsets=None,
-               bias=None, k_offsets=None, bh_offset=None):
+               bias=None, k_offsets=None, bh_offset=None, lse_4d=False):
     """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
     `scale` may be traced; it is folded into q before the kernel launch.
     blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask.
@@ -261,7 +271,7 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
     sk = k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
-    d_pad = max(_round_up(d, 128), 128)
+    d_pad = _head_pad(d)
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
@@ -348,6 +358,12 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
         interpret=_interpret(),
     )(seq_lengths, q_offsets, k_offsets, bh_offset, bm, seed, qp, kp, vp,
       bias)
+    if lse_4d:
+        # native kernel layout (b, h, sq_pad, 1): threading this straight
+        # into _flash_bwd avoids the slice -> 3D -> pad -> reshape round
+        # trip, which XLA materialized as per-layer layout-conversion
+        # copies (r3 train profile: 3 x ~1.7 ms/step at 11 GB/s)
+        return out[:, :, :sq, :d], lse
     return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
@@ -516,7 +532,7 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
 
 
 def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
-                            k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            k_ref, v_ref, do_ref, lse_ref, o_ref,
                             dq_ref, dk_ref, dv_ref, *, block_q: int,
                             block_k: int, q_len: int, kv_len: int,
                             causal: bool, dropout_p: float, force_f32: bool):
@@ -560,7 +576,13 @@ def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         q = q_ref[0, 0].astype(cdt)
         do = do_ref[0, 0].astype(cdt)
         lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        # delta_i = rowsum(dO_i * O_i), the softmax-jacobian correction,
+        # computed here from the VMEM-resident o/do blocks: as an external
+        # XLA pass it cost a full extra read of out+g per layer plus a
+        # pathological (…, 1)-lane operand copy into the kernel
+        delta = jnp.sum(o_ref[0, 0].astype(jnp.float32)
+                        * do_ref[0, 0].astype(jnp.float32),
+                        axis=1, keepdims=True)
         k = k_ref[0, 0].astype(cdt)
         v = v_ref[0, 0].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -617,7 +639,7 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     sk = k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
-    d_pad = max(_round_up(d, 128), 128)
+    d_pad = _head_pad(d)
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
@@ -632,10 +654,14 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
 
     qp, kp, vp = pad(qs, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
     gp = pad(g, sq_pad)
-    # delta_i = rowsum(dO_i * O_i) — the softmax-jacobian correction term.
-    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
-    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
-    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
+    if lse.ndim == 4:
+        # native fwd-kernel layout (b, h, sq_pad, 1) saved by the vjp rule:
+        # flows into the kernels untouched (no slice/pad layout round trip)
+        lse_p = (lse if lse.shape[2] == sq_pad else
+                 jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - lse.shape[2]),
+                               (0, 0))))
+    else:
+        lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
 
     if seed is None:
         seed = jnp.zeros((2,), jnp.uint32)
@@ -713,7 +739,7 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
         dq_parts, dkf, dvf = pl.pallas_call(
             functools.partial(_flash_bwd_fused_kernel, **common4),
             grid=grid4,
-            in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4, r4],
+            in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4, q4],
             out_specs=[dq_part4, k4, k4],
             out_shape=[jax.ShapeDtypeStruct((n_kb, b, h, sq_pad, d_pad),
                                             jnp.float32),
@@ -726,10 +752,15 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                                      "arbitrary")),
             interpret=_interpret(),
         )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
-          delta)
+          pad(out, sq_pad))
         dq, dbias = dq_parts.sum(axis=0).astype(q.dtype), None
         dk, dv = dkf.astype(k.dtype), dvf.astype(v.dtype)
     else:
+        # delta_i = rowsum(dO_i * O_i) — the softmax-jacobian correction
+        # (the fused path computes it in-kernel from VMEM-resident blocks)
+        delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32),
+                        axis=-1)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - sq)))[..., None]
         dq_res = pl.pallas_call(
             functools.partial(_flash_bwd_dq_kernel, **common),
             grid=(b, h, n_qb),
@@ -767,7 +798,7 @@ def _flash_fwd_rule(q, k, v, seed, bias, seq_lengths_static, scale, causal,
                     block_q, block_k, dropout_p, has_bias):
     out, lse = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
                           dropout_p=dropout_p, seed=seed,
-                          bias=bias if has_bias else None)
+                          bias=bias if has_bias else None, lse_4d=True)
     return out, (q, k, v, out, lse, seed, bias)
 
 

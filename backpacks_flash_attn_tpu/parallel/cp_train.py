@@ -138,6 +138,17 @@ def _make_local_loss(cfg, *, label_smoothing: float = 0.0,
                          else None)
             r_emb, r_layers = jax.random.split(r_gpt)
             layer_rngs = jax.random.split(r_layers, cfg.n_layer)
+            # gidx is the element's flat position in the unsharded
+            # (B, s, n_embd) tensor, in int32. Past 2**31 the hash inputs
+            # would wrap and distant elements would share dropout masks,
+            # so refuse rather than silently correlate.
+            n_global = b * lax.axis_size("data") * s * cfg.n_embd
+            if n_global >= 2**31:
+                raise ValueError(
+                    "CP per-token dropout indexes the global (B, S, n_embd) "
+                    f"tensor in int32; B*S*n_embd = {n_global} >= 2**31 "
+                    "would wrap. Reduce batch/seq or disable per-token "
+                    "dropout (embd_pdrop=resid_pdrop=0).")
             gidx = (((jnp.arange(b, dtype=jnp.int32)[:, None] + boff) * s
                      + pos.astype(jnp.int32)[None, :])[:, :, None]
                     * cfg.n_embd + jnp.arange(cfg.n_embd, dtype=jnp.int32))

@@ -410,5 +410,12 @@ def test_cp_gpt_all_dropout_matches_single_device():
 
     with mesh:
         got = float(jax.jit(loss_fn)(params, ids, rng))
+        g_cp = jax.device_get(jax.jit(jax.grad(loss_fn))(params, ids, rng))
     want = float(oracle(params))
     assert got == pytest.approx(want, rel=2e-5), (got, want)
+    g_ref = jax.grad(oracle)(params)
+    ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    for path, g in jax.tree_util.tree_leaves_with_path(g_cp):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(ref[path], np.float64),
+            atol=2e-5, rtol=2e-4, err_msg=jax.tree_util.keystr(path))

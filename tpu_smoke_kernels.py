@@ -58,7 +58,7 @@ for name, a, bb in zip(("dq", "dk", "dcontent"), gf(q, k, c), gr(q, k, c)):
     check(name, a, bb)
 
 # --- tiled flash bwd (round-2 kernel; round-1 hardware only ran the fwd) --
-print("flash attention fwd+bwd:")
+print("flash attention fwd+bwd (split kernels):")
 h, dh = 4, 64
 qa = jax.random.normal(kq, (b, s, h, dh), jnp.float32)
 ka = jax.random.normal(kk, (b, s, h, dh), jnp.float32)
@@ -73,7 +73,12 @@ def loss_ref(q, k, v):
     return jnp.sum(jnp.sin(mha_reference(q, k, v, causal=True)))
 
 
-gflash = jax.jit(jax.grad(loss_flash, (0, 1, 2)))(qa, ka, va)
+_fused_default = fa._FUSED_BWD
+fa._FUSED_BWD = False
+try:
+    gflash = jax.jit(jax.grad(loss_flash, (0, 1, 2)))(qa, ka, va)
+finally:
+    fa._FUSED_BWD = _fused_default
 gref = jax.grad(loss_ref, (0, 1, 2))(qa, ka, va)
 for name, a, bb in zip(("dq", "dk", "dv"), gflash, gref):
     check(name, a, bb)
@@ -86,7 +91,14 @@ try:
     for name, a, bb in zip(("dq", "dk", "dv"), gfused, gref):
         check(name, a, bb)
 finally:
-    fa._FUSED_BWD = False
+    fa._FUSED_BWD = _fused_default
+
+# --- bf16 fwd+bwd at the training head_dim (d=64 full-dim blocks) ----------
+print("flash bf16 fwd+bwd (d=64, no head padding):")
+qb, kb, vb = (x.astype(jnp.bfloat16) for x in (qa, ka, va))
+gb16 = jax.jit(jax.grad(loss_flash, (0, 1, 2)))(qb, kb, vb)
+for name, a, bb in zip(("dq", "dk", "dv"), gb16, gref):
+    check(name, a, bb, tol=5e-2)
 
 # --- blocksparse bwd (round-2) --------------------------------------------
 print("blocksparse fwd+bwd:")
