@@ -753,11 +753,16 @@ def lm_logits(params: Params, cfg: GPTConfig, hidden: jax.Array) -> jax.Array:
         from ..ops import quant
         return quant.quant_linear(hidden, params["lm_head"],
                                   ).astype(jnp.float32)
-    y = jnp.dot(hidden, params["wte"].T,
-                preferred_element_type=jnp.float32)
     if os.environ.get("BACKPACKS_F32_LOGITS", "0") == "1":
-        return y
-    return y.astype(hidden.dtype)
+        return jnp.dot(hidden, params["wte"].T,
+                       preferred_element_type=jnp.float32)
+    if hidden.dtype == jnp.bfloat16 and params["wte"].dtype == jnp.bfloat16:
+        # emit bf16 straight from the GEMM — the pref=f32 + astype form
+        # leaves it to XLA whether the convert fuses into the GEMM epilogue
+        # or streams the full f32 buffer first
+        return jnp.dot(hidden, params["wte"].T)
+    return jnp.dot(hidden, params["wte"].T,
+                   preferred_element_type=jnp.float32).astype(hidden.dtype)
 
 
 def gpt_lm_forward(params: Params, cfg: GPTConfig, input_ids: jax.Array,

@@ -109,7 +109,16 @@ def _mlp_fused_bwd(activation, res, g):
     a, act_vjp = jax.vjp(act, h_pre)
     w2 = params["fc2"]["kernel"]
     g = g.astype(x.dtype)
-    da = jnp.dot(g, w2.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    # bf16 dgrad GEMMs emit bf16 directly (same rationale as linear() above:
+    # the f32-intermediate form streams a separate (tokens, 4d) f32 buffer
+    # plus a convert pass per layer); f32 stays for the exactness oracles
+    lowp = (x.dtype == jnp.bfloat16 and w2.dtype == jnp.bfloat16
+            and not _F32_DENSE)
+    if lowp:
+        da = jnp.dot(g, w2.T)
+    else:
+        da = jnp.dot(g, w2.T,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     dh = act_vjp(da)[0]
     xm = x.reshape(-1, x.shape[-1])
     am = a.reshape(-1, a.shape[-1])
@@ -127,8 +136,11 @@ def _mlp_fused_bwd(activation, res, g):
     if "bias" in params["fc2"]:
         dparams["fc2"]["bias"] = gm.astype(jnp.float32).sum(0).astype(
             params["fc2"]["bias"].dtype)
-    dx = jnp.dot(dh, params["fc1"]["kernel"].T,
-                 preferred_element_type=jnp.float32).astype(x.dtype)
+    if lowp:
+        dx = jnp.dot(dh, params["fc1"]["kernel"].T)
+    else:
+        dx = jnp.dot(dh, params["fc1"]["kernel"].T,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     return dx, dparams
 
 

@@ -618,10 +618,105 @@ def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
 
+def _flash_bwd_scratch_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
+                              k_ref, v_ref, do_ref, lse_ref, o_ref,
+                              dq_ref, dk_ref, dv_ref,
+                              dq_acc, dk_acc, dv_acc, *, block_q: int,
+                              block_k: int, q_len: int, kv_len: int,
+                              causal: bool, dropout_p: float,
+                              force_f32: bool):
+    """Fused backward with f32 VMEM scratch accumulators and low-precision
+    HBM outputs. The partials-based fused kernel (_flash_bwd_fused_kernel)
+    materializes dq as an (n_kb, b, h, sq, d) f32 tensor summed by XLA and
+    emits f32 dk/dv cast outside — ~425 MB of HBM traffic per training layer
+    at (32, 12, 512, 64). Here dq accumulates across the OUTER kj sweep in a
+    persistent (sq_pad, d_pad) f32 scratch (read/modify in VMEM, the HBM
+    block rewritten per visit, last write wins) and dk/dv accumulate in
+    block-sized f32 scratch zeroed at qi == 0, so every gradient leaves the
+    kernel already in the input dtype: ~100 MB per layer, no external sum or
+    cast passes. Same tile math as _flash_bwd_fused_kernel."""
+    kj = pl.program_id(2)
+    qi = pl.program_id(3)
+    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
+          + pl.program_id(1))
+    dq_base = qoff_ref[pl.program_id(0)]
+    dk0 = koff_ref[pl.program_id(0)] + kj * block_k
+    q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        active = (q_off + (qi + 1) * block_q - 1) >= kj * block_k
+    else:
+        active = qi >= 0
+
+    qrows = pl.ds(qi * block_q, block_q)
+
+    @pl.when(active)
+    def _():
+        q = q_ref[0, 0].astype(cdt)
+        do = do_ref[0, 0].astype(cdt)
+        lse = lse_ref[0, 0]
+        delta = jnp.sum(o_ref[0, 0].astype(jnp.float32)
+                        * do_ref[0, 0].astype(jnp.float32),
+                        axis=1, keepdims=True)
+        k = k_ref[0, 0].astype(cdt)
+        v = v_ref[0, 0].astype(cdt)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        mask = _bwd_mask(qi * block_q, kj * block_k, block_q, block_k,
+                         q_len, kv_len, causal, q_off=q_off)
+        p = jnp.where(mask, _pexp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if dropout_p > 0.0:
+            keep = _dropout_keep(seed_ref, bh, dq_base + qi * block_q, dk0,
+                                 block_q, block_k, dropout_p)
+            scale_keep = 1.0 / (1.0 - dropout_p)
+            p_v = jnp.where(keep, p * scale_keep, 0.0)
+            dp = jnp.where(keep, dp * scale_keep, 0.0)
+        else:
+            p_v = p
+        dv_acc[...] += jax.lax.dot_general(
+            p_v.astype(cdt), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_tile = jax.lax.dot_general(
+            ds.astype(cdt), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # select (not arithmetic) against the kj == 0 read: the scratch block
+        # holds the previous (b, h)'s values there — possibly non-finite —
+        # and a select never propagates them
+        prev = jnp.where(kj == 0, jnp.zeros_like(dq_tile), dq_acc[qrows])
+        dq_acc[qrows] = prev + dq_tile
+
+    @pl.when(jnp.logical_and(jnp.logical_not(active), kj == 0))
+    def _():
+        dq_acc[qrows] = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+
+    # every iteration leaves the CURRENT partial in the HBM-backed blocks;
+    # revisits overwrite, so after the final kj (dq) / qi (dk, dv) sweep the
+    # buffers hold the totals, already in the model dtype
+    dq_ref[0, 0] = dq_acc[qrows].astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 # default ON since the r3 on-chip A/B: +0.6% end-to-end train throughput
 # (bench_results/train_fusedbwd_r3.json vs train_r3c.json) and fewer
 # kernels to schedule; exact against the split kernels (tests).
 _FUSED_BWD = os.environ.get("FLASH_FUSED_BWD", "1") == "1"
+# scratch-accumulator fused backward (see _flash_bwd_scratch_kernel);
+# FLASH_BWD_SCRATCH=0 falls back to the partials form for A/Bs.
+_BWD_SCRATCH = os.environ.get("FLASH_BWD_SCRATCH", "1") == "1"
 
 
 def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
@@ -723,8 +818,7 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                                      lambda bi, hi, i: (bi, hi, i, 0)))
     if _FUSED_BWD and not has_bias:
         # single-pass fused backward: one (s, mask, hash, exp) recompute per
-        # tile instead of two, 5 MXU dots instead of 7. f32 outputs so the
-        # dq read-modify-write and the resident dk/dv accumulate exactly.
+        # tile instead of two, 5 MXU dots instead of 7.
         grid4 = (b, h, n_kb, n_qb)
         q4 = pl.BlockSpec((1, 1, block_q, d_pad),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))
@@ -732,29 +826,58 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                           lambda bi, hi, kj, qi: (bi, hi, kj, 0))
         r4 = pl.BlockSpec((1, 1, block_q, 1),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))
-        dq_part4 = pl.BlockSpec((1, 1, 1, block_q, d_pad),
-                                lambda bi, hi, kj, qi: (kj, bi, hi, qi, 0))
         common4 = dict(common)
         common4.pop("has_bias")
-        dq_parts, dkf, dvf = pl.pallas_call(
-            functools.partial(_flash_bwd_fused_kernel, **common4),
-            grid=grid4,
-            in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4, q4],
-            out_specs=[dq_part4, k4, k4],
-            out_shape=[jax.ShapeDtypeStruct((n_kb, b, h, sq_pad, d_pad),
-                                            jnp.float32),
-                       jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
-                                            jnp.float32),
-                       jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
-                                            jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary",
-                                     "arbitrary")),
-            interpret=_interpret(),
-        )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
-          pad(out, sq_pad))
-        dq, dbias = dq_parts.sum(axis=0).astype(q.dtype), None
-        dk, dv = dkf.astype(k.dtype), dvf.astype(v.dtype)
+        if _BWD_SCRATCH:
+            # f32 accumulation lives in VMEM scratch; outputs leave the
+            # kernel in the model dtypes (no partials sum / cast passes)
+            dq, dk, dv = pl.pallas_call(
+                functools.partial(_flash_bwd_scratch_kernel, **common4),
+                grid=grid4,
+                in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4,
+                          q4],
+                out_specs=[q4, k4, k4],
+                out_shape=[jax.ShapeDtypeStruct((b, h, sq_pad, d_pad),
+                                                q.dtype),
+                           jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
+                                                k.dtype),
+                           jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
+                                                v.dtype)],
+                scratch_shapes=[
+                    pltpu.VMEM((sq_pad, d_pad), jnp.float32),
+                    pltpu.VMEM((block_k, d_pad), jnp.float32),
+                    pltpu.VMEM((block_k, d_pad), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel",
+                                         "arbitrary", "arbitrary")),
+                interpret=_interpret(),
+            )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
+              pad(out, sq_pad))
+            dbias = None
+        else:
+            dq_part4 = pl.BlockSpec(
+                (1, 1, 1, block_q, d_pad),
+                lambda bi, hi, kj, qi: (kj, bi, hi, qi, 0))
+            dq_parts, dkf, dvf = pl.pallas_call(
+                functools.partial(_flash_bwd_fused_kernel, **common4),
+                grid=grid4,
+                in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4,
+                          q4],
+                out_specs=[dq_part4, k4, k4],
+                out_shape=[jax.ShapeDtypeStruct((n_kb, b, h, sq_pad, d_pad),
+                                                jnp.float32),
+                           jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
+                                                jnp.float32),
+                           jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
+                                                jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel",
+                                         "arbitrary", "arbitrary")),
+                interpret=_interpret(),
+            )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
+              pad(out, sq_pad))
+            dq, dbias = dq_parts.sum(axis=0).astype(q.dtype), None
+            dk, dv = dkf.astype(k.dtype), dvf.astype(v.dtype)
     else:
         # delta_i = rowsum(dO_i * O_i) — the softmax-jacobian correction
         # (the fused path computes it in-kernel from VMEM-resident blocks)

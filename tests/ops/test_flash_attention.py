@@ -456,6 +456,38 @@ def test_fused_bwd_matches_split_kernels(monkeypatch, causal, p_drop):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("causal,p_drop", [(True, 0.0), (True, 0.17),
+                                           (False, 0.0)])
+def test_scratch_bwd_matches_partials(monkeypatch, causal, p_drop):
+    """FLASH_BWD_SCRATCH accumulator form (f32 VMEM scratch, low-precision
+    HBM outputs) vs the partials form of the same fused backward. dq/dk/dv
+    differ only by where the final rounding happens (the partials form sums
+    n_kb f32 partials then casts; scratch casts the identical f32 total), so
+    the comparison is tight."""
+    from backpacks_flash_attn_tpu.ops import flash_attention as fa
+
+    b, h, s, d = 2, 2, 384, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(51), b, s, h, d, jnp.float32)
+    rng = jax.random.PRNGKey(52)
+    ct = jax.random.normal(jax.random.PRNGKey(53), q.shape, jnp.float32)
+
+    def run():
+        def f(q, k, v):
+            return flash_attention(q, k, v, causal=causal, dropout_p=p_drop,
+                                   dropout_rng=rng, block_q=128, block_k=128)
+        _, vjp = jax.vjp(f, q, k, v)
+        return vjp(ct)
+
+    monkeypatch.setattr(fa, "_FUSED_BWD", True)
+    monkeypatch.setattr(fa, "_BWD_SCRATCH", False)
+    want = run()
+    monkeypatch.setattr(fa, "_BWD_SCRATCH", True)
+    got = run()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_fused_bwd_matches_split_with_offsets(monkeypatch):
     """Ring-style chunk pairs: global q/k offsets (including a pair where q
     sits entirely BEFORE k, so every tile is causally inactive and the fused

@@ -93,6 +93,19 @@ try:
 finally:
     fa._FUSED_BWD = _fused_default
 
+# --- scratch-accumulator fused bwd (round-4; FLASH_BWD_SCRATCH) ------------
+print("flash scratch-accumulator fused bwd:")
+_scratch_default = fa._BWD_SCRATCH
+fa._FUSED_BWD = True
+try:
+    fa._BWD_SCRATCH = True
+    gscr = jax.jit(jax.grad(loss_flash, (0, 1, 2)))(qa, ka, va)
+    for name, a, bb in zip(("dq", "dk", "dv"), gscr, gref):
+        check(name, a, bb)
+finally:
+    fa._FUSED_BWD = _fused_default
+    fa._BWD_SCRATCH = _scratch_default
+
 # --- bf16 fwd+bwd at the training head_dim (d=64 full-dim blocks) ----------
 print("flash bf16 fwd+bwd (d=64, no head padding):")
 qb, kb, vb = (x.astype(jnp.bfloat16) for x in (qa, ka, va))
