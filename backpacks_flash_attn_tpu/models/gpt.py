@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..config import GPTConfig
 from ..ops import dense, norms, rotary
-from ..ops.attention import mha
+from ..ops.attention import mha, mha_qkv_packed
 from ..ops.decode_attention import decode_attention
 
 Params = Dict[str, Any]
@@ -257,16 +257,24 @@ def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
     if cfg.attn_dwconv:
         qkv = causal_dwconv3(qkv, layer_params["dwconv"])
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    if cfg.rotary_emb_dim > 0:
-        q, k = rotary.apply_rotary_qk(q, k, cfg.rotary_emb_dim,
-                                      scale_base=cfg.rotary_emb_scale_base)
     r_attn, r_d1, r_d2 = (jax.random.split(rngs, 3) if rngs is not None
                           else (None, None, None))
-    ctx = mha(q, k, v, causal=True, softmax_scale=scale,
-              key_padding_mask=key_padding_mask,
-              dropout_p=cfg.attn_pdrop, dropout_rng=r_attn,
-              deterministic=not train, use_flash=use_flash)
+    if use_flash and cfg.rotary_emb_dim == 0 and key_padding_mask is None:
+        # keep qkv packed into the flash kernel: one layout transform
+        # instead of three slice+transpose chains (and one on the way back)
+        ctx = mha_qkv_packed(qkv, causal=True, softmax_scale=scale,
+                             dropout_p=cfg.attn_pdrop, dropout_rng=r_attn,
+                             deterministic=not train)
+    else:
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cfg.rotary_emb_dim > 0:
+            q, k = rotary.apply_rotary_qk(
+                q, k, cfg.rotary_emb_dim,
+                scale_base=cfg.rotary_emb_scale_base)
+        ctx = mha(q, k, v, causal=True, softmax_scale=scale,
+                  key_padding_mask=key_padding_mask,
+                  dropout_p=cfg.attn_pdrop, dropout_rng=r_attn,
+                  deterministic=not train, use_flash=use_flash)
     mixer_out = dense.linear(ctx.reshape(b, s, cfg.n_embd),
                              layer_params["out_proj"])
     hidden, residual = norms.dropout_add_layer_norm(

@@ -114,6 +114,32 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
                          q_offset=q_offset)
 
 
+def mha_qkv_packed(qkv: jax.Array, *, causal: bool = True,
+                   softmax_scale: Optional[float] = None,
+                   dropout_p: float = 0.0,
+                   dropout_rng: Optional[jax.Array] = None,
+                   deterministic: bool = True,
+                   use_flash: bool = True) -> jax.Array:
+    """Fused-QKV self-attention entry: qkv (b, s, 3, h, dh) -> (b, s, h, dh).
+
+    The packed analogue of mha() for the ordinary training/prefill case (no
+    padding mask, no prefix offset): the flash path keeps qkv packed through
+    ONE layout transform instead of three slice+transpose chains (reference:
+    flash_attn_unpadded_qkvpacked_func keeps qkv packed into the kernel,
+    flash_attn_interface.py:242-283)."""
+    dropout_active = dropout_p > 0.0 and not deterministic
+    if use_flash and (not dropout_active or dropout_rng is not None):
+        from .flash_attention import flash_attention_qkv_packed
+        return flash_attention_qkv_packed(
+            qkv, causal=causal, softmax_scale=softmax_scale,
+            dropout_p=dropout_p if dropout_active else 0.0,
+            dropout_rng=dropout_rng if dropout_active else None)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    return mha_reference(q, k, v, causal=causal, softmax_scale=softmax_scale,
+                         dropout_p=dropout_p, dropout_rng=dropout_rng,
+                         deterministic=deterministic)
+
+
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      cache_len: jax.Array, *,
                      softmax_scale: Optional[float] = None) -> jax.Array:

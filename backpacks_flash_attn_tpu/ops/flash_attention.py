@@ -85,6 +85,24 @@ def _head_pad(d: int) -> int:
     return d if d == 64 or d % 128 == 0 else max(_round_up(d, 128), 128)
 
 
+# FLASH_HEAD_GROUP=G batches G heads into one kernel program (forward and
+# scratch backward). At the training shape each per-head program is a few
+# microseconds of work, so the (b, h, n_blocks) grid is per-program-overhead
+# bound; grouping divides the program count. Dropout masks are invariant to
+# the grouping (streams are indexed by the ABSOLUTE head id). Default 1
+# until the on-chip A/B (run_tpu_benches_r4c/d) picks a winner.
+_HEAD_GROUP = int(os.environ.get("FLASH_HEAD_GROUP", "1"))
+
+
+def _head_group(h: int, disable: bool) -> int:
+    if disable:
+        return 1
+    g = min(_HEAD_GROUP, h)
+    while g > 1 and h % g:
+        g -= 1
+    return max(g, 1)
+
+
 # The attention-dropout hash measured 10.4ms of a 240ms train step (r3);
 # 1 finalizer round halves the mix cost and measured +0.8% end-to-end train
 # throughput — but the end-to-end learning test REGRESSED under it
@@ -135,19 +153,29 @@ def _dropout_keep(seed_ref, bh: jax.Array, q0, k0, block_q: int, block_k: int,
 
 
 def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
-                      seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                      lse_ref, *, block_k: int,
+                      seed_ref, scale_ref, q_ref, k_ref, v_ref, bias_ref,
+                      o_ref, lse_ref, *, block_k: int,
                       kv_len: int, causal: bool, block_q: int,
-                      blocksparse: bool, dropout_p: float, has_bias: bool):
-    # q arrives pre-scaled (softmax scale may be a traced per-layer value,
-    # which a Pallas kernel cannot close over).
+                      blocksparse: bool, dropout_p: float, has_bias: bool,
+                      g_heads: int = 1, n_heads: int = 0):
+    # softmax scale arrives as an SMEM scalar (it may be a traced per-layer
+    # value, which a Pallas kernel cannot close over) and multiplies the
+    # score tile in VMEM: folding it into q instead cost a full (b, h, s, d)
+    # copy per layer per pass outside the kernel.
+    #
+    # g_heads > 1 processes a GROUP of heads per program (statically
+    # unrolled): at (32, 12, 512, 64) each per-head program is ~2.7us of
+    # work, so the grid of 384 tiny programs is bound by per-program
+    # overhead (bench_results/flash_r4.json: fwd 1.0-1.2ms vs ~0.3ms of
+    # DMA+compute); grouping divides the program count and amortizes the
+    # fetch/flush latency. n_heads is the TOTAL head count so dropout
+    # streams stay identical for every grouping.
     qi = pl.program_id(2)
     # bf16 inputs run bf16 MXU dots with f32 accumulation (f32 operands were
     # 4x slower on the MXU and dominated the training step); f32 inputs keep
     # f32 math for the exactness oracles and interpret mode.
     cdt = (jnp.float32 if _interpret() or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
-    q = q_ref[0, 0].astype(cdt)                  # (block_q, d)
     seq_len = lens_ref[pl.program_id(0)]
     # per-sequence offsets: q row i sits at absolute position q_off + i and
     # key column u at k_off + u (chunked prefill / ring chunk pairs). The
@@ -155,12 +183,7 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
     # absolute positions so masks are a pure function of global coordinates
     # (ring == single-device).
     q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
-    # program_id inside a fori_loop body breaks interpret-mode lowering;
-    # compute the dropout stream id at kernel top level. boff globalizes the
-    # batch-row stream under data sharding (row b here is global row
-    # boff + b).
-    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
-          + pl.program_id(1))
+    nh = n_heads if n_heads else pl.num_programs(1)
     dq0 = qoff_ref[pl.program_id(0)] + qi * block_q
     dk_off = koff_ref[pl.program_id(0)]
 
@@ -175,88 +198,105 @@ def _flash_fwd_kernel(lens_ref, qoff_ref, koff_ref, boff_ref, bmask_ref,
              + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
 
     fixedmax = _FIXEDMAX and not blocksparse and not has_bias
-    if fixedmax:
-        # per-row upper bound M >= max(s) (Cauchy-Schwarz on the pre-scaled
-        # q): the K block is already VMEM-resident, so the norm pre-pass
-        # costs no extra HBM traffic
-        kf = k_ref[0, 0].astype(jnp.float32)
-        kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=1)))
-        qf32 = q_ref[0, 0].astype(jnp.float32)
-        M = jnp.sqrt(jnp.sum(qf32 * qf32, axis=1)) * kmax + 1e-6
 
-    def compute(j, carry):
-        o_acc, m_prev, l_prev = carry
-        k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
-        v = v_ref[0, 0, pl.ds(j * block_k, block_k)]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                       (block_q, block_k), 1)
-        mask = k_pos < jnp.minimum(seq_len, kv_len)
-        if causal:
-            mask = jnp.logical_and(mask, k_pos <= q_pos)
-        if has_bias:
-            s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
-        s = jnp.where(mask, s, NEG_INF)
+    for g in range(g_heads):
+        q = q_ref[0, g].astype(cdt)                  # (block_q, d)
+        # program_id inside a fori_loop body breaks interpret-mode lowering;
+        # compute the dropout stream id at kernel top level. boff globalizes
+        # the batch-row stream under data sharding (row b here is global row
+        # boff + b).
+        bh = ((pl.program_id(0) + boff_ref[0]) * nh
+              + pl.program_id(1) * g_heads + g)
         if fixedmax:
-            # no running max: tiles accumulate independently, no correction
-            # multiplies on l or the (block_q, d) accumulator
-            m_new = m_prev
-            p = jnp.where(mask, _pexp(s - M[:, None]), 0.0)
-            l_new = l_prev + jnp.sum(p, axis=1)
+            # per-row upper bound M >= max(s) (Cauchy-Schwarz): the K block
+            # is already VMEM-resident, so the norm pre-pass costs no extra
+            # HBM traffic
+            kf = k_ref[0, g].astype(jnp.float32)
+            kmax = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=1)))
+            qf32 = q_ref[0, g].astype(jnp.float32)
+            M = (jnp.sqrt(jnp.sum(qf32 * qf32, axis=1)) * kmax
+                 * jnp.abs(scale_ref[0]) + 1e-6)
+
+        def compute(j, carry, g=g, q=q, bh=bh, M=(M if fixedmax else None)):
+            o_acc, m_prev, l_prev = carry
+            k = k_ref[0, g, pl.ds(j * block_k, block_k)].astype(cdt)
+            v = v_ref[0, g, pl.ds(j * block_k, block_k)]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale_ref[0]
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = k_pos < jnp.minimum(seq_len, kv_len)
+            if causal:
+                mask = jnp.logical_and(mask, k_pos <= q_pos)
+            if has_bias:
+                s = s + bias_ref[0, g, :, pl.ds(j * block_k, block_k)]
+            s = jnp.where(mask, s, NEG_INF)
+            if fixedmax:
+                # no running max: tiles accumulate independently, no
+                # correction multiplies on l or the (block_q, d) accumulator
+                m_new = m_prev
+                p = jnp.where(mask, _pexp(s - M[:, None]), 0.0)
+                l_new = l_prev + jnp.sum(p, axis=1)
+            else:
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+                correction = _pexp(m_prev - m_new)
+                p = _pexp(s - m_new[:, None])
+                p = jnp.where(mask, p, 0.0)
+                l_new = l_prev * correction + jnp.sum(p, axis=1)
+            if dropout_p > 0.0:
+                # applied to the un-normalized probs; l/lse stay pre-dropout
+                # so the bwd recompute sees the exact softmax (reference
+                # semantics: dropout after softmax,
+                # fmha_fprop_kernel_1xN.h). Positions are GLOBAL (absolute
+                # q/k offsets included).
+                keep = _dropout_keep(seed_ref, bh, dq0,
+                                     dk_off + j * block_k,
+                                     block_q, block_k, dropout_p)
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+            pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if fixedmax:
+                o_new = o_acc + pv
+            else:
+                o_new = o_acc * correction[:, None] + pv
+            return o_new, m_new, l_new
+
+        if blocksparse:
+            # blocksparse FMHA (reference fwd_block, csrc/flash_attn/
+            # src/fmha_block_fprop_kernel_1xN.h): tiles with a 0 blockmask
+            # entry skip BOTH MXU dots — exact sparse attention, compute
+            # scales with the active-block count. (K/V still stream whole
+            # per program; a scalar-prefetch gather of active blocks is the
+            # DMA upgrade path.)
+            def body(j, carry, compute=compute):
+                return jax.lax.cond(bmask_ref[qi * n_kb_total + j] != 0,
+                                    lambda c: compute(j, c), lambda c: c,
+                                    carry)
         else:
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-            correction = _pexp(m_prev - m_new)
-            p = _pexp(s - m_new[:, None])
-            p = jnp.where(mask, p, 0.0)
-            l_new = l_prev * correction + jnp.sum(p, axis=1)
-        if dropout_p > 0.0:
-            # applied to the un-normalized probs; l/lse stay pre-dropout so
-            # the bwd recompute sees the exact softmax (reference semantics:
-            # dropout after softmax, fmha_fprop_kernel_1xN.h). Positions are
-            # GLOBAL (absolute q/k offsets included).
-            keep = _dropout_keep(seed_ref, bh, dq0, dk_off + j * block_k,
-                                 block_q, block_k, dropout_p)
-            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
-        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+            body = compute
+
+        o_acc = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+        m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q,), jnp.float32)
+        o_acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body,
+                                        (o_acc, m0, l0))
+
         if fixedmax:
-            o_new = o_acc + pv
-        else:
-            o_new = o_acc * correction[:, None] + pv
-        return o_new, m_new, l_new
-
-    if blocksparse:
-        # blocksparse FMHA (reference fwd_block, csrc/flash_attn/
-        # src/fmha_block_fprop_kernel_1xN.h): tiles with a 0 blockmask entry
-        # skip BOTH MXU dots — exact sparse attention, compute scales with
-        # the active-block count. (K/V still stream whole per program; a
-        # scalar-prefetch gather of active blocks is the DMA upgrade path.)
-        def body(j, carry):
-            return jax.lax.cond(bmask_ref[qi * n_kb_total + j] != 0,
-                                lambda c: compute(j, c), lambda c: c, carry)
-    else:
-        body = compute
-
-    o_acc = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
-    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
-    o_acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (o_acc, m0, l0))
-
-    if fixedmax:
-        # fully-masked rows keep the sentinel lse (ring merges weight by
-        # exp(lse), so empty chunk pairs must stay ~-inf)
-        m = jnp.where(l == 0.0, NEG_INF, M)
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, None]
+            # fully-masked rows keep the sentinel lse (ring merges weight by
+            # exp(lse), so empty chunk pairs must stay ~-inf)
+            m = jnp.where(l == 0.0, NEG_INF, M)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, g] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0, g] = (m + jnp.log(l_safe))[:, None]
 
 
 def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
                blockmask=None, dropout_p=0.0, seed=None, q_offsets=None,
                bias=None, k_offsets=None, bh_offset=None, lse_4d=False):
     """q: (b, h, sq, d); k/v: (b, h, sk, d). Returns (out, lse).
-    `scale` may be traced; it is folded into q before the kernel launch.
+    `scale` may be traced; it rides into the kernel as an SMEM scalar.
     blockmask: optional (n_q_blocks, n_k_blocks) {0,1} tile mask.
     seed: (2,) uint32 dropout counter seed (required when dropout_p > 0).
     q_offsets: (b,) absolute position of q row 0 per sequence (chunked
@@ -265,8 +305,7 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
     causality uses the relative offset, the dropout hash the absolute ones.
     bh_offset: scalar global index of batch row 0 (data-sharded dropout
     streams)."""
-    if not (isinstance(scale, float) and scale == 1.0):
-        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
@@ -327,11 +366,12 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
     bias_block = (1, 1, block_q if has_bias else 1,
                   sk_pad if has_bias else 1)
 
-    grid = (b, h, sq_pad // block_q)
+    G = _head_group(h, blocksparse or has_bias)
+    grid = (b, h // G, sq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel, block_k=block_k, kv_len=sk,
         causal=causal, block_q=block_q, blocksparse=blocksparse,
-        dropout_p=dropout_p, has_bias=has_bias)
+        dropout_p=dropout_p, has_bias=has_bias, g_heads=G, n_heads=h)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -342,22 +382,23 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) batch-row offset
             pl.BlockSpec(memory_space=pltpu.SMEM),  # flat blockmask
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (2,) dropout seed
-            pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,) softmax scale
+            pl.BlockSpec((1, G, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, G, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, G, sk_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec(bias_block, bias_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, G, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, G, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seq_lengths, q_offsets, k_offsets, bh_offset, bm, seed, qp, kp, vp,
-      bias)
+    )(seq_lengths, q_offsets, k_offsets, bh_offset, bm, seed, scale_arr,
+      qp, kp, vp, bias)
     if lse_4d:
         # native kernel layout (b, h, sq_pad, 1): threading this straight
         # into _flash_bwd avoids the slice -> 3D -> pad -> reshape round
@@ -367,10 +408,12 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
     return out[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _flash_attention_bhsd(q, k, v, seed, bias, seq_lengths_static, scale,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash_attention_bhsd(q, k, v, seed, scale, bias, seq_lengths_static,
                           causal, block_q, block_k, dropout_p, has_bias):
-    # seq_lengths threaded via a static marker-free path: see flash_attention().
+    # seq_lengths threaded via a static marker-free path: see
+    # flash_attention(). `scale` is a traced operand (SMEM scalar in the
+    # kernels) so per-layer scan-carried scales need no q pre-scaling copy.
     out, _ = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
                         dropout_p=dropout_p, seed=seed,
                         bias=bias if has_bias else None)
@@ -404,8 +447,8 @@ def _bwd_mask(q0, k0, block_q, block_k, q_len, kv_len, causal, q_off=0):
     return mask
 
 
-def _flash_bwd_dq_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
-                         k_ref, v_ref, do_ref,
+def _flash_bwd_dq_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, scale_ref,
+                         q_ref, k_ref, v_ref, do_ref,
                          lse_ref, delta_ref, bias_ref, dq_ref, *dbias_ref,
                          block_q: int, block_k: int,
                          q_len: int, kv_len: int, causal: bool,
@@ -440,7 +483,8 @@ def _flash_bwd_dq_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         k = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         v = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32
+                                ) * scale_ref[0]
         if has_bias:
             s = s + bias_ref[0, 0, :, pl.ds(j * block_k, block_k)]
         mask = _bwd_mask(qi * block_q, j * block_k, block_q, block_k,
@@ -462,11 +506,12 @@ def _flash_bwd_dq_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
     dq = jax.lax.fori_loop(
         0, num_k_blocks, body,
         jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32))
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    # ds is d(loss)/d(scaled scores); d(s)/dq carries the scale
+    dq_ref[0, 0] = (dq * scale_ref[0]).astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
-                          k_ref, v_ref, do_ref,
+def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, scale_ref,
+                          q_ref, k_ref, v_ref, do_ref,
                           lse_ref, delta_ref, bias_ref, dk_ref, dv_ref, *,
                           block_q: int, block_k: int, q_len: int,
                           kv_len: int, n_q_blocks: int, causal: bool,
@@ -497,7 +542,8 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         lse = lse_ref[0, 0, pl.ds(j * block_q, block_q)]
         delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32
+                                ) * scale_ref[0]
         if has_bias:
             s = s + bias_ref[0, 0, pl.ds(j * block_q, block_q), :]
         mask = _bwd_mask(j * block_q, ki * block_k, block_q, block_k,
@@ -527,11 +573,12 @@ def _flash_bwd_dkv_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         j0, n_q_blocks, body,
         (jnp.zeros((block_k, d_pad), jnp.float32),
          jnp.zeros((block_k, d_pad), jnp.float32)))
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dk_ref[0, 0] = (dk * scale_ref[0]).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
+def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref,
+                            scale_ref, q_ref,
                             k_ref, v_ref, do_ref, lse_ref, o_ref,
                             dq_ref, dk_ref, dv_ref, *, block_q: int,
                             block_k: int, q_len: int, kv_len: int,
@@ -586,7 +633,8 @@ def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         k = k_ref[0, 0].astype(cdt)
         v = v_ref[0, 0].astype(cdt)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32
+                                ) * scale_ref[0]
         mask = _bwd_mask(qi * block_q, kj * block_k, block_q, block_k,
                          q_len, kv_len, causal, q_off=q_off)
         p = jnp.where(mask, _pexp(s - lse), 0.0)
@@ -604,12 +652,14 @@ def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
             p_v.astype(cdt), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
         ds = p * (dp - delta)
-        dk_ref[0, 0] += jax.lax.dot_general(
+        dk_ref[0, 0] += (jax.lax.dot_general(
             ds.astype(cdt), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-        dq_ref[0, 0, 0] = jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+            * scale_ref[0]).astype(dk_ref.dtype)
+        dq_ref[0, 0, 0] = (jax.lax.dot_general(
             ds.astype(cdt), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32)
+            * scale_ref[0]).astype(dq_ref.dtype)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -618,30 +668,33 @@ def _flash_bwd_fused_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
         dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
 
-def _flash_bwd_scratch_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
+def _flash_bwd_scratch_kernel(seed_ref, qoff_ref, koff_ref, boff_ref,
+                              scale_ref, q_ref,
                               k_ref, v_ref, do_ref, lse_ref, o_ref,
                               dq_ref, dk_ref, dv_ref,
                               dq_acc, dk_acc, dv_acc, *, block_q: int,
                               block_k: int, q_len: int, kv_len: int,
                               causal: bool, dropout_p: float,
-                              force_f32: bool):
+                              force_f32: bool, g_heads: int = 1,
+                              n_heads: int = 0):
     """Fused backward with f32 VMEM scratch accumulators and low-precision
     HBM outputs. The partials-based fused kernel (_flash_bwd_fused_kernel)
     materializes dq as an (n_kb, b, h, sq, d) f32 tensor summed by XLA and
     emits f32 dk/dv cast outside — ~425 MB of HBM traffic per training layer
     at (32, 12, 512, 64). Here dq accumulates across the OUTER kj sweep in a
-    persistent (sq_pad, d_pad) f32 scratch (read/modify in VMEM, the HBM
+    persistent (G, sq_pad, d_pad) f32 scratch (read/modify in VMEM, the HBM
     block rewritten per visit, last write wins) and dk/dv accumulate in
     block-sized f32 scratch zeroed at qi == 0, so every gradient leaves the
     kernel already in the input dtype: ~100 MB per layer, no external sum or
-    cast passes. Same tile math as _flash_bwd_fused_kernel."""
+    cast passes. Same tile math as _flash_bwd_fused_kernel. g_heads > 1
+    processes a head GROUP per program (see _flash_fwd_kernel — the grid is
+    per-program-overhead bound at the training shape)."""
     kj = pl.program_id(2)
     qi = pl.program_id(3)
-    bh = ((pl.program_id(0) + boff_ref[0]) * pl.num_programs(1)
-          + pl.program_id(1))
     dq_base = qoff_ref[pl.program_id(0)]
     dk0 = koff_ref[pl.program_id(0)] + kj * block_k
     q_off = qoff_ref[pl.program_id(0)] - koff_ref[pl.program_id(0)]
+    nh = n_heads if n_heads else pl.num_programs(1)
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
 
@@ -657,57 +710,66 @@ def _flash_bwd_scratch_kernel(seed_ref, qoff_ref, koff_ref, boff_ref, q_ref,
 
     qrows = pl.ds(qi * block_q, block_q)
 
-    @pl.when(active)
-    def _():
-        q = q_ref[0, 0].astype(cdt)
-        do = do_ref[0, 0].astype(cdt)
-        lse = lse_ref[0, 0]
-        delta = jnp.sum(o_ref[0, 0].astype(jnp.float32)
-                        * do_ref[0, 0].astype(jnp.float32),
-                        axis=1, keepdims=True)
-        k = k_ref[0, 0].astype(cdt)
-        v = v_ref[0, 0].astype(cdt)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        mask = _bwd_mask(qi * block_q, kj * block_k, block_q, block_k,
-                         q_len, kv_len, causal, q_off=q_off)
-        p = jnp.where(mask, _pexp(s - lse), 0.0)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        if dropout_p > 0.0:
-            keep = _dropout_keep(seed_ref, bh, dq_base + qi * block_q, dk0,
-                                 block_q, block_k, dropout_p)
-            scale_keep = 1.0 / (1.0 - dropout_p)
-            p_v = jnp.where(keep, p * scale_keep, 0.0)
-            dp = jnp.where(keep, dp * scale_keep, 0.0)
-        else:
-            p_v = p
-        dv_acc[...] += jax.lax.dot_general(
-            p_v.astype(cdt), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(cdt), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dq_tile = jax.lax.dot_general(
-            ds.astype(cdt), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # select (not arithmetic) against the kj == 0 read: the scratch block
-        # holds the previous (b, h)'s values there — possibly non-finite —
-        # and a select never propagates them
-        prev = jnp.where(kj == 0, jnp.zeros_like(dq_tile), dq_acc[qrows])
-        dq_acc[qrows] = prev + dq_tile
+    for g in range(g_heads):
+        bh = ((pl.program_id(0) + boff_ref[0]) * nh
+              + pl.program_id(1) * g_heads + g)
 
-    @pl.when(jnp.logical_and(jnp.logical_not(active), kj == 0))
-    def _():
-        dq_acc[qrows] = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
+        @pl.when(active)
+        def _(g=g, bh=bh):
+            q = q_ref[0, g].astype(cdt)
+            do = do_ref[0, g].astype(cdt)
+            lse = lse_ref[0, g]
+            delta = jnp.sum(o_ref[0, g].astype(jnp.float32)
+                            * do_ref[0, g].astype(jnp.float32),
+                            axis=1, keepdims=True)
+            k = k_ref[0, g].astype(cdt)
+            v = v_ref[0, g].astype(cdt)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale_ref[0]
+            mask = _bwd_mask(qi * block_q, kj * block_k, block_q, block_k,
+                             q_len, kv_len, causal, q_off=q_off)
+            p = jnp.where(mask, _pexp(s - lse), 0.0)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if dropout_p > 0.0:
+                keep = _dropout_keep(seed_ref, bh, dq_base + qi * block_q,
+                                     dk0, block_q, block_k, dropout_p)
+                scale_keep = 1.0 / (1.0 - dropout_p)
+                p_v = jnp.where(keep, p * scale_keep, 0.0)
+                dp = jnp.where(keep, dp * scale_keep, 0.0)
+            else:
+                p_v = p
+            dv_acc[g] += jax.lax.dot_general(
+                p_v.astype(cdt), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            dk_acc[g] += jax.lax.dot_general(
+                ds.astype(cdt), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_tile = jax.lax.dot_general(
+                ds.astype(cdt), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # select (not arithmetic) against the kj == 0 read: the scratch
+            # block holds the previous (b, h)'s values there — possibly
+            # non-finite — and a select never propagates them
+            prev = jnp.where(kj == 0, jnp.zeros_like(dq_tile),
+                             dq_acc[g, qrows])
+            dq_acc[g, qrows] = prev + dq_tile
 
-    # every iteration leaves the CURRENT partial in the HBM-backed blocks;
-    # revisits overwrite, so after the final kj (dq) / qi (dk, dv) sweep the
-    # buffers hold the totals, already in the model dtype
-    dq_ref[0, 0] = dq_acc[qrows].astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        @pl.when(jnp.logical_and(jnp.logical_not(active), kj == 0))
+        def _(g=g):
+            dq_acc[g, qrows] = jnp.zeros((block_q, q_ref.shape[-1]),
+                                         jnp.float32)
+
+        # every iteration leaves the CURRENT partial in the HBM-backed
+        # blocks; revisits overwrite, so after the final kj (dq) / qi
+        # (dk, dv) sweep the buffers hold the totals, already in the model
+        # dtype. ds was taken w.r.t. the SCALED scores; dq/dk carry the
+        # scale on the way out.
+        dq_ref[0, g] = (dq_acc[g, qrows] * scale_ref[0]).astype(dq_ref.dtype)
+        dk_ref[0, g] = (dk_acc[g] * scale_ref[0]).astype(dk_ref.dtype)
+        dv_ref[0, g] = dv_acc[g].astype(dv_ref.dtype)
 
 
 # default ON since the r3 on-chip A/B: +0.6% end-to-end train throughput
@@ -738,16 +800,13 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
-    if not (isinstance(scale, float) and scale == 1.0):
-        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    else:
-        qs = q
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
 
     def pad(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
                            (0, d_pad - x.shape[3])))
 
-    qp, kp, vp = pad(qs, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
+    qp, kp, vp = pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
     gp = pad(g, sq_pad)
     if lse.ndim == 4:
         # native fwd-kernel layout (b, h, sq_pad, 1) saved by the vjp rule:
@@ -819,12 +878,13 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     if _FUSED_BWD and not has_bias:
         # single-pass fused backward: one (s, mask, hash, exp) recompute per
         # tile instead of two, 5 MXU dots instead of 7.
-        grid4 = (b, h, n_kb, n_qb)
-        q4 = pl.BlockSpec((1, 1, block_q, d_pad),
+        G = _head_group(h, not _BWD_SCRATCH)
+        grid4 = (b, h // G, n_kb, n_qb)
+        q4 = pl.BlockSpec((1, G, block_q, d_pad),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))
-        k4 = pl.BlockSpec((1, 1, block_k, d_pad),
+        k4 = pl.BlockSpec((1, G, block_k, d_pad),
                           lambda bi, hi, kj, qi: (bi, hi, kj, 0))
-        r4 = pl.BlockSpec((1, 1, block_q, 1),
+        r4 = pl.BlockSpec((1, G, block_q, 1),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))
         common4 = dict(common)
         common4.pop("has_bias")
@@ -832,10 +892,11 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
             # f32 accumulation lives in VMEM scratch; outputs leave the
             # kernel in the model dtypes (no partials sum / cast passes)
             dq, dk, dv = pl.pallas_call(
-                functools.partial(_flash_bwd_scratch_kernel, **common4),
+                functools.partial(_flash_bwd_scratch_kernel, g_heads=G,
+                                  n_heads=h, **common4),
                 grid=grid4,
-                in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4,
-                          q4],
+                in_specs=[sspec, sspec, sspec, sspec, sspec, q4, k4, k4,
+                          q4, r4, q4],
                 out_specs=[q4, k4, k4],
                 out_shape=[jax.ShapeDtypeStruct((b, h, sq_pad, d_pad),
                                                 q.dtype),
@@ -844,15 +905,15 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                            jax.ShapeDtypeStruct((b, h, sk_pad, d_pad),
                                                 v.dtype)],
                 scratch_shapes=[
-                    pltpu.VMEM((sq_pad, d_pad), jnp.float32),
-                    pltpu.VMEM((block_k, d_pad), jnp.float32),
-                    pltpu.VMEM((block_k, d_pad), jnp.float32)],
+                    pltpu.VMEM((G, sq_pad, d_pad), jnp.float32),
+                    pltpu.VMEM((G, block_k, d_pad), jnp.float32),
+                    pltpu.VMEM((G, block_k, d_pad), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel",
                                          "arbitrary", "arbitrary")),
                 interpret=_interpret(),
-            )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
-              pad(out, sq_pad))
+            )(seed, q_offsets, k_offsets, bh_offset, scale_arr, qp, kp,
+              vp, gp, lse_p, pad(out, sq_pad))
             dbias = None
         else:
             dq_part4 = pl.BlockSpec(
@@ -861,8 +922,8 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
             dq_parts, dkf, dvf = pl.pallas_call(
                 functools.partial(_flash_bwd_fused_kernel, **common4),
                 grid=grid4,
-                in_specs=[sspec, sspec, sspec, sspec, q4, k4, k4, q4, r4,
-                          q4],
+                in_specs=[sspec, sspec, sspec, sspec, sspec, q4, k4, k4,
+                          q4, r4, q4],
                 out_specs=[dq_part4, k4, k4],
                 out_shape=[jax.ShapeDtypeStruct((n_kb, b, h, sq_pad, d_pad),
                                                 jnp.float32),
@@ -874,8 +935,8 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                     dimension_semantics=("parallel", "parallel",
                                          "arbitrary", "arbitrary")),
                 interpret=_interpret(),
-            )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
-              pad(out, sq_pad))
+            )(seed, q_offsets, k_offsets, bh_offset, scale_arr, qp, kp,
+              vp, gp, lse_p, pad(out, sq_pad))
             dq, dbias = dq_parts.sum(axis=0).astype(q.dtype), None
             dk, dv = dkf.astype(k.dtype), dvf.astype(v.dtype)
     else:
@@ -887,47 +948,45 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
         dq_res = pl.pallas_call(
             functools.partial(_flash_bwd_dq_kernel, **common),
             grid=(b, h, n_qb),
-            in_specs=[sspec, sspec, sspec, sspec, qspec, kfull, kfull, qspec,
-                      rblk, rblk, bias_q_blk],
+            in_specs=[sspec, sspec, sspec, sspec, sspec, qspec, kfull,
+                      kfull, qspec, rblk, rblk, bias_q_blk],
             out_specs=dq_specs,
             out_shape=dq_outs,
             interpret=_interpret(),
-        )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
-          delta, bias_p)
+        )(seed, q_offsets, k_offsets, bh_offset, scale_arr, qp, kp, vp,
+          gp, lse_p, delta, bias_p)
         dq, dbias = (dq_res if has_bias else (dq_res[0], None))
 
         dk, dv = pl.pallas_call(
             functools.partial(_flash_bwd_dkv_kernel, n_q_blocks=n_qb,
                               **common),
             grid=(b, h, n_kb),
-            in_specs=[sspec, sspec, sspec, sspec, qfull, kspec, kspec, qfull,
-                      rfull, rfull, bias_k_blk],
+            in_specs=[sspec, sspec, sspec, sspec, sspec, qfull, kspec,
+                      kspec, qfull, rfull, rfull, bias_k_blk],
             out_specs=[kspec, kspec],
             out_shape=[jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), k.dtype),
                        jax.ShapeDtypeStruct((b, h, sk_pad, d_pad), v.dtype)],
             interpret=_interpret(),
-        )(seed, q_offsets, k_offsets, bh_offset, qp, kp, vp, gp, lse_p,
-          delta, bias_p)
+        )(seed, q_offsets, k_offsets, bh_offset, scale_arr, qp, kp, vp,
+          gp, lse_p, delta, bias_p)
 
     dq = dq[:, :, :sq, :d]
-    if not (isinstance(scale, float) and scale == 1.0):
-        dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
     if has_bias:
         dbias = dbias[:, :, :sq, :sk]
     return dq, dk[:, :, :sk, :d], dv[:, :, :sk, :d], dbias
 
 
-def _flash_fwd_rule(q, k, v, seed, bias, seq_lengths_static, scale, causal,
-                    block_q, block_k, dropout_p, has_bias):
+def _flash_fwd_rule(q, k, v, seed, scale, bias, seq_lengths_static,
+                    causal, block_q, block_k, dropout_p, has_bias):
     out, lse = _flash_fwd(q, k, v, None, scale, causal, block_q, block_k,
                           dropout_p=dropout_p, seed=seed,
                           bias=bias if has_bias else None, lse_4d=True)
-    return out, (q, k, v, out, lse, seed, bias)
+    return out, (q, k, v, out, lse, seed, scale, bias)
 
 
-def _flash_bwd_rule(seq_lengths_static, scale, causal, block_q, block_k,
+def _flash_bwd_rule(seq_lengths_static, causal, block_q, block_k,
                     dropout_p, has_bias, res, g):
-    q, k, v, out, lse, seed, bias = res
+    q, k, v, out, lse, seed, scale, bias = res
     dq, dk, dv, dbias = _flash_bwd(q, k, v, out, lse, g, seed, scale, causal,
                                    block_q, block_k, dropout_p=dropout_p,
                                    bias=bias if has_bias else None)
@@ -941,7 +1000,7 @@ def _flash_bwd_rule(seq_lengths_static, scale, causal, block_q, block_k,
         dbias = dbias.astype(bias.dtype)
     else:
         dbias = jnp.zeros_like(bias)
-    return dq, dk, dv, None, dbias
+    return dq, dk, dv, None, None, dbias
 
 
 _flash_attention_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -985,9 +1044,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     block_q = int(os.environ.get("FLASH_BLOCK_Q", block_q))
     block_k = int(os.environ.get("FLASH_BLOCK_K", block_k))
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    # Fold the (possibly traced, e.g. per-layer) scale into q here: the
-    # custom_vjp's static args and the Pallas kernel must not capture tracers.
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # scale (possibly traced, e.g. per-layer) rides into the kernels as an
+    # SMEM scalar operand — no q pre-scaling copy.
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
@@ -1004,12 +1062,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 else jnp.zeros((1, 1, 1, 1), jnp.float32))
         if bias.ndim == 2:
             bias = bias[None, None]
-        out = _flash_attention_bhsd(qt, kt, vt, seed, bias, None, 1.0,
-                                    causal, block_q, block_k, dropout_p,
-                                    has_bias)
+        out = _flash_attention_bhsd(qt, kt, vt, seed,
+                                    jnp.asarray(scale, jnp.float32), bias,
+                                    None, causal, block_q, block_k,
+                                    dropout_p, has_bias)
     else:
         # padded/ragged/offset path is inference-only for now: no vjp needed.
-        out, _ = _flash_fwd(qt, kt, vt, seq_lengths, 1.0, causal,
+        out, _ = _flash_fwd(qt, kt, vt, seq_lengths, scale, causal,
                             block_q, block_k, dropout_p=dropout_p, seed=seed,
                             q_offsets=q_offsets, bias=attn_bias)
     return jnp.swapaxes(out, 1, 2)
@@ -1366,13 +1425,79 @@ def flash_blocksparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.swapaxes(out, 1, 2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_packed(qkv5, seed, scale, causal, block_q, block_k,
+                            dropout_p):
+    out, _ = _flash_fwd(qkv5[0], qkv5[1], qkv5[2], None, scale, causal,
+                        block_q, block_k, dropout_p=dropout_p, seed=seed)
+    return out
+
+
+def _flash_packed_fwd_rule(qkv5, seed, scale, causal, block_q, block_k,
+                           dropout_p):
+    out, lse = _flash_fwd(qkv5[0], qkv5[1], qkv5[2], None, scale, causal,
+                          block_q, block_k, dropout_p=dropout_p, seed=seed,
+                          lse_4d=True)
+    return out, (qkv5, out, lse, seed, scale)
+
+
+def _flash_packed_bwd_rule(causal, block_q, block_k, dropout_p, res, g):
+    qkv5, out, lse, seed, scale = res
+    dq, dk, dv, _ = _flash_bwd(qkv5[0], qkv5[1], qkv5[2], out, lse, g, seed,
+                               scale, causal, block_q, block_k,
+                               dropout_p=dropout_p)
+    return jnp.stack([dq, dk, dv]), None, None
+
+
+_flash_attention_packed.defvjp(_flash_packed_fwd_rule,
+                               _flash_packed_bwd_rule)
+
+
+def flash_attention_qkv_packed(qkv: jax.Array, *, causal: bool = True,
+                               softmax_scale=None,
+                               dropout_p: float = 0.0,
+                               dropout_rng: Optional[jax.Array] = None,
+                               block_q: int = 256,
+                               block_k: int = 256) -> jax.Array:
+    """Fused-QKV self-attention: qkv (b, s, 3, h, d) -> (b, s, h, d).
+
+    The analogue of the reference's flash_attn_unpadded_qkvpacked_func
+    (flash_attn/flash_attn_interface.py:242-283), which keeps qkv packed all
+    the way into the kernel. Layout-wise this is the load-bearing TPU form:
+    ONE (b,s,3,h,d) -> (3,b,h,s,d) transpose feeds all three kernel operands
+    (leading-dim slices are free), and its vjp is one stack + one transpose
+    of the gradients. The unpacked flash_attention() entry costs three
+    slice+swapaxes chains forward and a three-way transpose + concat
+    backward — the r4 train profile attributed ~25 ms/step (batch 32) to
+    exactly that formatting around the qkv reshape (models/gpt.py).
+    Semantics (scale, causal mask, counter-hash dropout, LSE) are identical
+    to flash_attention()."""
+    b, s, three, h, d = qkv.shape
+    assert three == 3, qkv.shape
+    block_q = int(os.environ.get("FLASH_BLOCK_Q", block_q))
+    block_k = int(os.environ.get("FLASH_BLOCK_K", block_k))
+    scale = (softmax_scale if softmax_scale is not None
+             else 1.0 / math.sqrt(d))
+    if dropout_p > 0.0:
+        assert dropout_rng is not None, "dropout_p > 0 requires dropout_rng"
+        if jnp.issubdtype(dropout_rng.dtype, jax.dtypes.prng_key):
+            dropout_rng = jax.random.key_data(dropout_rng)
+        seed = dropout_rng.astype(jnp.uint32).reshape(-1)[:2]
+    else:
+        seed = jnp.zeros((2,), jnp.uint32)
+    qkv5 = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    out = _flash_attention_packed(qkv5, seed,
+                                  jnp.asarray(scale, jnp.float32),
+                                  causal, block_q, block_k, dropout_p)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def flash_attention_with_lse(q, k, v, *, causal=True, softmax_scale=None,
                              seq_lengths=None, block_q=256, block_k=512):
     """Forward-only variant that also returns the log-sum-exp per row, the
     analogue of the reference fwd's softmax_lse output (fmha_api.cpp:277)."""
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     out, lse = _flash_fwd(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                          jnp.swapaxes(v, 1, 2), seq_lengths, 1.0, causal,
+                          jnp.swapaxes(v, 1, 2), seq_lengths, scale, causal,
                           block_q, block_k)
     return jnp.swapaxes(out, 1, 2), lse

@@ -119,6 +119,45 @@ def main():
     results["transpose3_roundtrip"] = {"ms": sec * 1e3}
     print(f"3x swapaxes round-trip: {sec*1e3:.3f} ms", flush=True)
 
+    # model-shaped A/B: start from the PACKED (b, s, 3, h, d) qkv the Wqkv
+    # GEMM produces, include all layout work, fwd+bwd, training dropout.
+    # g<N> variants batch N heads per kernel program (FLASH_HEAD_GROUP).
+    qkv = jnp.stack([q, k, v], axis=2)
+    for tag, bq, bk, p, grp in [
+            ("packed:b256x256", 256, 256, 0.1, 1),
+            ("packed:b512x512", 512, 512, 0.1, 1),
+            ("packed:b512x512:p0", 512, 512, 0.0, 1),
+            ("packed:b256x256:g4", 256, 256, 0.1, 4),
+            ("packed:b512x512:g4", 512, 512, 0.1, 4),
+            ("packed:b512x512:g12", 512, 512, 0.1, 12),
+            ("packed:b256x256:g12", 256, 256, 0.1, 12),
+            ("unpacked:b256x256", 256, 256, 0.1, 1),
+            ("unpacked:b512x512", 512, 512, 0.1, 1)]:
+        packed = tag.startswith("packed")
+        fa._HEAD_GROUP = grp
+
+        def loss(qkv5d, ct):
+            if packed:
+                out = fa.flash_attention_qkv_packed(
+                    qkv5d, causal=True, dropout_p=p,
+                    dropout_rng=rng if p > 0 else None,
+                    block_q=bq, block_k=bk)
+            else:
+                out = fa.flash_attention(
+                    qkv5d[:, :, 0], qkv5d[:, :, 1], qkv5d[:, :, 2],
+                    causal=True, dropout_p=p,
+                    dropout_rng=rng if p > 0 else None,
+                    block_q=bq, block_k=bk)
+            return jnp.sum(out.astype(jnp.float32) * ct.astype(jnp.float32))
+
+        sec, _ = bm.benchmark_forward(jax.grad(loss), qkv, g,
+                                      steps=args.steps, reps=args.reps)
+        results[f"model:{tag}"] = {
+            "ms": sec * 1e3, "tflops": (fwd_fl + bwd_fl) / sec / 1e12}
+        print(f"mdl  {tag:24s} {sec*1e3:7.3f} ms  "
+              f"{(fwd_fl + bwd_fl) / sec / 1e12:6.1f} TFLOP/s", flush=True)
+    fa._HEAD_GROUP = 1
+
     # per-layer context: 12 layers of fwd+bwd at the winning config
     if args.json:
         with open(args.json, "w") as f:

@@ -456,6 +456,94 @@ def test_fused_bwd_matches_split_kernels(monkeypatch, causal, p_drop):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("p_drop", [0.0, 0.17])
+def test_qkv_packed_matches_unpacked(p_drop):
+    """flash_attention_qkv_packed must reproduce flash_attention exactly
+    (same kernel, same dropout streams — only the layout transforms differ)
+    including gradients, with a traced per-layer scale."""
+    from backpacks_flash_attn_tpu.ops.flash_attention import (
+        flash_attention_qkv_packed)
+
+    b, s, h, d = 2, 256, 3, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(61), (b, s, 3, h, d),
+                            jnp.float32)
+    rng = jax.random.PRNGKey(62)
+    ct = jax.random.normal(jax.random.PRNGKey(63), (b, s, h, d), jnp.float32)
+    scale = jnp.float32(0.21)   # traced, non-default
+
+    def packed(qkv, scale):
+        return flash_attention_qkv_packed(qkv, causal=True,
+                                          softmax_scale=scale,
+                                          dropout_p=p_drop, dropout_rng=rng,
+                                          block_q=128, block_k=128)
+
+    def unpacked(qkv, scale):
+        return flash_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                               causal=True, softmax_scale=scale,
+                               dropout_p=p_drop, dropout_rng=rng,
+                               block_q=128, block_k=128)
+
+    out_p, vjp_p = jax.vjp(packed, qkv, scale)
+    out_u, vjp_u = jax.vjp(unpacked, qkv, scale)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_u))
+    gp, gu = vjp_p(ct), vjp_u(ct)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gu[0]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_traced_scale_matches_prescaled_q():
+    """The SMEM-scalar scale mechanism == scaling q outside with scale 1.0
+    inside (the pre-r4 mechanism), forward and gradients."""
+    b, s, h, d = 2, 256, 2, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(71), b, s, h, d, jnp.float32)
+    ct = jax.random.normal(jax.random.PRNGKey(72), q.shape, jnp.float32)
+    sc = 0.37
+
+    def f_scaled(q, k, v):
+        return flash_attention(q, k, v, causal=True, softmax_scale=sc,
+                               block_q=128, block_k=128)
+
+    def f_prescaled(q, k, v):
+        return flash_attention(q * sc, k, v, causal=True, softmax_scale=1.0,
+                               block_q=128, block_k=128)
+
+    # (q*sc)@k vs (q@k)*sc differ only in f32 rounding order
+    out_a, vjp_a = jax.vjp(f_scaled, q, k, v)
+    out_b, vjp_b = jax.vjp(f_prescaled, q, k, v)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-3)
+    for ga, gb in zip(vjp_a(ct), vjp_b(ct)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=5e-5, rtol=2e-3)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_head_group_matches_ungrouped(monkeypatch, group):
+    """FLASH_HEAD_GROUP batches G heads per kernel program; outputs, LSE
+    consumers (via grads) and dropout masks must be IDENTICAL to G=1 —
+    streams are indexed by absolute head id, not grid position."""
+    from backpacks_flash_attn_tpu.ops import flash_attention as fa
+
+    b, s, h, d = 2, 256, 4, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(81), b, s, h, d, jnp.float32)
+    rng = jax.random.PRNGKey(82)
+    ct = jax.random.normal(jax.random.PRNGKey(83), q.shape, jnp.float32)
+
+    def run():
+        def f(q, k, v):
+            return flash_attention(q, k, v, causal=True, dropout_p=0.21,
+                                   dropout_rng=rng, block_q=128, block_k=128)
+        out, vjp = jax.vjp(f, q, k, v)
+        return (out,) + vjp(ct)
+
+    monkeypatch.setattr(fa, "_HEAD_GROUP", 1)
+    want = run()
+    monkeypatch.setattr(fa, "_HEAD_GROUP", group)
+    got = run()
+    for g_, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g_), np.asarray(w))
+
+
 @pytest.mark.parametrize("causal,p_drop", [(True, 0.0), (True, 0.17),
                                            (False, 0.0)])
 def test_scratch_bwd_matches_partials(monkeypatch, causal, p_drop):

@@ -106,6 +106,26 @@ finally:
     fa._FUSED_BWD = _fused_default
     fa._BWD_SCRATCH = _scratch_default
 
+# --- packed-qkv entry + head grouping (round-4 lowerings) ------------------
+print("flash packed-qkv + head-group fwd+bwd:")
+_group_default = fa._HEAD_GROUP
+try:
+    qkv_s = jnp.stack([qa, ka, va], axis=2)   # (b, s, 3, h, d)
+
+    def loss_packed(qkv):
+        out = fa.flash_attention_qkv_packed(qkv, causal=True)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    fa._HEAD_GROUP = 1
+    g1 = jax.jit(jax.grad(loss_packed))(qkv_s)
+    fa._HEAD_GROUP = 2
+    g2 = jax.jit(jax.grad(loss_packed))(qkv_s)
+    check("dqkv(packed, g1 vs unpacked dq)", g1[:, :, 0],
+          jax.grad(loss_flash, 0)(qa, ka, va))
+    check("dqkv(group2 == group1)", g2, g1, tol=1e-6)
+finally:
+    fa._HEAD_GROUP = _group_default
+
 # --- bf16 fwd+bwd at the training head_dim (d=64 full-dim blocks) ----------
 print("flash bf16 fwd+bwd (d=64, no head padding):")
 qb, kb, vb = (x.astype(jnp.bfloat16) for x in (qa, ka, va))
