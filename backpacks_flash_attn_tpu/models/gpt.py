@@ -248,6 +248,14 @@ def causal_dwconv3(x: jax.Array, p: dict) -> jax.Array:
     return out + p["b"].astype(x.dtype)
 
 
+# BACKPACKS_PACKED_QKV=0 restores the slice+swapaxes qkv path: the packed
+# (b,s,3,h,d)->(3,b,h,s,d) transform measured slightly SLOWER end-to-end on
+# v5e (r4c 216.9 vs r4b 212.7 ms/step) despite replacing more ops — XLA was
+# fusing the per-tensor chains better than the profile's line attribution
+# suggested. Kept as a knob; the r4d A/B picks the default.
+_PACKED_QKV = os.environ.get("BACKPACKS_PACKED_QKV", "1") == "1"
+
+
 def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
            train: bool, rngs, use_flash: bool, key_padding_mask):
     """One pre-norm block with reordered residual
@@ -259,7 +267,8 @@ def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
     r_attn, r_d1, r_d2 = (jax.random.split(rngs, 3) if rngs is not None
                           else (None, None, None))
-    if use_flash and cfg.rotary_emb_dim == 0 and key_padding_mask is None:
+    if (use_flash and cfg.rotary_emb_dim == 0 and key_padding_mask is None
+            and _PACKED_QKV):
         # keep qkv packed into the flash kernel: one layout transform
         # instead of three slice+transpose chains (and one on the way back)
         ctx = mha_qkv_packed(qkv, causal=True, softmax_scale=scale,

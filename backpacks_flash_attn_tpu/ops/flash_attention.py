@@ -94,10 +94,13 @@ def _head_pad(d: int) -> int:
 _HEAD_GROUP = int(os.environ.get("FLASH_HEAD_GROUP", "1"))
 
 
-def _head_group(h: int, disable: bool) -> int:
+def _head_group(h: int, disable: bool, cap: int = 8) -> int:
+    """cap: the scratch backward holds G x (sq, d) + 2G x (block_k, d) f32
+    accumulators in scoped VMEM (16 MB limit on v5e) — G=12 at the training
+    shape measured 33 MB and failed to compile; the backward caps at 4."""
     if disable:
         return 1
-    g = min(_HEAD_GROUP, h)
+    g = min(_HEAD_GROUP, h, cap)
     while g > 1 and h % g:
         g -= 1
     return max(g, 1)
@@ -878,7 +881,7 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     if _FUSED_BWD and not has_bias:
         # single-pass fused backward: one (s, mask, hash, exp) recompute per
         # tile instead of two, 5 MXU dots instead of 7.
-        G = _head_group(h, not _BWD_SCRATCH)
+        G = _head_group(h, not _BWD_SCRATCH, cap=4)
         grid4 = (b, h // G, n_kb, n_qb)
         q4 = pl.BlockSpec((1, G, block_q, d_pad),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))
