@@ -248,12 +248,14 @@ def causal_dwconv3(x: jax.Array, p: dict) -> jax.Array:
     return out + p["b"].astype(x.dtype)
 
 
-# BACKPACKS_PACKED_QKV=0 restores the slice+swapaxes qkv path: the packed
-# (b,s,3,h,d)->(3,b,h,s,d) transform measured slightly SLOWER end-to-end on
-# v5e (r4c 216.9 vs r4b 212.7 ms/step) despite replacing more ops — XLA was
-# fusing the per-tensor chains better than the profile's line attribution
-# suggested. Kept as a knob; the r4d A/B picks the default.
-_PACKED_QKV = os.environ.get("BACKPACKS_PACKED_QKV", "1") == "1"
+# BACKPACKS_PACKED_QKV=1 routes attention through the packed-qkv flash
+# entry. Default OFF: the packed (b,s,3,h,d)->(3,b,h,s,d) transform
+# measured SLOWER end-to-end on v5e (r4c 216.9 / r4d 204.7-unpacked
+# ms/step at the same kernel config) despite replacing more ops — XLA fuses
+# the per-tensor slice+swapaxes chains better than the profile's line
+# attribution suggested (the "25ms qkv formatting" was scan residual
+# stacking).
+_PACKED_QKV = os.environ.get("BACKPACKS_PACKED_QKV", "0") == "1"
 
 
 def _block(hidden, residual, layer_params, scale, cfg: GPTConfig, *,

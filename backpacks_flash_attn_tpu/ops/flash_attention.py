@@ -86,12 +86,12 @@ def _head_pad(d: int) -> int:
 
 
 # FLASH_HEAD_GROUP=G batches G heads into one kernel program (forward and
-# scratch backward). At the training shape each per-head program is a few
-# microseconds of work, so the (b, h, n_blocks) grid is per-program-overhead
-# bound; grouping divides the program count. Dropout masks are invariant to
-# the grouping (streams are indexed by the ABSOLUTE head id). Default 1
-# until the on-chip A/B (run_tpu_benches_r4c/d) picks a winner.
-_HEAD_GROUP = int(os.environ.get("FLASH_HEAD_GROUP", "1"))
+# scratch backward), amortizing per-program fetch/flush overhead. Dropout
+# masks are invariant to the grouping (streams are indexed by the ABSOLUTE
+# head id). Default 4 from the r4c/r4d on-chip A/Bs: -3.1 ms/step at
+# 256-blocks, -0.7 at 512 (train_r4c_g4 / train_r4d_unpacked512g4 vs their
+# G=1 twins); G=12 exceeds the 16MB scoped-VMEM limit in the backward.
+_HEAD_GROUP = int(os.environ.get("FLASH_HEAD_GROUP", "4"))
 
 
 def _head_group(h: int, disable: bool, cap: int = 8) -> int:
@@ -1017,13 +1017,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     dropout_rng: Optional[jax.Array] = None,
                     q_offsets: Optional[jax.Array] = None,
                     attn_bias: Optional[jax.Array] = None,
-                    block_q: int = 256, block_k: int = 256) -> jax.Array:
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None) -> jax.Array:
     """FlashAttention forward (differentiable).
 
-    Default blocks 256x256: measured +6.2% end-to-end training throughput
-    vs 512x512 at s=512 on v5e (bench_results/train_blk256_r3.json — one
-    512-tile computes the whole dead causal upper triangle; 256 tiles skip
-    1 of 4 via the causal loop bounds; 128 loses to grid overhead).
+    Default blocks: 512x512 on the differentiable (training) path — with
+    the scratch backward + no d-padding they beat the r3 256 default by
+    ~25% at the kernel level and 5 ms/step end-to-end (flash_r4.json;
+    train_r4d_unpacked512* vs train_r4b) — the r3 256-wins A/B was taken
+    against the partials backward + d-padded kernels and is stale. The
+    ragged/offset inference branch keeps its measured 256x256.
     FLASH_BLOCK_Q/FLASH_BLOCK_K env vars override for A/Bs.
 
     attn_bias: additive score bias (b|1, h|1, sq, sk), e.g. ALiBi slopes or
@@ -1040,10 +1043,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     hash of (rng, batch*head, q_pos, k_pos), regenerated bit-identically in
     the backward. No O(s^2) mask is ever materialized.
     """
-    # bench-only block-size override (A/B knob: at s=512 the default single
-    # 512x512 tile computes the whole dead upper triangle — mask/exp/dropout
-    # work doubles — while smaller tiles pay more grid+loop overhead; the
-    # causal loop bound skips fully-masked KEY BLOCKS only)
+    # branch-resolved defaults (see docstring), then the bench A/B override
+    trainable = seq_lengths is None and q_offsets is None
+    if block_q is None:
+        block_q = 512 if trainable else 256
+    if block_k is None:
+        block_k = 512 if trainable else 256
     block_q = int(os.environ.get("FLASH_BLOCK_Q", block_q))
     block_k = int(os.environ.get("FLASH_BLOCK_K", block_k))
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(q.shape[-1])
@@ -1460,8 +1465,8 @@ def flash_attention_qkv_packed(qkv: jax.Array, *, causal: bool = True,
                                softmax_scale=None,
                                dropout_p: float = 0.0,
                                dropout_rng: Optional[jax.Array] = None,
-                               block_q: int = 256,
-                               block_k: int = 256) -> jax.Array:
+                               block_q: int = 512,
+                               block_k: int = 512) -> jax.Array:
     """Fused-QKV self-attention: qkv (b, s, 3, h, d) -> (b, s, h, d).
 
     The analogue of the reference's flash_attn_unpadded_qkvpacked_func
