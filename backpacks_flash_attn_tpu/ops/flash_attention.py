@@ -369,7 +369,14 @@ def _flash_fwd(q, k, v, seq_lengths, scale, causal, block_q, block_k,
     bias_block = (1, 1, block_q if has_bias else 1,
                   sk_pad if has_bias else 1)
 
-    G = _head_group(h, blocksparse or has_bias)
+    # The K/V blockspecs stream the WHOLE key sequence per program, so the
+    # per-program footprint scales with G * sk_pad: clamp G by the
+    # double-buffered K+V bytes against a ~10MB share of the 16MB scoped
+    # VMEM (long-context shapes that compile at G=1 must not fail at G=4;
+    # the backward's block-sized K/V streams have their own cap=4).
+    kv_bytes = 2 * 2 * sk_pad * d_pad * q.dtype.itemsize  # dbl-buf * (K+V)
+    vmem_cap = max(1, (10 << 20) // max(kv_bytes, 1))
+    G = _head_group(h, blocksparse or has_bias, cap=min(8, vmem_cap))
     grid = (b, h // G, sq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel, block_k=block_k, kv_len=sk,
@@ -1019,7 +1026,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     attn_bias: Optional[jax.Array] = None,
                     block_q: Optional[int] = None,
                     block_k: Optional[int] = None) -> jax.Array:
-    """FlashAttention forward (differentiable).
+    """FlashAttention forward (differentiable in q/k/v/attn_bias;
+    softmax_scale is NON-differentiable — see the stop_gradient below).
 
     Default blocks: 512x512 on the differentiable (training) path — with
     the scratch backward + no d-padding they beat the r3 256 default by
@@ -1070,8 +1078,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 else jnp.zeros((1, 1, 1, 1), jnp.float32))
         if bias.ndim == 2:
             bias = bias[None, None]
+        # softmax_scale is NON-differentiable: the custom_vjp rules return
+        # no cotangent for it (models pass config constants; a learnable
+        # temperature must be applied to q outside this call). stop_gradient
+        # makes that explicit instead of silently yielding zero.
         out = _flash_attention_bhsd(qt, kt, vt, seed,
-                                    jnp.asarray(scale, jnp.float32), bias,
+                                    jax.lax.stop_gradient(
+                                        jnp.asarray(scale, jnp.float32)), bias,
                                     None, causal, block_q, block_k,
                                     dropout_p, has_bias)
     else:
@@ -1494,8 +1507,10 @@ def flash_attention_qkv_packed(qkv: jax.Array, *, causal: bool = True,
     else:
         seed = jnp.zeros((2,), jnp.uint32)
     qkv5 = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    # softmax_scale is non-differentiable (see flash_attention)
     out = _flash_attention_packed(qkv5, seed,
-                                  jnp.asarray(scale, jnp.float32),
+                                  jax.lax.stop_gradient(
+                                      jnp.asarray(scale, jnp.float32)),
                                   causal, block_q, block_k, dropout_p)
     return jnp.swapaxes(out, 1, 2)
 
