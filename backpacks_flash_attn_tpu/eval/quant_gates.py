@@ -59,6 +59,49 @@ def run_gates(params, cfg, val_tokens: np.ndarray, seqlen: int, *,
     }
 
 
+def run_cache_gates(params, cfg, val_tokens: np.ndarray, seqlen: int, *,
+                    batch_size: int = 4, max_batches: Optional[int] = 25
+                    ) -> Dict[str, float]:
+    """Cache-precision gates for the DECODE path: ppl through the cached
+    forward (prefill writes the quantized caches and attends over them — the
+    same stored-precision operands every decode step reads, so this scores
+    exactly the int8/int4-cache decode quality). Configs: int8 weights with
+    int8 / int4 / int4-senses+int8-KV-hybrid caches, vs the bf16 full
+    forward."""
+    def cache_ppl(p, bits, kv_bits=None):
+        def fwd(pp, x):
+            cache = bp.init_backpack_cache(cfg, x.shape[0], seqlen,
+                                           dtype=jnp.int8, bits=bits,
+                                           kv_bits=kv_bits)
+            logits, _ = bp.backpack_forward_with_cache(pp, cfg, x, cache,
+                                                       use_flash=True)
+            return logits
+        return evaluate_perplexity(fwd, val_tokens, seqlen, batch_size,
+                                   max_batches=max_batches, params=p)["ppl"]
+
+    def ppl_of(p):
+        return evaluate_perplexity(
+            lambda pp, x: bp.backpack_forward(pp, cfg, x, use_flash=True),
+            val_tokens, seqlen, batch_size, max_batches=max_batches,
+            params=p)["ppl"]
+
+    base = ppl_of(params)
+    q8 = qz.quantize_backpack_params(params, cfg, bits=8)
+    c8 = cache_ppl(q8, bits=8)
+    c4 = cache_ppl(q8, bits=4)
+    c4h = cache_ppl(q8, bits=4, kv_bits=8)
+    return {
+        "bf16_ppl": base,
+        "int8_cache_ppl": c8, "int8_cache_delta": c8 - base,
+        "int4_cache_ppl": c4, "int4_cache_delta": c4 - base,
+        "int4_senses_int8_kv_ppl": c4h, "int4_senses_int8_kv_delta":
+            c4h - base,
+        "gate_int8_cache": bool(c8 - base <= INT8_GATE),
+        "gate_int4_cache": bool(c4 - base <= INT4_GATE),
+        "gate_int4_hybrid_cache": bool(c4h - base <= INT4_GATE),
+    }
+
+
 def main(argv=None) -> None:
     from ..data import lm_dataset as lmd
     from ..training import checkpoint as ckpt_lib
@@ -79,6 +122,10 @@ def main(argv=None) -> None:
     p.add_argument("--seqlen", type=int, default=512)
     p.add_argument("--val-fraction", type=float, default=0.01)
     p.add_argument("--max-batches", type=int, default=25)
+    p.add_argument("--cache-gates", action="store_true", default=True,
+                   help="also gate the int8/int4 CACHE decode path")
+    p.add_argument("--no-cache-gates", dest="cache_gates",
+                   action="store_false")
     a = p.parse_args(argv)
     if bool(a.workdir) == bool(a.checkpoint):
         p.error("exactly one of --workdir / --checkpoint")
@@ -107,6 +154,9 @@ def main(argv=None) -> None:
     n_val = max(int(len(tokens) * a.val_fraction), a.seqlen + 1)
     out = run_gates(params, cfg, tokens[-n_val:], a.seqlen,
                     max_batches=a.max_batches)
+    if a.cache_gates:
+        out.update(run_cache_gates(params, cfg, tokens[-n_val:], a.seqlen,
+                                   max_batches=a.max_batches))
     out["checkpoint_step"] = step
     print(json.dumps(out))
 

@@ -483,6 +483,16 @@ class BackpackCache(NamedTuple):
         return self.content.dtype == jnp.int8
 
     @property
+    def bits(self) -> int:
+        """Stored precision of the ctx-K / sense caches: 16, 8, or 4
+        (pair-packed — discriminated structurally by the scale layout,
+        (E, 2, S/2) vs int8's (E, S); see gpt.KVCache.bits)."""
+        if self.content.dtype != jnp.int8:
+            return 16
+        return 4 if (self.content_scale is not None
+                     and self.content_scale.ndim == 3) else 8
+
+    @property
     def staged(self) -> bool:
         return self.ctx_k_stage is not None
 
@@ -490,10 +500,31 @@ class BackpackCache(NamedTuple):
 def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
                         dtype=jnp.bfloat16,
                         per_slot: bool = False,
-                        stage: int = 0) -> BackpackCache:
+                        stage: int = 0, bits: int = 8,
+                        kv_bits: Optional[int] = None) -> BackpackCache:
     """per_slot=True gives each batch row its own length counter (continuous-
     batching serving slots); False is the uniform-batch scalar counter.
-    stage > 0 adds `stage`-column staging blocks (see gpt.init_kv_cache)."""
+    stage > 0 adds `stage`-column staging blocks (see gpt.init_kv_cache).
+    bits=4 (with dtype=int8) stores the ctx-K and sense caches PAIR-PACKED
+    int4 (half the decode HBM stream; ops/decode_attention int4 block);
+    kv_bits overrides the GPT KV cache precision separately (default: same
+    as bits) — the int4-senses/int8-KV hybrid quality fallback."""
+    kv_bits = bits if kv_bits is None else kv_bits
+    packed4 = dtype == jnp.int8 and bits == 4
+    if packed4:
+        assert stage == 0 and max_seqlen % 2 == 0, (stage, max_seqlen)
+        len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
+        e = batch * cfg.num_senses
+        S2 = max_seqlen // 2
+        return BackpackCache(
+            gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, jnp.int8,
+                                      per_slot=per_slot, bits=kv_bits),
+            ctx_k=jnp.zeros((e, cfg.sense_head_dim_padded, S2), jnp.int8),
+            content=jnp.zeros((e, S2, cfg.n_embd), jnp.int8),
+            length=len0,
+            content_scale=jnp.ones((e, 2, S2), jnp.float32),
+            ctx_k_scale=jnp.ones((e, 2, S2), jnp.float32),
+        )
     content_dtype = dtype
     ctx_dtype = dtype
     len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
@@ -511,7 +542,8 @@ def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
         )
     return BackpackCache(
         gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, dtype,
-                                  per_slot=per_slot, stage=stage),
+                                  per_slot=per_slot, stage=stage,
+                                  bits=kv_bits),
         ctx_k=jnp.zeros((e, cfg.sense_head_dim_padded, max_seqlen),
                         ctx_dtype),
         content=jnp.zeros((e, max_seqlen, cfg.n_embd), content_dtype),
@@ -551,7 +583,11 @@ def backpack_forward_with_cache(
     nv, d = cfg.num_senses, cfg.n_embd
     dnv = cfg.sense_head_dim
     e = b * nv
-    max_s = cache.ctx_k.shape[-1]
+    q4 = cache.bits == 4                  # pair-packed int4 ctx/sense caches
+    max_s = cache.ctx_k.shape[-1] * (2 if q4 else 1)
+    if q4:
+        assert s == 1 or not vec, \
+            "int4 caches: multi-token writes need a uniform (scalar) offset"
     row_off = jnp.repeat(offset, nv) if vec else offset
 
     staged = (cache.staged and vec and s <= gpt_lib.FLAT_MULTI_MAX
@@ -602,7 +638,48 @@ def backpack_forward_with_cache(
         k_flat = k_new.transpose(0, 2, 3, 1).reshape(e, dnv, s)
         if dnv_pad != dnv:
             k_flat = jnp.pad(k_flat, ((0, 0), (0, dnv_pad - dnv), (0, 0)))
-        if cache.quantized:
+        if q4:
+            from ..ops import quant
+            k4q, ksc = quant.quantize_activations_int4(k_flat, axis=1)
+            s4q, ssc = quant.quantize_activations_int4(senses_t, axis=2)
+            if s == 1:
+                # nibble RMW of one packed byte column per cache
+                ctx_k = gpt_lib.rmw_nibble_axis_windowed(
+                    cache.ctx_k, k4q, row_off, axis=2, window=window)
+                content = gpt_lib.rmw_nibble_axis_windowed(
+                    cache.content, s4q, row_off, axis=1, window=window)
+                ctx_k_scale = gpt_lib.update_pair_scale(
+                    ctx_k_scale, ksc[:, 0, 0], row_off, window=window)
+                content_scale = gpt_lib.update_pair_scale(
+                    content_scale, ssc[:, 0, 0], row_off, window=window)
+            else:
+                # prefill at a scalar EVEN offset: pack pairs and write the
+                # block (odd s leaves a zero high nibble — masked by length
+                # and overwritten by the next step's RMW)
+                def _pack_write(buf, nib, axis):
+                    if s % 2:
+                        pad = [(0, 0)] * nib.ndim
+                        pad[axis] = (0, 1)
+                        nib = jnp.pad(nib, pad)
+                    packed = quant.pack_int4_pairs(nib, axis)
+                    starts = [0] * buf.ndim
+                    starts[axis] = offset // 2
+                    return jax.lax.dynamic_update_slice(buf, packed,
+                                                        tuple(starts))
+
+                def _pack_scale_write(buf, sc):
+                    if s % 2:
+                        sc = jnp.pad(sc, ((0, 0), (0, 1)),
+                                     constant_values=1.0)
+                    sc2 = sc.reshape(e, -1, 2).swapaxes(1, 2)
+                    return jax.lax.dynamic_update_slice(
+                        buf, sc2.astype(buf.dtype), (0, 0, offset // 2))
+
+                ctx_k = _pack_write(cache.ctx_k, k4q, axis=2)
+                content = _pack_write(cache.content, s4q, axis=1)
+                ctx_k_scale = _pack_scale_write(ctx_k_scale, ksc[:, 0, :])
+                content_scale = _pack_scale_write(content_scale, ssc[..., 0])
+        elif cache.quantized:
             from ..ops import quant
             k8, ksc = quant.quantize_activations_int8(k_flat, axis=1)
             ctx_k = gpt_lib.update_rows_axis_windowed(cache.ctx_k, k8,
@@ -637,7 +714,35 @@ def backpack_forward_with_cache(
             w = jnp.transpose(w, (0, 2, 1))
         return w.reshape(e, max_s)
 
-    if s == 1:
+    if s == 1 and q4:
+        # int4 decode: the same one-pass contraction over the PAIR-PACKED
+        # caches — half the HBM stream of the int8 path (the measured
+        # decode bottleneck; ops/decode_attention int4 block).
+        from ..ops.decode_attention import decode_attention_int4
+        lens = jnp.repeat(new_len, nv) if vec else new_len
+        ctx_k_r, content_r = ctx_k, content
+        ks2_r, vs2_r = ctx_k_scale, content_scale
+        w2 = None
+        if window is not None and window < max_s:
+            w2 = -(-window // 2)
+            ctx_k_r = ctx_k[:, :, :w2]
+            content_r = content[:, :w2]
+            ks2_r = ks2_r[:, :, :w2]
+            vs2_r = vs2_r[:, :, :w2]
+        w = _weights_es()
+        if w is not None:
+            # (E, S) per-position weights -> the (E, 2, S/2) parity layout
+            wp = w.reshape(e, -1, 2).swapaxes(1, 2)
+            vs2_r = vs2_r * (wp if w2 is None else wp[:, :, :w2])
+        q_flat = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
+                                                             ).reshape(e, dnv)
+        if dnv_pad != dnv:
+            q_flat = jnp.pad(q_flat, ((0, 0), (0, dnv_pad - dnv)))
+        out = decode_attention_int4(q_flat, ctx_k_r, ks2_r, content_r,
+                                    vs2_r, lens)
+        outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
+                                            ).astype(contextl.dtype)
+    elif s == 1:
         # ONE pass: per-sense softmax over cached keys + the weighted content
         # contraction, reading the caches at stored precision (replaces the
         # reference's full O(t^2) alpha recompute, backpack.py:107-122,313).
@@ -671,7 +776,7 @@ def backpack_forward_with_cache(
                                    lens)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
-    elif s <= gpt_lib.FLAT_MULTI_MAX:
+    elif s <= gpt_lib.FLAT_MULTI_MAX and not q4:
         # multi-query decode (speculative verification, small chunks): the
         # flat contraction over the stored-precision caches — no
         # (b, nv, ...) relayout per verify step (see gpt.FLAT_MULTI_MAX)
@@ -711,13 +816,30 @@ def backpack_forward_with_cache(
         # (E,)->(b,nv,...) relayouts happen once per prefill, not per step.
         ctx_k_r, content_r = ctx_k, content
         cks_r, cs_r = ctx_k_scale, content_scale
+        fold8 = cache.quantized and not q4
         S = max_s
         if window is not None and window < max_s:
             # same caller guarantee as the decode branch: offset + s <= window
             S = window
-            ctx_k_r, content_r = ctx_k[:, :, :S], content[:, :S]
-            cks_r = cks_r[:, :S] if cks_r is not None else None
-            cs_r = cs_r[:, :S] if cs_r is not None else None
+            if q4:
+                w2 = -(-S // 2)
+                ctx_k_r, content_r = ctx_k[:, :, :w2], content[:, :w2]
+                cks_r, cs_r = cks_r[:, :, :w2], cs_r[:, :, :w2]
+            else:
+                ctx_k_r, content_r = ctx_k[:, :, :S], content[:, :S]
+                cks_r = cks_r[:, :S] if cks_r is not None else None
+                cs_r = cs_r[:, :S] if cs_r is not None else None
+        if q4:
+            # prefill is compute-bound: dequantize the packed prefix once
+            from ..ops import quant
+            ctx_k_r = (quant.unpack_int4_pairs(ctx_k_r, axis=2
+                                               ).astype(jnp.float32)
+                       * quant.interleave_pair_scales(cks_r)[:, None, :]
+                       ).astype(contextl.dtype)
+            content_r = (quant.unpack_int4_pairs(content_r, axis=1
+                                                 ).astype(jnp.float32)
+                         * quant.interleave_pair_scales(cs_r)[..., None]
+                         ).astype(contextl.dtype)
         ctx_k4 = ctx_k_r.reshape(b, nv, dnv_pad, S)
         content4 = content_r.reshape(b, nv, S, d)
         q_pad = (jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dnv_pad - dnv)))
@@ -725,7 +847,7 @@ def backpack_forward_with_cache(
         scores = jnp.einsum("bthd,bhds->bhts", q_pad,
                             ctx_k4.astype(q.dtype) * scale,
                             preferred_element_type=jnp.float32)
-        if cache.quantized:
+        if fold8:
             # per-position key dequant scales factor out of the contraction
             scores = scores * cks_r.reshape(b, nv, S)[:, :, None, :]
         qpos = jax.lax.broadcasted_iota(jnp.int32, (s, S), 0)
@@ -737,7 +859,7 @@ def backpack_forward_with_cache(
             scores = jnp.where((kpos <= qpos + offset)[None, None], scores,
                                MASK_VALUE)
         alpha = jax.nn.softmax(scores, axis=-1).astype(contextl.dtype)
-        if cache.quantized:
+        if fold8:
             # fold per-(sense, pos) dequant scales into alpha's key axis
             alpha = alpha * cs_r.reshape(b, nv, S)[:, :, None, :
                                                    ].astype(alpha.dtype)

@@ -139,19 +139,45 @@ class KVCache(NamedTuple):
         return self.k.dtype == jnp.int8
 
     @property
+    def bits(self) -> int:
+        """Stored cache precision: 16 (fp), 8, or 4 (pair-packed nibbles —
+        discriminated STRUCTURALLY by the scale layout: int4 scales carry the
+        extra (even, odd) parity axis, (L, E, 2, S/2) vs int8's (L, E, S),
+        so the flag never needs a traced field)."""
+        if self.k.dtype != jnp.int8:
+            return 16
+        return 4 if (self.k_scale is not None
+                     and self.k_scale.ndim == 4) else 8
+
+    @property
     def staged(self) -> bool:
         return self.k_stage is not None
 
 
 def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
                   dtype=jnp.bfloat16, per_slot: bool = False,
-                  stage: int = 0) -> KVCache:
+                  stage: int = 0, bits: int = 8) -> KVCache:
     """per_slot=True: (b,) per-row length counters for serving slots.
     stage > 0 (requires per_slot) adds a `stage`-column staging block so
     small-s decode writes are scalar-pointer appends instead of per-row
-    window-prefix streams — see KVCache field docs and flush_kv_cache."""
+    window-prefix streams — see KVCache field docs and flush_kv_cache.
+    bits=4 (with dtype=int8) stores PAIR-PACKED int4 caches — half the HBM
+    stream of the measured cache-bound decode (ops/decode_attention int4
+    block): k (L, E, dk, S/2) / v (L, E, S/2, dk) bytes with (L, E, 2, S/2)
+    per-(parity, position) scales. Decode s==1 writes are nibble RMWs; s>1
+    writes require EVEN offsets; staging is int8-only."""
     e, dh, S = batch * cfg.n_head, cfg.head_dim, max_seqlen
     k_scale = v_scale = None
+    packed4 = dtype == jnp.int8 and bits == 4
+    if packed4:
+        assert S % 2 == 0 and stage == 0, (S, stage)
+        k_scale = jnp.ones((cfg.n_layer, e, 2, S // 2), jnp.float32)
+        v_scale = jnp.ones((cfg.n_layer, e, 2, S // 2), jnp.float32)
+        return KVCache(
+            k=jnp.zeros((cfg.n_layer, e, dh, S // 2), jnp.int8),
+            v=jnp.zeros((cfg.n_layer, e, S // 2, dh), jnp.int8),
+            length=jnp.zeros((batch,) if per_slot else (), jnp.int32),
+            k_scale=k_scale, v_scale=v_scale)
     if dtype == jnp.int8:
         # two separate allocations: a single shared array would put the SAME
         # buffer behind both fields, and any donating jit over the cache
@@ -485,6 +511,69 @@ def update_rows_axis_windowed(buf: jax.Array, new: jax.Array, offsets,
                                         (0,) * buf.ndim)
 
 
+# ------------------------------------------------------------ int4 writes
+
+def rmw_nibble_axis_windowed(buf: jax.Array, nib: jax.Array, offsets,
+                             axis: int, window: Optional[int] = None
+                             ) -> jax.Array:
+    """Write ONE position's int4 nibble values into a pair-packed cache.
+
+    buf: packed bytes with the packed-column axis at `axis` (width S/2);
+    nib: nibble values in [-7, 7] with size 1 on `axis`; offsets: scalar or
+    per-row (b,) POSITION offsets — packed column = offset // 2, parity =
+    offset % 2 (low/high nibble). Scalar offsets read-modify-write a single
+    byte column (two small dynamic slices); per-row offsets stream the first
+    ceil(window/2) packed columns, like the int8 masked row write."""
+    from ..ops import quant
+    S2 = buf.shape[axis]
+    off = jnp.asarray(offsets)
+    if off.ndim == 0:
+        starts = [0] * buf.ndim
+        starts[axis] = off // 2
+        sizes = list(buf.shape)
+        sizes[axis] = 1
+        old = jax.lax.dynamic_slice(buf, tuple(starts), tuple(sizes))
+        new = quant.rmw_nibble(old, nib.astype(jnp.int8), off % 2)
+        return jax.lax.dynamic_update_slice(buf, new, tuple(starts))
+    b = buf.shape[0]
+    w2 = S2 if window is None else min(-(-window // 2), S2)
+    view = (jax.lax.slice_in_dim(buf, 0, w2, axis=axis) if w2 < S2 else buf)
+    bshape = [1] * buf.ndim
+    bshape[0] = b
+    colx = (off // 2).reshape(bshape)
+    parx = (off % 2).reshape(bshape)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, w2), 1)
+    posx = pos.reshape(b, *([1] * (axis - 1)), w2,
+                       *([1] * (buf.ndim - axis - 1)))
+    mixed = quant.rmw_nibble(view, nib.astype(jnp.int8), parx)
+    view = jnp.where(posx == colx, mixed, view)
+    if w2 == S2:
+        return view
+    return jax.lax.dynamic_update_slice(buf, view, (0,) * buf.ndim)
+
+
+def update_pair_scale(scale_buf: jax.Array, val: jax.Array, offsets,
+                      window: Optional[int] = None) -> jax.Array:
+    """scale_buf (E, 2, S/2) <- val (E,) written at (parity, packed column)
+    = (offset % 2, offset // 2); offsets scalar or per-row (E,)."""
+    off = jnp.asarray(offsets)
+    if off.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            scale_buf, val.reshape(-1, 1, 1).astype(scale_buf.dtype),
+            (0, off % 2, off // 2))
+    e, _, S2 = scale_buf.shape
+    w2 = S2 if window is None else min(-(-window // 2), S2)
+    view = (jax.lax.slice_in_dim(scale_buf, 0, w2, axis=2)
+            if w2 < S2 else scale_buf)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (e, 1, w2), 2)
+    par = jax.lax.broadcasted_iota(jnp.int32, (e, 2, 1), 1)
+    hit = (pos == (off // 2)[:, None, None]) & (par == (off % 2)[:, None, None])
+    view = jnp.where(hit, val[:, None, None].astype(scale_buf.dtype), view)
+    if w2 == S2:
+        return view
+    return jax.lax.dynamic_update_slice(scale_buf, view, (0, 0, 0))
+
+
 def gpt_forward_with_cache(
     params: Params, cfg: GPTConfig, input_ids: jax.Array, cache: KVCache, *,
     use_flash: bool = True, window: Optional[int] = None,
@@ -524,6 +613,13 @@ def gpt_forward_with_cache(
     scales = _softmax_scales(cfg)
     new_len = offset + s
     quantized = cache.quantized
+    q4 = cache.bits == 4
+    if q4:
+        assert not cache.staged, "int4 caches do not stage"
+        assert s == 1 or not vec, \
+            "int4 caches: multi-token writes need a uniform (scalar) offset"
+    # packed-axis window: w positions = ceil(w/2) packed byte columns
+    win4 = (-(-window // 2)) if (q4 and window is not None) else None
 
     # The stacked caches ride the scan CARRY (not xs/ys): dynamic-update-slice
     # on a carried buffer compiles to an in-place write, whereas xs/ys would
@@ -531,16 +627,18 @@ def gpt_forward_with_cache(
     h, dk = cfg.n_head, cfg.head_dim
     e = b * h
 
-    def _layer(all_buf, li, win_axis=None):
+    def _layer(all_buf, li, win_axis=None, win=None):
         """One layer of the stacked cache, optionally with the static
-        `window` folded into the SAME dynamic_slice along win_axis. A
+        `window` folded into the SAME dynamic_slice along win_axis (`win`
+        overrides the width — packed int4 buffers halve it). A
         separate [:window] slice after the layer slice breaks the fusion
         into the attention consumer and XLA materializes a full-layer copy
         per step (profiled: 2 x 816us/step at batch 128)."""
         shape = list(all_buf.shape)
         shape[0] = 1
-        if win_axis is not None and window is not None:
-            shape[win_axis] = min(window, shape[win_axis])
+        w = window if win is None else win
+        if win_axis is not None and w is not None:
+            shape[win_axis] = min(w, shape[win_axis])
         zeros = (0,) * (all_buf.ndim - 1)
         return jax.lax.dynamic_slice(all_buf, (li,) + zeros, tuple(shape))[0]
 
@@ -590,6 +688,66 @@ def gpt_forward_with_cache(
         return jax.lax.dynamic_update_slice(
             all_buf, new.astype(all_buf.dtype)[None], tuple(idx))
 
+    # ---- int4 pair-packed writes (see init_kv_cache(bits=4))
+    def _store4_step(all_buf, li, nib, axis):
+        """ONE position's nibble values into layer li: a read-modify-write
+        of a single packed byte column (scalar offsets) or a masked RMW over
+        the window's packed prefix (per-row serving offsets)."""
+        from ..ops import quant as quant_lib
+        if not vec:
+            starts = [0] * all_buf.ndim
+            starts[0] = li
+            starts[axis + 1] = offset // 2
+            sizes = list(all_buf.shape)
+            sizes[0] = 1
+            sizes[axis + 1] = 1
+            old = jax.lax.dynamic_slice(all_buf, tuple(starts), tuple(sizes))
+            new = quant_lib.rmw_nibble(old, nib[None], offset % 2)
+            return jax.lax.dynamic_update_slice(all_buf, new, tuple(starts))
+        layer = _layer(all_buf, li, win_axis=axis + 1, win=win4)
+        layer = rmw_nibble_axis_windowed(layer, nib, jnp.repeat(offset, h),
+                                         axis)
+        zeros = (0,) * (all_buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(all_buf, layer[None],
+                                            (li,) + zeros)
+
+    def _store4_scale(all_buf, li, val):
+        """Per-position dequant scale (E,) at (parity, packed col)."""
+        if not vec:
+            return jax.lax.dynamic_update_slice(
+                all_buf, val.reshape(1, -1, 1, 1).astype(all_buf.dtype),
+                (li, 0, offset % 2, offset // 2))
+        layer = _layer(all_buf, li, win_axis=3, win=win4)
+        layer = update_pair_scale(layer, val, jnp.repeat(offset, h))
+        return jax.lax.dynamic_update_slice(all_buf, layer[None],
+                                            (li, 0, 0, 0))
+
+    def _store4_prefill(all_buf, li, nib, axis):
+        """Pack s positions pairwise along `axis` and write the packed block
+        at column offset//2. Offsets must be EVEN for s > 1 (init-time
+        contract); an odd s leaves the final high nibble zero — masked by
+        `length` and overwritten in place by the next step's RMW."""
+        from ..ops import quant as quant_lib
+        if s % 2:
+            pad = [(0, 0)] * nib.ndim
+            pad[axis] = (0, 1)
+            nib = jnp.pad(nib, pad)
+        packed = quant_lib.pack_int4_pairs(nib, axis)
+        starts = [0] * all_buf.ndim
+        starts[0] = li
+        starts[axis + 1] = offset // 2
+        return jax.lax.dynamic_update_slice(all_buf, packed[None],
+                                            tuple(starts))
+
+    def _store4_prefill_scale(all_buf, li, sc):
+        """sc (E, s) per-position scales -> the (E, 2, ceil(s/2)) parity
+        block at packed column offset//2."""
+        if s % 2:
+            sc = jnp.pad(sc, ((0, 0), (0, 1)), constant_values=1.0)
+        sc2 = sc.reshape(e, -1, 2).swapaxes(1, 2)
+        return jax.lax.dynamic_update_slice(
+            all_buf, sc2[None].astype(all_buf.dtype), (li, 0, 0, offset // 2))
+
     def scan_body(carry, xs):
         (hidden, residual, k_all, v_all, ks_all, vs_all,
          kst_all, vst_all, kss_all, vss_all) = carry
@@ -622,7 +780,21 @@ def gpt_forward_with_cache(
                 vst_all = _store_stage(vst_all, li, v_new)
         else:
             kt_new = k.transpose(0, 2, 3, 1).reshape(e, dk, s)
-            if quantized:
+            if q4:
+                from ..ops import quant
+                k4q, ks = quant.quantize_activations_int4(kt_new, axis=1)
+                v4q, vs = quant.quantize_activations_int4(v_new, axis=2)
+                if s == 1:
+                    k_all = _store4_step(k_all, li, k4q, axis=2)
+                    v_all = _store4_step(v_all, li, v4q, axis=1)
+                    ks_all = _store4_scale(ks_all, li, ks[:, 0, 0])
+                    vs_all = _store4_scale(vs_all, li, vs[:, 0, 0])
+                else:
+                    k_all = _store4_prefill(k_all, li, k4q, axis=2)
+                    v_all = _store4_prefill(v_all, li, v4q, axis=1)
+                    ks_all = _store4_prefill_scale(ks_all, li, ks[:, 0, :])
+                    vs_all = _store4_prefill_scale(vs_all, li, vs[..., 0])
+            elif quantized:
                 from ..ops import quant
                 k8, ks = quant.quantize_activations_int8(kt_new, axis=1)
                 v8, vs = quant.quantize_activations_int8(v_new, axis=2)
@@ -633,10 +805,12 @@ def gpt_forward_with_cache(
             else:
                 k_all = _store(k_all, li, kt_new, axis=2)
                 v_all = _store(v_all, li, v_new, axis=1)
-        kt_cache = _layer(k_all, li, win_axis=3)  # (E, dk, S|window)
-        v_cache = _layer(v_all, li, win_axis=2)   # (E, S|window, dv)
-        k_sc = _layer(ks_all, li, win_axis=2) if quantized else None
-        v_sc = _layer(vs_all, li, win_axis=2) if quantized else None
+        kt_cache = _layer(k_all, li, win_axis=3, win=win4)  # (E, dk, S|win)
+        v_cache = _layer(v_all, li, win_axis=2, win=win4)   # (E, S|win, dv)
+        k_sc = (_layer(ks_all, li, win_axis=3 if q4 else 2, win=win4)
+                if quantized else None)
+        v_sc = (_layer(vs_all, li, win_axis=3 if q4 else 2, win=win4)
+                if quantized else None)
         S = kt_cache.shape[-1]
         if staged:
             from ..ops.decode_attention import (
@@ -664,12 +838,17 @@ def gpt_forward_with_cache(
         elif s == 1:
             # single-pass decode over the stored-precision flat cache
             lens = jnp.repeat(new_len, h) if vec else new_len
-            ctx = decode_attention(
-                (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
-                                                             ).reshape(e, dk),
-                kt_cache, k_sc, v_cache, v_sc, lens)
+            q_flat = (q[:, 0].astype(jnp.float32) * scale).astype(
+                q.dtype).reshape(e, dk)
+            if q4:
+                from ..ops.decode_attention import decode_attention_int4
+                ctx = decode_attention_int4(q_flat, kt_cache, k_sc,
+                                            v_cache, v_sc, lens)
+            else:
+                ctx = decode_attention(q_flat, kt_cache, k_sc, v_cache,
+                                       v_sc, lens)
             ctx = ctx.reshape(b, 1, h, dk)
-        elif s <= FLAT_MULTI_MAX:
+        elif s <= FLAT_MULTI_MAX and not q4:
             # multi-query decode (speculative verification, small chunked
             # prefill): the flat-layout contraction generalizes to t query
             # rows — no (b, S, h, d) relayout and no dequantized cache copy
@@ -686,7 +865,18 @@ def gpt_forward_with_cache(
             # offset == 0 this is plain causal self-attention on fresh K/V.
             # The (E,)->(b,S,h,d) relayout of the cache happens once per
             # prefill (compute-bound), never in the decode loop.
-            if quantized:
+            if q4:
+                from ..ops import quant
+                kd = (quant.unpack_int4_pairs(kt_cache, axis=2
+                                              ).astype(jnp.float32)
+                      * quant.interleave_pair_scales(k_sc)[:, None, :]
+                      ).astype(q.dtype)
+                vd = (quant.unpack_int4_pairs(v_cache, axis=1
+                                              ).astype(jnp.float32)
+                      * quant.interleave_pair_scales(v_sc)[..., None]
+                      ).astype(q.dtype)
+                S = 2 * S
+            elif quantized:
                 kd = (kt_cache.astype(jnp.float32)
                       * k_sc[:, None, :]).astype(q.dtype)
                 vd = (v_cache.astype(jnp.float32)

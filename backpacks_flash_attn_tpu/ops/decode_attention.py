@@ -25,6 +25,7 @@ the full O(t^2) alpha every step; here it is one fused cache pass).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -510,6 +511,160 @@ def decode_attention(q, kt, ks, v, vs, length, *, use_pallas: bool = False):
     if use_pallas:
         return decode_attention_fused(q, kt, ks, v, vs, length)
     return decode_attention_flat(q, kt, ks, v, vs, length)
+
+
+# ---------------------------------------------------------------- int4
+#
+# INT4-PACKED cache attention: the decode step is measured cache-stream-bound
+# (NOTES.md: 665-790 of ~819 GB/s HBM with every cache int8), so halving the
+# cache bytes attacks the roofline itself. Packing convention (see
+# ops/quant.py pair-packing block): packed column j = positions (2j, 2j+1) in
+# (lo, hi) nibbles; scales ride as (E, 2, S/2) f32 with parity on the middle
+# axis. The kernels never interleave: scores for the even and odd halves are
+# computed separately and softmaxed JOINTLY, so a window prefix of w
+# positions is the first w/2 packed columns — the same static length
+# bucketing as the int8 path.
+
+def decode_attention_flat_int4(q, kt4, ks2, v4, vs2, length):
+    """XLA even/odd-split int4 decode attention (correctness oracle + CPU
+    path; XLA materializes the shifted nibble tensors, so on TPU the Pallas
+    kernel below is the production path).
+
+    q (E, dk) pre-scaled; kt4 (E, dk, S/2) packed; ks2 (E, 2, S/2) f32;
+    v4 (E, S/2, dv) packed; vs2 (E, 2, S/2) f32; length ()/(E,).
+    Returns (E, dv) in q.dtype."""
+    from . import quant
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    E, dk = q.shape
+    S2 = v4.shape[1]
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                               (E,))
+    k_lo, k_hi = quant.unpack_int4_pairs_split(kt4)
+    s_e = jnp.einsum("ed,eds->es", q.astype(compute), k_lo.astype(compute),
+                     preferred_element_type=jnp.float32) * ks2[:, 0, :]
+    s_o = jnp.einsum("ed,eds->es", q.astype(compute), k_hi.astype(compute),
+                     preferred_element_type=jnp.float32) * ks2[:, 1, :]
+    j = jnp.arange(S2)[None, :]
+    s_e = jnp.where(2 * j < lengths[:, None], s_e, NEG)
+    s_o = jnp.where(2 * j + 1 < lengths[:, None], s_o, NEG)
+    p = jax.nn.softmax(jnp.concatenate([s_e, s_o], axis=1), axis=-1)
+    p_e = p[:, :S2] * vs2[:, 0, :]
+    p_o = p[:, S2:] * vs2[:, 1, :]
+    v_lo, v_hi = quant.unpack_int4_pairs_split(v4)
+    out = jnp.einsum("es,esd->ed", p_e.astype(compute),
+                     v_lo.astype(compute),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("es,esd->ed", p_o.astype(compute),
+                           v_hi.astype(compute),
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
+                           vs2_ref, o_ref, *, rows: int, force_f32: bool):
+    """Block-diagonal-matmul int4 decode attention (see _blockdiag_kernel for
+    the formulation). The packed caches stream from HBM at 0.5 byte/value —
+    the nibble unpack (int32 shift pair) happens on VMEM tiles only, which
+    XLA cannot express without materializing the unpacked tensors in HBM."""
+    R = rows
+    _, dk, S2 = kt4_ref.shape
+    dv = v4_ref.shape[2]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    lens = lens_ref[:]                                    # (R, 1) int32
+
+    u = kt4_ref[:].astype(jnp.int32)                      # (R, dk, S2)
+    k_lo = jnp.right_shift(jnp.left_shift(u, 28), 28).astype(cdt)
+    k_hi = jnp.right_shift(jnp.left_shift(u, 24), 28).astype(cdt)
+
+    q = q_ref[:].astype(cdt)                              # (R, dk)
+    q_tiled = jnp.concatenate([q] * R, axis=1)            # (R, R*dk)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0)
+    q_bd = jnp.where(seg == row, q_tiled, 0)
+    ks2 = ks2_ref[:]                                      # (R, 2, S2)
+    s_e = jax.lax.dot_general(q_bd, k_lo.reshape(R * dk, S2),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) * ks2[:, 0]
+    s_o = jax.lax.dot_general(q_bd, k_hi.reshape(R * dk, S2),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) * ks2[:, 1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, S2), 1)
+    s_e = jnp.where(2 * j < lens, s_e, NEG)
+    s_o = jnp.where(2 * j + 1 < lens, s_o, NEG)
+    m = jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
+                    jnp.max(s_o, axis=1, keepdims=True))
+    p_e, p_o = jnp.exp(s_e - m), jnp.exp(s_o - m)
+    l = (jnp.sum(p_e, axis=1, keepdims=True)
+         + jnp.sum(p_o, axis=1, keepdims=True))
+    vs2 = vs2_ref[:]
+    p_e = (p_e / l * vs2[:, 0]).astype(cdt)
+    p_o = (p_o / l * vs2[:, 1]).astype(cdt)
+
+    uv = v4_ref[:].astype(jnp.int32)                      # (R, S2, dv)
+    v_lo = jnp.right_shift(jnp.left_shift(uv, 28), 28).astype(cdt)
+    v_hi = jnp.right_shift(jnp.left_shift(uv, 24), 28).astype(cdt)
+    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * S2), 1) // S2
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * S2), 0)
+    pe_bd = jnp.where(seg2 == row2, jnp.concatenate([p_e] * R, axis=1), 0)
+    po_bd = jnp.where(seg2 == row2, jnp.concatenate([p_o] * R, axis=1), 0)
+    out = jax.lax.dot_general(pe_bd, v_lo.reshape(R * S2, dv),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(po_bd, v_hi.reshape(R * S2, dv),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def decode_attention_int4_blockdiag(q: jax.Array, kt4: jax.Array,
+                                    ks2: jax.Array, v4: jax.Array,
+                                    vs2: jax.Array, length: jax.Array, *,
+                                    rows_per_program: Optional[int] = None
+                                    ) -> jax.Array:
+    """Pallas int4 decode attention (see _blockdiag_int4_kernel). Contract of
+    decode_attention_flat_int4."""
+    e, dk = q.shape
+    _, S2, dv = v4.shape
+    assert kt4.shape == (e, dk, S2), (kt4.shape, (e, dk, S2))
+    assert ks2.shape == (e, 2, S2) and vs2.shape == (e, 2, S2)
+    if rows_per_program is None:
+        # the unpacked bf16 V halves dominate VMEM: ~5 x the packed block
+        rows_per_program = max(1, min(16, (1 << 20) // max(S2 * dv, 1)))
+    rows = rows_per_program
+    while e % rows != 0:
+        rows //= 2
+    grid = (e // rows,)
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                            (e,))[:, None]
+    return pl.pallas_call(
+        functools.partial(_blockdiag_int4_kernel, rows=rows,
+                          force_f32=_interpret()),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 1), lambda i: (i, 0)),      # lengths
+            pl.BlockSpec((rows, dk), lambda i: (i, 0)),
+            pl.BlockSpec((rows, dk, S2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 2, S2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, S2, dv), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 2, S2), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, dv), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        interpret=_interpret(),
+    )(lens, q, kt4, ks2, v4, vs2)
+
+
+# BACKPACKS_INT4_KERNEL: 'blockdiag' (default on TPU) | 'xla'
+_INT4_KERNEL = os.environ.get("BACKPACKS_INT4_KERNEL", "blockdiag")
+
+
+def decode_attention_int4(q, kt4, ks2, v4, vs2, length):
+    """Dispatching entry point for single-step attention over INT4-packed
+    caches (shapes: decode_attention_flat_int4)."""
+    if _INT4_KERNEL == "xla" or _interpret():
+        return decode_attention_flat_int4(q, kt4, ks2, v4, vs2, length)
+    return decode_attention_int4_blockdiag(q, kt4, ks2, v4, vs2, length)
 
 
 def decode_attention_flat_multi(q, kt, ks, v, vs, length):

@@ -308,6 +308,79 @@ def quantize_activations_int8(x: jax.Array, axis: int = -1):
     return q, scale
 
 
+def quantize_activations_int4(x: jax.Array, axis: int = -1):
+    """Dynamic per-row INT4 activation quantization (for the INT4-packed KV /
+    sense caches). Returns (q, scale): q int8 nibble values in [-7, 7] (NOT
+    yet packed — pair packing along the position axis is the CACHE layout,
+    see pack_int4_pairs / the nibble read-modify-write in models/gpt.py)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax / 7.0, 1e-10)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -7, 7
+                 ).astype(jnp.int8)
+    return q, scale
+
+
+# ------------------------------------------------------- int4 pair packing
+#
+# Cache packing convention (decode caches): ADJACENT POSITIONS share a byte —
+# packed index j holds position 2j in the LOW nibble and 2j+1 in the HIGH
+# nibble. Consumers never interleave: the decode kernels unpack into the
+# (even, odd) SPLIT halves and run the softmax jointly over both score
+# vectors (ops/decode_attention.decode_attention_flat_int4), so a window
+# prefix of w positions is exactly the first w/2 packed columns.
+
+def pack_int4_pairs(q: jax.Array, axis: int) -> jax.Array:
+    """Pack int8 nibble values in [-8, 7] pairwise along `axis` (which must
+    have even length): out[.., j, ..] = (q[.., 2j+1, ..] << 4) | (q[.., 2j, ..] & 0xF)."""
+    n = q.shape[axis]
+    assert n % 2 == 0, (axis, q.shape)
+    lo = jax.lax.slice_in_dim(q, 0, n, stride=2, axis=axis).astype(jnp.int32)
+    hi = jax.lax.slice_in_dim(q, 1, n, stride=2, axis=axis).astype(jnp.int32)
+    packed = (lo & 0xF) | ((hi & 0xF) << 4)
+    return jnp.where(packed >= 128, packed - 256, packed).astype(jnp.int8)
+
+
+def unpack_int4_pairs_split(p4: jax.Array):
+    """(lo, hi) int8 nibble values, sign-extended, NO interleave — the even
+    and odd position halves the decode kernels consume directly."""
+    u = p4.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(u, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(u, 24), 28)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def unpack_int4_pairs(p4: jax.Array, axis: int) -> jax.Array:
+    """Full interleaved unpack along `axis` (prefill-time dequant): inverse of
+    pack_int4_pairs."""
+    axis = axis % p4.ndim
+    lo, hi = unpack_int4_pairs_split(p4)
+    stacked = jnp.stack([lo, hi], axis=axis + 1)
+    shape = list(p4.shape)
+    shape[axis] = 2 * shape[axis]
+    return stacked.reshape(shape)
+
+
+def interleave_pair_scales(sc2: jax.Array) -> jax.Array:
+    """(..., 2, n) per-(parity, packed-col) scales -> (..., 2n) per-position
+    scales (prefill-time dequant companion of unpack_int4_pairs)."""
+    assert sc2.shape[-2] == 2, sc2.shape
+    n = sc2.shape[-1]
+    return jnp.swapaxes(sc2, -1, -2).reshape(*sc2.shape[:-2], 2 * n)
+
+
+def rmw_nibble(old: jax.Array, nib: jax.Array, parity: jax.Array) -> jax.Array:
+    """Replace one nibble of packed int8 bytes: parity 0 -> low nibble,
+    1 -> high. `parity` broadcasts against `old` (per-row parities for
+    serving-slot writes). The single-position decode write is a
+    read-modify-write of one packed byte column."""
+    o = old.astype(jnp.int32)
+    n = nib.astype(jnp.int32) & 0xF
+    even = (o & ~0xF) | n
+    odd = (o & 0xF) | (n << 4)
+    b = jnp.where(parity == 0, even, odd) & 0xFF
+    return jnp.where(b >= 128, b - 256, b).astype(jnp.int8)
+
+
 def dequantize_activations(q: jax.Array, scale: jax.Array,
                            dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * scale).astype(dtype)

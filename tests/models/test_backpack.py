@@ -117,18 +117,51 @@ def test_sense_weights_hook(setup):
     assert np.abs(np.asarray(base) - np.asarray(changed)).max() > 1e-4
 
 
-@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("cache_bits", [4, 8])
+@pytest.mark.parametrize("kv_bits", [None, 8])
+def test_int4_cached_decode_tracks_full_forward(setup, cache_bits, kv_bits):
+    """INT4 pair-packed caches (and the int4-senses/int8-KV hybrid) must stay
+    within quantization-noise distance of the fp full forward, and the
+    write/read machinery must be finite through prefill + chunked
+    continuation + decode."""
+    cfg, params, ids = setup
+    full = bp.backpack_forward(params, cfg, ids, use_flash=False)
+    cache = bp.init_backpack_cache(cfg, 2, 24, dtype=jnp.int8,
+                                   bits=cache_bits, kv_bits=kv_bits)
+    assert cache.bits == cache_bits
+    assert cache.gpt.bits == (kv_bits or cache_bits)
+    pre, cache = bp.backpack_forward_with_cache(params, cfg, ids[:, :8],
+                                                cache, use_flash=False)
+    # chunked continuation at an even offset
+    pre2, cache = bp.backpack_forward_with_cache(params, cfg, ids[:, 8:16],
+                                                 cache, use_flash=False)
+    got = [np.asarray(pre, np.float32), np.asarray(pre2, np.float32)]
+    for t in range(16, 20):
+        sl, cache = bp.backpack_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], cache, use_flash=False)
+        got.append(np.asarray(sl, np.float32))
+    got = np.concatenate(got, axis=1)
+    ref = np.asarray(full, np.float32)
+    assert np.isfinite(got).all()
+    # quantization-noise bound: int4 caches at the test scale stay within
+    # ~1e-2 of fp logits (measured ~1.5e-3; int8 an order tighter)
+    assert np.abs(got - ref).max() < (5e-2 if cache_bits == 4 else 1e-2), \
+        np.abs(got - ref).max()
+
+
+@pytest.mark.parametrize("quant", [False, True, "int4"])
 def test_windowed_decode_matches_full_window(setup, quant):
     """Static length-bucket `window` reads only a cache prefix; with
     window >= valid length the logits must match the full-window decode
     exactly (same stored-precision operands, just fewer masked columns)."""
     cfg, params, ids = setup
     dtype = jnp.int8 if quant else jnp.float32
+    bits = 4 if quant == "int4" else 8
     if quant:
         from backpacks_flash_attn_tpu.models import quantized as qz
         params = qz.quantize_backpack_params(params, cfg, bits=8)
-    cache_a = bp.init_backpack_cache(cfg, 2, 32, dtype=dtype)
-    cache_b = bp.init_backpack_cache(cfg, 2, 32, dtype=dtype)
+    cache_a = bp.init_backpack_cache(cfg, 2, 32, dtype=dtype, bits=bits)
+    cache_b = bp.init_backpack_cache(cfg, 2, 32, dtype=dtype, bits=bits)
     _, cache_a = bp.backpack_forward_with_cache(params, cfg, ids[:, :8],
                                                 cache_a, use_flash=False)
     _, cache_b = bp.backpack_forward_with_cache(params, cfg, ids[:, :8],
