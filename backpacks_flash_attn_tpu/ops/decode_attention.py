@@ -473,8 +473,10 @@ def decode_attention_blockdiag(q: jax.Array, kt: jax.Array,
     _, s_len, dv = v.shape
     assert kt.shape == (e, dk, s_len)
     if rows_per_program is None:
-        # V block (rows*S, dv) is the VMEM budget driver; target <= ~2MB
-        rows_per_program = max(1, min(32, (2 << 20) // max(s_len * dv, 1)))
+        # V block (rows*S, dv) is the VMEM budget driver; target <= ~2MB.
+        # Floor 8: Mosaic's sublane minimum for the (rows, 1) lens block
+        # (big-dv shapes may then exceed VMEM — callers catch and fall back)
+        rows_per_program = max(8, min(32, (2 << 20) // max(s_len * dv, 1)))
     rows = rows_per_program
     while e % rows != 0:
         rows //= 2
@@ -561,19 +563,34 @@ def decode_attention_flat_int4(q, kt4, ks2, v4, vs2, length):
 
 
 def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
-                           vs2_ref, o_ref, *, rows: int, force_f32: bool):
-    """Block-diagonal-matmul int4 decode attention (see _blockdiag_kernel for
-    the formulation). The packed caches stream from HBM at 0.5 byte/value —
-    the nibble unpack (int32 shift pair) happens on VMEM tiles only, which
-    XLA cannot express without materializing the unpacked tensors in HBM."""
+                           vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                           rows: int, n_sb: int, force_f32: bool):
+    """Block-diagonal-matmul int4 decode attention, sequence-blocked.
+
+    Formulation of _blockdiag_kernel (scores + PV as block-diagonal MXU
+    matmuls) on the PAIR-PACKED caches: the packed bytes stream from HBM at
+    0.5 byte/value and the nibble unpack (int32 shift pair) happens on VMEM
+    tiles only — XLA cannot express that without materializing the shifted
+    tensors in HBM. The even and odd position halves get separate score
+    vectors merged by ONE online softmax; grid dim 1 walks bs2-column
+    blocks of the packed caches with flash-style (m, l, acc) scratch state,
+    so rows stays >= 8 (Mosaic sublane minimum) at any dv without blowing
+    the 16MB VMEM budget on the unpacked bf16 value halves."""
     R = rows
-    _, dk, S2 = kt4_ref.shape
+    ji = pl.program_id(1)
+    _, dk, bs2 = kt4_ref.shape
     dv = v4_ref.shape[2]
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
     lens = lens_ref[:]                                    # (R, 1) int32
 
-    u = kt4_ref[:].astype(jnp.int32)                      # (R, dk, S2)
+    @pl.when(ji == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    u = kt4_ref[:].astype(jnp.int32)                      # (R, dk, bs2)
     k_lo = jnp.right_shift(jnp.left_shift(u, 28), 28).astype(cdt)
     k_hi = jnp.right_shift(jnp.left_shift(u, 24), 28).astype(cdt)
 
@@ -582,45 +599,60 @@ def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
     seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
     row = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0)
     q_bd = jnp.where(seg == row, q_tiled, 0)
-    ks2 = ks2_ref[:]                                      # (R, 2, S2)
-    s_e = jax.lax.dot_general(q_bd, k_lo.reshape(R * dk, S2),
+    ks2 = ks2_ref[:]                                      # (R, 2, bs2)
+    s_e = jax.lax.dot_general(q_bd, k_lo.reshape(R * dk, bs2),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) * ks2[:, 0]
-    s_o = jax.lax.dot_general(q_bd, k_hi.reshape(R * dk, S2),
+    s_o = jax.lax.dot_general(q_bd, k_hi.reshape(R * dk, bs2),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) * ks2[:, 1]
-    j = jax.lax.broadcasted_iota(jnp.int32, (R, S2), 1)
-    s_e = jnp.where(2 * j < lens, s_e, NEG)
-    s_o = jnp.where(2 * j + 1 < lens, s_o, NEG)
-    m = jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
-                    jnp.max(s_o, axis=1, keepdims=True))
-    p_e, p_o = jnp.exp(s_e - m), jnp.exp(s_o - m)
-    l = (jnp.sum(p_e, axis=1, keepdims=True)
-         + jnp.sum(p_o, axis=1, keepdims=True))
+    j = ji * bs2 + jax.lax.broadcasted_iota(jnp.int32, (R, bs2), 1)
+    ok_e = 2 * j < lens
+    ok_o = 2 * j + 1 < lens
+    s_e = jnp.where(ok_e, s_e, NEG)
+    s_o = jnp.where(ok_o, s_o, NEG)
+    m_prev, l_prev = m_ref[:], l_ref[:]                   # (R, 1)
+    m_new = jnp.maximum(m_prev,
+                        jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
+                                    jnp.max(s_o, axis=1, keepdims=True)))
+    corr = jnp.exp(m_prev - m_new)
+    # explicit where: an all-masked block keeps m at NEG and exp(NEG-NEG)=1
+    p_e = jnp.where(ok_e, jnp.exp(s_e - m_new), 0.0)
+    p_o = jnp.where(ok_o, jnp.exp(s_o - m_new), 0.0)
+    l_ref[:] = (l_prev * corr + jnp.sum(p_e, axis=1, keepdims=True)
+                + jnp.sum(p_o, axis=1, keepdims=True))
+    m_ref[:] = m_new
     vs2 = vs2_ref[:]
-    p_e = (p_e / l * vs2[:, 0]).astype(cdt)
-    p_o = (p_o / l * vs2[:, 1]).astype(cdt)
+    p_e = (p_e * vs2[:, 0]).astype(cdt)
+    p_o = (p_o * vs2[:, 1]).astype(cdt)
 
-    uv = v4_ref[:].astype(jnp.int32)                      # (R, S2, dv)
+    uv = v4_ref[:].astype(jnp.int32)                      # (R, bs2, dv)
     v_lo = jnp.right_shift(jnp.left_shift(uv, 28), 28).astype(cdt)
     v_hi = jnp.right_shift(jnp.left_shift(uv, 24), 28).astype(cdt)
-    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * S2), 1) // S2
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * S2), 0)
+    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 1) // bs2
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 0)
     pe_bd = jnp.where(seg2 == row2, jnp.concatenate([p_e] * R, axis=1), 0)
     po_bd = jnp.where(seg2 == row2, jnp.concatenate([p_o] * R, axis=1), 0)
-    out = jax.lax.dot_general(pe_bd, v_lo.reshape(R * S2, dv),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = out + jax.lax.dot_general(po_bd, v_hi.reshape(R * S2, dv),
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-    o_ref[:] = out.astype(o_ref.dtype)
+    pv = jax.lax.dot_general(pe_bd, v_lo.reshape(R * bs2, dv),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pv = pv + jax.lax.dot_general(po_bd, v_hi.reshape(R * bs2, dv),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * corr + pv
+
+    @pl.when(ji == n_sb - 1)
+    def _():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[:] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
 
 
 def decode_attention_int4_blockdiag(q: jax.Array, kt4: jax.Array,
                                     ks2: jax.Array, v4: jax.Array,
                                     vs2: jax.Array, length: jax.Array, *,
-                                    rows_per_program: Optional[int] = None
+                                    rows_per_program: int = 8,
+                                    block_s2: Optional[int] = None
                                     ) -> jax.Array:
     """Pallas int4 decode attention (see _blockdiag_int4_kernel). Contract of
     decode_attention_flat_int4."""
@@ -628,29 +660,45 @@ def decode_attention_int4_blockdiag(q: jax.Array, kt4: jax.Array,
     _, S2, dv = v4.shape
     assert kt4.shape == (e, dk, S2), (kt4.shape, (e, dk, S2))
     assert ks2.shape == (e, 2, S2) and vs2.shape == (e, 2, S2)
-    if rows_per_program is None:
-        # the unpacked bf16 V halves dominate VMEM: ~5 x the packed block
-        rows_per_program = max(1, min(16, (1 << 20) // max(S2 * dv, 1)))
     rows = rows_per_program
-    while e % rows != 0:
+    while e % rows != 0 and rows > 1:
         rows //= 2
-    grid = (e // rows,)
+    if block_s2 is None:
+        # V-side VMEM per block ~= rows*block_s2*dv*(1 int8 + 2x2 bf16 +
+        # int32 widen) ~ 9 bytes/value: keep it under ~6MB by halving
+        # (S2 is a power of two: max_seqlen/2)
+        target = max((6 << 20) // max(rows * dv * 9, 1), 64)
+        block_s2 = S2
+        while (block_s2 > target and block_s2 % 2 == 0
+               and block_s2 // 2 >= 64):
+            block_s2 //= 2
+    if S2 % block_s2 != 0:
+        block_s2 = S2
+    n_sb = S2 // block_s2
+    grid = (e // rows, n_sb)
     lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
                             (e,))[:, None]
     return pl.pallas_call(
-        functools.partial(_blockdiag_int4_kernel, rows=rows,
+        functools.partial(_blockdiag_int4_kernel, rows=rows, n_sb=n_sb,
                           force_f32=_interpret()),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, 1), lambda i: (i, 0)),      # lengths
-            pl.BlockSpec((rows, dk), lambda i: (i, 0)),
-            pl.BlockSpec((rows, dk, S2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rows, 2, S2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rows, S2, dv), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rows, 2, S2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 1), lambda i, j: (i, 0)),      # lengths
+            pl.BlockSpec((rows, dk), lambda i, j: (i, 0)),
+            pl.BlockSpec((rows, dk, block_s2), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((rows, 2, block_s2), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((rows, block_s2, dv), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((rows, 2, block_s2), lambda i, j: (i, 0, j)),
         ],
-        out_specs=pl.BlockSpec((rows, dv), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((rows, dv), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, dv), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
     )(lens, q, kt4, ks2, v4, vs2)
 

@@ -888,7 +888,18 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
     if _FUSED_BWD and not has_bias:
         # single-pass fused backward: one (s, mask, hash, exp) recompute per
         # tile instead of two, 5 MXU dots instead of 7.
-        G = _head_group(h, not _BWD_SCRATCH, cap=4)
+        # Footprint-aware G cap: the static cap=4 was tuned at the
+        # backpack-small shape (d_pad=64, bf16) — at d_pad=128/f32 shapes
+        # (e.g. backpack-mini's dh=80 padded to 128 in f32) G=4 measured
+        # 17.8MB of scoped VMEM and failed to compile. Per-G bytes:
+        # scratch (sq_pad + 2*block_k rows of f32) + double-buffered in
+        # blocks (q, g, out + k, v) + out blocks (dq, dk, dv).
+        isz = q.dtype.itemsize
+        per_g = ((sq_pad + 2 * block_k) * d_pad * 4
+                 + 2 * isz * (3 * block_q + 2 * block_k) * d_pad
+                 + 2 * isz * (block_q + 2 * block_k) * d_pad)
+        bwd_cap = max(1, (15 << 20) // max(per_g, 1))
+        G = _head_group(h, not _BWD_SCRATCH, cap=min(4, bwd_cap))
         grid4 = (b, h // G, n_kb, n_qb)
         q4 = pl.BlockSpec((1, G, block_q, d_pad),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))

@@ -15,6 +15,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -102,6 +103,76 @@ def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
     return _recompute_dropout(x, float(rate), x.shape, rng, idx)
 
 
+# BACKPACKS_DALN_BF16_SAVES=1 routes the common training configuration
+# (prenorm, fp32 residual, no row/colscale) through a fused custom_vjp whose
+# saved-for-backward copy of the fp32 residual stream is a BF16 cast: the
+# layer scan stacks every block's saved residuals with dynamic-update-slice
+# (r4e profile: 25.1 ms/step of save traffic at models/gpt.py's scan), and
+# the f32 new_residual tensors are the widest entries in that stream. The
+# compute stays f32 — only the saved copy narrows, so the backward's
+# x_hat recompute sees a bf16-rounded residual (~2^-8 relative). Gated by
+# the CPU bigram learning test (the r3 dropout-rounds=1 precedent: cheap
+# save tricks can silently hurt optimization).
+_DALN_BF16_SAVES = os.environ.get("BACKPACKS_DALN_BF16_SAVES", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _daln_fused(x, residual, weight, bias, key_data, idx,
+                rate: float, eps: float, out_dtype, has_dropout: bool):
+    """dropout(x) + residual -> LN, prenorm/fp32-residual configuration
+    (residual must not be None — ln_0 keeps the plain path). Differentiable
+    in x/residual/weight/bias; the dropout mask regenerates from key_data in
+    the backward (never saved); the residual stream's saved-for-backward
+    copy is bf16."""
+    out, _ = _daln_fwd(x, residual, weight, bias, key_data, idx,
+                       rate, eps, out_dtype, has_dropout)
+    return out
+
+
+def _daln_fwd(x, residual, weight, bias, key_data, idx, rate, eps,
+              out_dtype, has_dropout):
+    y = x
+    if has_dropout:
+        keep = 1.0 - rate
+        mask = _hash_mask(key_data, rate, x.shape, idx)
+        y = jnp.where(mask, x * (1.0 / keep), jnp.zeros_like(x))
+    nr = y.astype(jnp.float32) + residual.astype(jnp.float32)
+    mean = jnp.mean(nr, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(nr - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    normed = ((nr - mean) * rstd * weight.astype(jnp.float32)
+              + bias.astype(jnp.float32)).astype(out_dtype)
+    save = (nr.astype(jnp.bfloat16), mean, rstd, weight, key_data, idx)
+    return (normed, nr), save
+
+
+def _daln_bwd(rate, eps, out_dtype, has_dropout, save, g):
+    nr_b, mean, rstd, weight, key_data, idx = save
+    g_norm, g_nr = g
+    x_hat = (nr_b.astype(jnp.float32) - mean) * rstd
+    gn = g_norm.astype(jnp.float32)
+    dxhat = gn * weight.astype(jnp.float32)
+    dnr = rstd * (dxhat
+                  - jnp.mean(dxhat, axis=-1, keepdims=True)
+                  - x_hat * jnp.mean(dxhat * x_hat, axis=-1, keepdims=True))
+    dnr = dnr + g_nr.astype(jnp.float32)
+    red_axes = tuple(range(gn.ndim - 1))
+    dw = jnp.sum(gn * x_hat, axis=red_axes).astype(weight.dtype)
+    db = jnp.sum(gn, axis=red_axes).astype(weight.dtype)
+    dx = dnr
+    if has_dropout:
+        keep = 1.0 - rate
+        mask = _hash_mask(key_data, rate, nr_b.shape, idx)
+        dx = jnp.where(mask, dx * (1.0 / keep), jnp.zeros_like(dx))
+    dx = dx.astype(out_dtype)
+    zt = lambda a: (None if a is None
+                    else np.zeros(np.shape(a), jax.dtypes.float0))
+    return dx, dnr, dw, db, zt(key_data), zt(idx)
+
+
+_daln_fused.defvjp(_daln_fwd, _daln_bwd)
+
+
 def dropout_add_layer_norm(
     x: jax.Array,
     residual: Optional[jax.Array],
@@ -128,6 +199,21 @@ def dropout_add_layer_norm(
     (normalized, new_residual) when prenorm else just normalized.
     """
     out_dtype = out_dtype if out_dtype is not None else x.dtype
+    drop_active = (not deterministic and dropout_p > 0.0 and rng is not None)
+    if (_DALN_BF16_SAVES and prenorm and residual_in_fp32
+            and residual is not None and rowscale is None
+            and colscale is None and out_dtype == x.dtype):
+        key_data = None
+        idx = dropout_idx
+        if drop_active:
+            key_data = rng
+            if jnp.issubdtype(key_data.dtype, jax.dtypes.prng_key):
+                key_data = jax.random.key_data(key_data)
+            if idx is not None:
+                idx = jnp.broadcast_to(idx, x.shape)
+        return _daln_fused(x, residual, weight, bias, key_data, idx,
+                           float(dropout_p), float(eps), out_dtype,
+                           drop_active)
     if colscale is not None:
         x = x * colscale.astype(x.dtype)
     y = dropout(x, dropout_p, rng, deterministic, idx=dropout_idx)

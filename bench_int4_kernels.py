@@ -95,33 +95,32 @@ def main():
             k8, ks8, v8, vs8 = p["int8"]
             kt4, ks2, v4p, vs2 = p["int4"]
             row = {}
-            row["int8_flat_us"] = 1e6 * time_variant(
-                lambda q, k, ks, v, vs, ln: da.decode_attention_flat(
-                    q, k, ks, v, vs, ln),
-                p["q"], (k8, ks8, v8, vs8), p["length"], dk,
-                a.iters, a.reps)
-            row["int8_blockdiag_us"] = 1e6 * time_variant(
-                lambda q, k, ks, v, vs, ln: da.decode_attention_blockdiag(
-                    q, k, ks, v, vs, ln),
-                p["q"], (k8, ks8, v8, vs8), p["length"], dk,
-                a.iters, a.reps)
-            row["int4_xla_us"] = 1e6 * time_variant(
-                lambda q, k, ks, v, vs, ln: da.decode_attention_flat_int4(
-                    q, k, ks, v, vs, ln),
-                p["q"], (kt4, ks2, v4p, vs2), p["length"], dk,
-                a.iters, a.reps)
-            row["int4_blockdiag_us"] = 1e6 * time_variant(
-                lambda q, k, ks, v, vs, ln:
-                da.decode_attention_int4_blockdiag(q, k, ks, v, vs, ln),
-                p["q"], (kt4, ks2, v4p, vs2), p["length"], dk,
-                a.iters, a.reps)
+            variants = [
+                ("int8_flat_us", da.decode_attention_flat,
+                 (k8, ks8, v8, vs8)),
+                ("int8_blockdiag_us", da.decode_attention_blockdiag,
+                 (k8, ks8, v8, vs8)),
+                ("int4_xla_us", da.decode_attention_flat_int4,
+                 (kt4, ks2, v4p, vs2)),
+                ("int4_blockdiag_us", da.decode_attention_int4_blockdiag,
+                 (kt4, ks2, v4p, vs2)),
+            ]
+            for vname, fn, ops in variants:
+                try:
+                    row[vname] = 1e6 * time_variant(
+                        fn, p["q"], ops, p["length"], dk, a.iters, a.reps)
+                except Exception as ex:
+                    row[vname] = f"FAIL {type(ex).__name__}"
+                    print(name, s, vname, "FAILED:", str(ex)[:200],
+                          flush=True)
             # roofline: bytes of the int8 vs int4 streams at ~819 GB/s
             int8_bytes = e * s * (dk + dv) + e * s * 8
             int4_bytes = e * s * (dk + dv) // 2 + e * s * 8
             row["int8_roofline_us"] = 1e6 * int8_bytes / 819e9
             row["int4_roofline_us"] = 1e6 * int4_bytes / 819e9
-            results[f"{name}_s{s}"] = {k: round(v, 2)
-                                       for k, v in row.items()}
+            results[f"{name}_s{s}"] = {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in row.items()}
             print(name, s, json.dumps(results[f"{name}_s{s}"]), flush=True)
 
     with open(a.json, "w") as f:

@@ -253,15 +253,24 @@ def test_train_cli_cp_smoke(tmp_path):
     assert np.isfinite(out["final_metrics"]["loss"])
 
 
-def test_train_cli_converges_toward_bigram_floor(tmp_path):
+@pytest.mark.parametrize("daln_bf16", [False, True])
+def test_train_cli_converges_toward_bigram_floor(tmp_path, daln_bf16,
+                                                 monkeypatch):
     """Capstone end-to-end learning check: a tiny Backpack trained through
     the CLI on a sparse bigram corpus must close most of the gap between
     the uniform-prediction perplexity and the corpus's analytic entropy
-    floor (the TPU runbook runs the full-scale version of this)."""
+    floor (the TPU runbook runs the full-scale version of this).
+
+    daln_bf16=True reruns the gate with the bf16-saves fused DALN backward
+    (BACKPACKS_DALN_BF16_SAVES) — the r3 dropout-rounds=1 precedent: save
+    tricks that look clean in first-order stats can still hurt
+    optimization, so the throughput lever only ships if this gate holds."""
     from backpacks_flash_attn_tpu.data import lm_dataset as lmd
     from backpacks_flash_attn_tpu.data.synthetic import bigram_corpus
+    from backpacks_flash_attn_tpu.ops import norms
     from backpacks_flash_attn_tpu.training import train_cli
 
+    monkeypatch.setattr(norms, "_DALN_BF16_SAVES", daln_bf16)
     vocab = 256
     toks, floor = bigram_corpus(60_000, vocab_size=vocab, n_successors=4,
                                 seed=0)
