@@ -667,12 +667,14 @@ def decode_attention_int4_blockdiag(q: jax.Array, kt4: jax.Array,
         # V-side VMEM per block ~= rows*block_s2*dv*(1 int8 + 2x2 bf16 +
         # int32 widen) ~ 9 bytes/value: keep it under ~6MB by halving
         # (S2 is a power of two: max_seqlen/2)
-        target = max((6 << 20) // max(rows * dv * 9, 1), 64)
+        target = max((6 << 20) // max(rows * dv * 9, 1), 128)
         block_s2 = S2
         while (block_s2 > target and block_s2 % 2 == 0
-               and block_s2 // 2 >= 64):
+               and block_s2 // 2 >= 128):
             block_s2 //= 2
-    if S2 % block_s2 != 0:
+    # the kt4/scale blocks put block_s2 on LANES: it must be a multiple of
+    # 128 or the whole axis (Mosaic tiling rule)
+    if block_s2 % 128 != 0 or S2 % block_s2 != 0:
         block_s2 = S2
     n_sb = S2 // block_s2
     grid = (e // rows, n_sb)

@@ -112,8 +112,10 @@ def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
 # compute stays f32 — only the saved copy narrows, so the backward's
 # x_hat recompute sees a bf16-rounded residual (~2^-8 relative). Gated by
 # the CPU bigram learning test (the r3 dropout-rounds=1 precedent: cheap
-# save tricks can silently hurt optimization).
-_DALN_BF16_SAVES = os.environ.get("BACKPACKS_DALN_BF16_SAVES", "0") == "1"
+# save tricks can silently hurt optimization). Default ON from the r5 v5e
+# A/B: 204.8 -> 194.8 ms/step (80.0k -> 84.1k tok/s, 41.4 -> 43.6% MFU,
+# bench_results/train_r5_{base,daln}.json) with the learning gate green.
+_DALN_BF16_SAVES = os.environ.get("BACKPACKS_DALN_BF16_SAVES", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

@@ -97,7 +97,10 @@ class ServingEngine:
                  spec_min_acceptance: float = 0.05,
                  spec_cooldown: int = 16,
                  prefill_chunk: int = 0,
-                 stage_tokens: int = 64):
+                 stage_tokens: int = 64,
+                 draft_params=None,
+                 draft_cfg: Optional[BackpackConfig] = None,
+                 draft_cache_dtype=jnp.int8):
         """control_table: optional (vocab, nv) multiplicative weight table
         (eval/control.control_weights). Requests submitted with control=True
         decode with the full annealed topic-control intervention while
@@ -139,6 +142,16 @@ class ServingEngine:
         spec_cooldown steps before probing again — random text stops paying
         the (1+k)-row verification cost, self-repetitive text keeps the
         speedup.
+
+        draft_params/draft_cfg: MODEL-DRAFT speculation — a smaller Backpack
+        (e.g. backpack-micro drafting for -small) proposes the spec_tokens
+        drafts from its own per-slot cache (one extra dispatch per step
+        running k draft decode steps in one scan) instead of host-side
+        prompt-lookup. Output still exactly equals plain decoding (the
+        verification is unchanged); acceptance reflects true model
+        agreement, so speculation pays on corpora where n-gram lookup gets
+        ~0. The draft cache rolls back by length-resync at each dispatch
+        and is prefilled during packed admission waves.
 
         prefill_chunk > 0 admits plain requests via CHUNKED prefill: every
         admission wave runs ceil(max_prompt_len / prefill_chunk) dispatches
@@ -256,6 +269,25 @@ class ServingEngine:
                                     np.int32)
         self.hist_len = np.zeros((max_slots,), np.int64)
         self._jit_spec_steps = {}
+        # ---- model-draft speculation: a small Backpack (e.g. backpack-
+        # micro drafting for -small) proposes the k tokens instead of
+        # prompt-lookup. The draft keeps its own per-slot cache; its length
+        # counters resync from host_lengths at every draft dispatch, so
+        # rejected draft rows are masked out and overwritten in place (the
+        # same rollback-by-length the verification uses on the main cache).
+        # Acceptance comes from genuine model agreement, so speculation
+        # pays on corpora where n-gram lookup gets ~0 (measured: prompt-
+        # lookup 0.6% on the bigram corpus, below the 1.2% break-even).
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.draft_cache = None
+        self._jit_draft = {}
+        self.draft_cache_dtype = draft_cache_dtype
+        if draft_params is not None and self.spec_tokens > 0:
+            assert draft_cfg is not None, "draft_params requires draft_cfg"
+            self.draft_cache = bp.init_backpack_cache(
+                draft_cfg, max_slots, max_seqlen, dtype=draft_cache_dtype,
+                per_slot=True)
         self._t_first_step = None
         self._meta: Dict[int, tuple] = {}
         self._prompts: Dict[int, np.ndarray] = {}
@@ -536,6 +568,90 @@ class ServingEngine:
 
             self._jit_spec_steps[key] = jax.jit(step, donate_argnums=(3,))
         return self._jit_spec_steps[key]
+
+    # ---------------------------------------------------- model drafts
+
+    def _draft_k_fn(self, window: int):
+        """ONE dispatch: k sequential greedy decode steps of the draft model
+        over its own cache -> (b, k) draft tokens. Length counters resync
+        from the target's host lengths inside the jit (no extra dispatch),
+        which both rolls back rejected rows from the previous step and
+        keeps freed/reused slots consistent."""
+        key = ("draftk", window)
+        if key not in self._jit_draft:
+            dcfg, use_flash = self.draft_cfg, self.use_flash
+            win = None if window >= self.max_seqlen else window
+            k = self.spec_tokens
+
+            def draftk(dparams, toks, dcache, lengths):
+                lengths = lengths.astype(jnp.int32)
+                dcache = dcache._replace(
+                    length=lengths, gpt=dcache.gpt._replace(length=lengths))
+
+                def body(carry, _):
+                    tok, dcache = carry
+                    logits, dcache = bp.backpack_forward_with_cache(
+                        dparams, dcfg, tok, dcache, use_flash=use_flash,
+                        window=win)
+                    nxt = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
+                    return (nxt, dcache), nxt[:, 0]
+
+                (_, dcache), drafts = jax.lax.scan(body, (toks, dcache),
+                                                   None, length=k)
+                return drafts.T, dcache          # (b, k)
+
+            self._jit_draft[key] = jax.jit(draftk, donate_argnums=(2,))
+        return self._jit_draft[key]
+
+    def _draft_prefill_fn(self, bucket: int, n: int):
+        """Draft-model analogue of _batch_prefill_fn (cache only)."""
+        key = ("dprefill", bucket, n)
+        if key not in self._jit_draft:
+            dcfg, use_flash = self.draft_cfg, self.use_flash
+
+            def prefill(dparams, ids, true_len):
+                small = bp.init_backpack_cache(dcfg, n, self.max_seqlen,
+                                               dtype=self.draft_cache_dtype,
+                                               per_slot=True)
+                _, small = bp.backpack_forward_with_cache(
+                    dparams, dcfg, ids, small, use_flash=use_flash)
+                tl = true_len.astype(jnp.int32)
+                return small._replace(length=tl,
+                                      gpt=small.gpt._replace(length=tl))
+
+            self._jit_draft[key] = jax.jit(prefill)
+        return self._jit_draft[key]
+
+    def _draft_insert_rows_fn(self, n: int):
+        key = ("dinsert", n)
+        if key not in self._jit_draft:
+            dcfg = self.draft_cfg
+
+            def insert(big, small, slots):
+                for i in reversed(range(n)):
+                    row = bp.extract_cache_slot(small, i, dcfg)
+                    big = bp.insert_cache_slot(big, row, slots[i])
+                return big
+
+            self._jit_draft[key] = jax.jit(insert, donate_argnums=(0,))
+        return self._jit_draft[key]
+
+    def _admit_draft(self, recs, slots) -> None:
+        """Prefill the draft cache for a packed admission wave (same slots;
+        the draft builds its own padded batch so chunked-prefill admissions
+        work too)."""
+        n = len(slots)
+        dbucket = min(_bucket(max(r[2] for r in recs)), self.max_seqlen)
+        ids = np.zeros((n, dbucket), np.int32)
+        lens = np.ones((n,), np.int32)
+        for i, rec in enumerate(recs):
+            slot, rid, plen = rec[0], rec[1], rec[2]
+            ids[i, :plen] = self._prompts[rid]
+            lens[i] = plen
+        small = self._draft_prefill_fn(dbucket, n)(
+            self.draft_params, jnp.asarray(ids), jnp.asarray(lens))
+        self.draft_cache = self._draft_insert_rows_fn(n)(
+            self.draft_cache, small, jnp.asarray(slots))
 
     def _build_drafts(self) -> np.ndarray:
         """Per-slot prompt-lookup drafts over the host-tracked histories."""
@@ -906,6 +1022,8 @@ class ServingEngine:
             slots[len(recs):] = slots[0]   # pad rows: overwritten by row 0
             self.cache = self._insert_rows_fn(n)(self.cache, small,
                                                  jnp.asarray(slots))
+            if self.draft_cache is not None:
+                self._admit_draft(recs, slots)
             for i, (slot, rid, plen, temp, w, sw, control, negative) \
                     in enumerate(recs):
                 self._post_admit(slot, rid, plen, temp, w, sw, control,
@@ -1056,7 +1174,12 @@ class ServingEngine:
                 and self._stats["decode_steps"] >= self._spec_skip_until):
             window = self._window(extra=k + 1)
             self._window_hist[window] += 1
-            drafts = self._build_drafts()
+            if self.draft_cache is not None:
+                drafts, self.draft_cache = self._draft_k_fn(window)(
+                    self.draft_params, self.tokens, self.draft_cache,
+                    jnp.asarray(self.host_lengths.astype(np.int32)))
+            else:
+                drafts = self._build_drafts()
             step = self._spec_step_fn(window)
             emitted, n_emit, self.tokens, self.cache, lp_arr = step(
                 self.params, self.tokens, jnp.asarray(drafts), self.cache,
@@ -1225,4 +1348,7 @@ class ServingEngine:
         if self._stats["draft_proposed"]:
             s["draft_acceptance"] = (self._stats["draft_accepted"]
                                      / self._stats["draft_proposed"])
+        if self.spec_tokens > 0:
+            s["draft_source"] = ("model" if self.draft_cache is not None
+                                 else "ngram")
         return s

@@ -47,12 +47,16 @@ def load_params(args):
     return cfg, jax.tree.map(jnp.asarray, restored["state"].params)
 
 
-def run_engine(params, cfg, prompts, *, spec_tokens, max_new, slots):
+def run_engine(params, cfg, prompts, *, spec_tokens, max_new, slots,
+               draft=None):
     from backpacks_flash_attn_tpu.serving.engine import ServingEngine
 
+    dkw = {}
+    if draft is not None:
+        dkw = dict(draft_params=draft[1], draft_cfg=draft[0])
     eng = ServingEngine(params, cfg, max_slots=slots, max_seqlen=512,
                         cache_dtype=jnp.int8, eos_id=-1,
-                        spec_tokens=spec_tokens)
+                        spec_tokens=spec_tokens, **dkw)
     # warmup wave: compile the per-bucket steps + prefill shapes before the
     # timed drain (one compile is 20-40s through the tunnel and would
     # dominate the wall number)
@@ -79,6 +83,10 @@ def run_engine(params, cfg, prompts, *, spec_tokens, max_new, slots):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/runs/bp-mini-r3")
+    ap.add_argument("--draft-workdir", default="",
+                    help="trained draft checkpoint (e.g. backpack-micro) "
+                         "for a model-draft arm")
+    ap.add_argument("--draft-model", default="backpack-micro")
     ap.add_argument("--corpus", default="/tmp/bigram6m.npy")
     ap.add_argument("--model", default="backpack-mini")
     ap.add_argument("--requests", type=int, default=32)
@@ -108,13 +116,32 @@ def main():
     res["spec"] = run_engine(params, cfg, prompts, spec_tokens=args.k,
                              max_new=args.max_new, slots=args.slots)
     print("spec  :", json.dumps(res["spec"]), flush=True)
+    if args.draft_workdir:
+        import copy
+        dargs = copy.copy(args)
+        dargs.workdir, dargs.model = args.draft_workdir, args.draft_model
+        dcfg, dparams = load_params(dargs)
+        res["spec_model_draft"] = run_engine(
+            params, cfg, prompts, spec_tokens=args.k,
+            max_new=args.max_new, slots=args.slots, draft=(dcfg, dparams))
+        print("mdraft:", json.dumps(res["spec_model_draft"]), flush=True)
     res["wall_speedup"] = (res["spec"]["tok_per_s_wall"]
                            / res["plain"]["tok_per_s_wall"])
+    if "spec_model_draft" in res:
+        res["model_draft_wall_speedup"] = (
+            res["spec_model_draft"]["tok_per_s_wall"]
+            / res["plain"]["tok_per_s_wall"])
 
     rel = args.rel_cost
     if rel is None and os.path.exists(args.spec_json):
         with open(args.spec_json) as f:
             rel = json.load(f).get("rel_cost")
+    macc = res.get("spec_model_draft", {}).get("draft_acceptance")
+    if rel is not None and macc is not None:
+        # model-draft pays the draft model's decode on top: k micro steps
+        # per verification, measured separately as draft_rel_cost if given
+        res["model_draft_projected_onchip_speedup"] = (
+            (1.0 + float(macc) * args.k) / rel)
     acc = res["spec"]["draft_acceptance"]
     if rel is not None and acc is not None:
         # engine acceptance is accepted/proposed in [0,1] with k proposed

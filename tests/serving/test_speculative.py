@@ -201,3 +201,72 @@ def test_adaptive_speculation_cools_down_on_low_acceptance(setup):
     if st.get("spec_cooldowns", 0):
         # cooldown windows ran plain: fewer drafting steps than decode steps
         assert st["draft_proposed"] < 4 * st["decode_steps"]
+
+
+# ------------------------------------------------------- model-draft
+
+def test_model_draft_self_matches_oracle_with_high_acceptance(setup):
+    """Draft = the target itself: output must equal plain greedy decoding
+    (teacher-forced), draft_source reports 'model', and acceptance is
+    genuinely high (the models agree by construction; multi-query-vs-
+    single-query GEMM shape noise may flip a few near-ties at random
+    init)."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist() for n in (4, 8)]
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=64,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=3, spec_min_acceptance=0.0,
+                        draft_params=params, draft_cfg=cfg,
+                        draft_cache_dtype=jnp.float32)
+    rids = [eng.submit(p, max_new_tokens=12) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert len(results[rid].tokens) == 12
+        _teacher_force_check(cfg, params, p, results[rid].tokens)
+    st = eng.stats()
+    assert st["draft_source"] == "model"
+    assert st["draft_proposed"] > 0
+    assert st.get("draft_acceptance", 0.0) > 0.5, st.get("draft_acceptance")
+    # acceptance must shrink the step count below one-token-per-step
+    assert st["decode_steps"] < 2 * 12
+
+
+def test_model_draft_weak_draft_still_exact(setup):
+    """A DIFFERENT random draft model mostly disagrees with the target —
+    output must still be exactly plain greedy (rejection machinery), with
+    low acceptance recorded."""
+    cfg, params = setup
+    draft_params = bp.init_backpack(cfg, jax.random.PRNGKey(99),
+                                    dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, cfg.vocab_size, 6).tolist()
+    eng = ServingEngine(params, cfg, max_slots=1, max_seqlen=64,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=3, spec_min_acceptance=0.0,
+                        draft_params=draft_params, draft_cfg=cfg,
+                        draft_cache_dtype=jnp.float32)
+    rid = eng.submit(prompt, max_new_tokens=10)
+    got = eng.run()[rid].tokens
+    assert len(got) == 10
+    _teacher_force_check(cfg, params, prompt, got)
+
+
+def test_model_draft_slot_reuse_across_waves(setup):
+    """Retire a wave, admit a second one into the same slots: the draft
+    cache must be re-prefilled per slot and outputs stay greedy-exact."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    eng = ServingEngine(params, cfg, max_slots=2, max_seqlen=64,
+                        cache_dtype=jnp.float32, use_flash=False, eos_id=-1,
+                        spec_tokens=2, spec_min_acceptance=0.0,
+                        draft_params=params, draft_cfg=cfg,
+                        draft_cache_dtype=jnp.float32)
+    for wave in range(2):
+        prompts = [rng.integers(0, cfg.vocab_size, n).tolist()
+                   for n in (5, 7)]
+        rids = [eng.submit(p, max_new_tokens=8) for p in prompts]
+        results = eng.run()
+        for rid, p in zip(rids, prompts):
+            assert len(results[rid].tokens) == 8
+            _teacher_force_check(cfg, params, p, results[rid].tokens)
