@@ -51,11 +51,23 @@ def run_gates(params, cfg, val_tokens: np.ndarray, seqlen: int, *,
     p8 = ppl_of(qz.quantize_backpack_params(params, cfg, bits=8))
     p4 = ppl_of(qz.quantize_backpack_params(params, cfg, bits=4,
                                             group_size=int4_group_size))
+    # the INT4-HEAD carve-out, regenerated every run: head_bits defaults to
+    # max(bits, 8) because the tied lm_head/wte at int4 (even per-64-group)
+    # measured +1.5 ppl on the r3 mini — this arm re-measures the FULL-int4
+    # configuration (head included) so the carve-out is an explicit artifact
+    # wherever the int4 gate is cited, not an undisclosed default.
+    p4h = ppl_of(qz.quantize_backpack_params(params, cfg, bits=4,
+                                             group_size=int4_group_size,
+                                             head_bits=4))
     return {
         "bf16_ppl": base, "int8_ppl": p8, "int4_ppl": p4,
+        "int4_head4_ppl": p4h,
         "int8_delta": p8 - base, "int4_delta": p4 - base,
+        "int4_head4_delta": p4h - base,
         "gate_int8": bool(p8 - base <= INT8_GATE),
         "gate_int4": bool(p4 - base <= INT4_GATE),
+        "gate_int4_head4": bool(p4h - base <= INT4_GATE),
+        "int4_head_bits": 8,   # shipped default: head stays int8
     }
 
 
