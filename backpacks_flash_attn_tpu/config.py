@@ -105,6 +105,17 @@ class BackpackConfig(GPTConfig):
 
 # Named sizes from training/configs/model/gpt2model/*.yaml and
 # configs/experiment/owt/backpack-*.yaml (seqlen 512, vocab pad multiple 8).
+def backpack_nano(**kw) -> BackpackConfig:
+    """2L/128d draft model for model-draft speculation: its decode cache
+    stream is ~5% of backpack-mini's, putting break-even acceptance near
+    6% at k=4 (a micro draft streams ~53% of a mini step — break-even ~54%,
+    uneconomical). Beyond the reference (its decode has no speculation)."""
+    return BackpackConfig(n_embd=128, n_head=2, n_layer=2, num_senses=4,
+                          n_positions=512,
+                          scale_attn_by_inverse_layer_idx=True,
+                          pad_vocab_size_multiple=8, **kw)
+
+
 def backpack_micro(**kw) -> BackpackConfig:
     return BackpackConfig(n_embd=384, n_head=6, n_layer=6, n_positions=512,
                           scale_attn_by_inverse_layer_idx=True,

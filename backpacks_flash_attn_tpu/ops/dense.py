@@ -43,6 +43,12 @@ ACTIVATIONS = {
 
 _F32_DENSE = os.environ.get("BACKPACKS_F32_DENSE", "0") == "1"
 
+# BACKPACKS_FLATTEN_M=1 reshapes (b, s, d) @ (d, n) GEMMs to an explicit
+# (b*s, d) 2D form (and back). XLA usually folds the batch dim itself, but
+# the r4e profile pinned the MLP/content GEMMs at 58-70% MXU — this is the
+# layout A/B for whether the 3D form is what's costing the tiling.
+_FLATTEN_M = os.environ.get("BACKPACKS_FLATTEN_M", "0") == "1"
+
 
 def linear(x: jax.Array, params: dict, *, accum_dtype=jnp.float32) -> jax.Array:
     """x @ kernel + bias with fp32 accumulation on the MXU.
@@ -65,6 +71,10 @@ def linear(x: jax.Array, params: dict, *, accum_dtype=jnp.float32) -> jax.Array:
         return quant.quant_linear(x, params)
     kernel = params["kernel"]
     bias = params.get("bias")
+    if _FLATTEN_M and x.ndim > 2:
+        y2 = linear(x.reshape(-1, x.shape[-1]), params,
+                    accum_dtype=accum_dtype)
+        return y2.reshape(*x.shape[:-1], y2.shape[-1])
     if (x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
             and accum_dtype == jnp.float32 and not _F32_DENSE):
         y = jnp.dot(x, kernel)
@@ -114,11 +124,13 @@ def _mlp_fused_bwd(activation, res, g):
     # plus a convert pass per layer); f32 stays for the exactness oracles
     lowp = (x.dtype == jnp.bfloat16 and w2.dtype == jnp.bfloat16
             and not _F32_DENSE)
+    g2 = g.reshape(-1, g.shape[-1]) if _FLATTEN_M else g
     if lowp:
-        da = jnp.dot(g, w2.T)
+        da = jnp.dot(g2, w2.T)
     else:
-        da = jnp.dot(g, w2.T,
+        da = jnp.dot(g2, w2.T,
                      preferred_element_type=jnp.float32).astype(x.dtype)
+    da = da.reshape(*g.shape[:-1], da.shape[-1]) if _FLATTEN_M else da
     dh = act_vjp(da)[0]
     xm = x.reshape(-1, x.shape[-1])
     am = a.reshape(-1, a.shape[-1])
@@ -136,11 +148,13 @@ def _mlp_fused_bwd(activation, res, g):
     if "bias" in params["fc2"]:
         dparams["fc2"]["bias"] = gm.astype(jnp.float32).sum(0).astype(
             params["fc2"]["bias"].dtype)
+    dh2 = dhm if _FLATTEN_M else dh
     if lowp:
-        dx = jnp.dot(dh, params["fc1"]["kernel"].T)
+        dx = jnp.dot(dh2, params["fc1"]["kernel"].T)
     else:
-        dx = jnp.dot(dh, params["fc1"]["kernel"].T,
+        dx = jnp.dot(dh2, params["fc1"]["kernel"].T,
                      preferred_element_type=jnp.float32).astype(x.dtype)
+    dx = dx.reshape(x.shape) if _FLATTEN_M else dx
     return dx, dparams
 
 

@@ -77,6 +77,7 @@ class RunConfig:
 
 
 _MODELS = {
+    "backpack-nano": config_lib.backpack_nano,
     "backpack-micro": config_lib.backpack_micro,
     "backpack-mini": config_lib.backpack_mini,
     "backpack-small": config_lib.backpack_small,

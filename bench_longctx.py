@@ -84,7 +84,7 @@ def main():
                              "tflops": round(flops(b, s, nd) / sec / 1e12, 1),
                              "peak_mb": mem_peak_mb()}
             except Exception as ex:      # compile/OOM failures are findings
-                row[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+                row[name] = {"error": f"{type(ex).__name__}: {ex}"[:2500]}
             print(s, name, json.dumps(row.get(name)), flush=True)
 
         # O(s^2) einsum reference (mha_reference materializes b*h*s*s f32)
@@ -182,7 +182,7 @@ def main():
                 break
             except Exception as ex:
                 results[f"train_8k_remat{remat}"] = {
-                    "error": f"{type(ex).__name__}: {ex}"[:300]}
+                    "error": f"{type(ex).__name__}: {ex}"[:2500]}
                 print("train_8k", remat, "FAILED:", str(ex)[:200],
                       file=sys.stderr, flush=True)
 

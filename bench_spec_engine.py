@@ -96,6 +96,9 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--rel-cost", type=float, default=None,
                     help="t_verify/t_plain from bench_spec_step.py")
+    ap.add_argument("--draft-rel-cost", type=float, default=0.05,
+                    help="one draft-model decode step / one target step "
+                         "(cache-stream ratio; nano-for-mini ~0.05)")
     ap.add_argument("--spec-json", default="bench_results/spec_r3.json")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
@@ -138,10 +141,12 @@ def main():
             rel = json.load(f).get("rel_cost")
     macc = res.get("spec_model_draft", {}).get("draft_acceptance")
     if rel is not None and macc is not None:
-        # model-draft pays the draft model's decode on top: k micro steps
-        # per verification, measured separately as draft_rel_cost if given
+        # model-draft pays the draft model's decode on top of the verify:
+        # k draft steps per verification at draft_rel_cost each
+        res["draft_rel_cost"] = args.draft_rel_cost
         res["model_draft_projected_onchip_speedup"] = (
-            (1.0 + float(macc) * args.k) / rel)
+            (1.0 + float(macc) * args.k)
+            / (rel + args.k * args.draft_rel_cost))
     acc = res["spec"]["draft_acceptance"]
     if rel is not None and acc is not None:
         # engine acceptance is accepted/proposed in [0,1] with k proposed
