@@ -102,15 +102,24 @@ def run_cache_gates(params, cfg, val_tokens: np.ndarray, seqlen: int, *,
     c8 = cache_ppl(q8, bits=8)
     c4 = cache_ppl(q8, bits=4)
     c4h = cache_ppl(q8, bits=4, kv_bits=8)
+    # reverse hybrid — int8 senses/ctx-K + INT4 GPT KV: the r5 mini gates
+    # measured the SENSES as the int4 quality bottleneck (full-int4 +1.45,
+    # int4-senses/int8-KV +1.37), implying the KV-only-int4 config costs
+    # ~+0.1 while cutting ~29% of the decode stream (GPT KV is 18.4KB of
+    # the 31.7KB per position).
+    ckv4 = cache_ppl(q8, bits=8, kv_bits=4)
     return {
         "bf16_ppl": base,
         "int8_cache_ppl": c8, "int8_cache_delta": c8 - base,
         "int4_cache_ppl": c4, "int4_cache_delta": c4 - base,
         "int4_senses_int8_kv_ppl": c4h, "int4_senses_int8_kv_delta":
             c4h - base,
+        "int8_senses_int4_kv_ppl": ckv4, "int8_senses_int4_kv_delta":
+            ckv4 - base,
         "gate_int8_cache": bool(c8 - base <= INT8_GATE),
         "gate_int4_cache": bool(c4 - base <= INT4_GATE),
         "gate_int4_hybrid_cache": bool(c4h - base <= INT4_GATE),
+        "gate_int4_kv_cache": bool(ckv4 - base <= INT4_GATE),
     }
 
 

@@ -54,10 +54,11 @@ def make_loop(cfg, n_steps, window):
     return jax.jit(run, donate_argnums=(1,))
 
 
-def measure(cfg, params, cache_dtype, cache_bits: int = 8) -> float:
+def measure(cfg, params, cache_dtype, cache_bits: int = 8,
+            kv_bits=None) -> float:
     prompt = jnp.ones((BATCH, PROMPT), jnp.int32)
     cache = bp.init_backpack_cache(cfg, BATCH, MAX_LEN, dtype=cache_dtype,
-                                   bits=cache_bits)
+                                   bits=cache_bits, kv_bits=kv_bits)
     logits, cache = jax.jit(
         lambda p, ids, c: bp.backpack_forward_with_cache(p, cfg, ids, c)
     )(params, prompt, cache)
@@ -98,15 +99,20 @@ def main():
     qparams = qz.quantize_backpack_params(params, cfg, bits=8)
     del params
     int8_tps = measure(cfg, qparams, jnp.int8)
-    # INT4 pair-packed caches (same int8 weights): halves the decode's
-    # dominant HBM stream (ppl gate: eval/quant_gates.py cache-bits mode)
-    int4_tps = None
+    # INT4 pair-packed caches (same int8 weights). Quality gates on the
+    # trained mini (bench_results/gates_mini_r5*.json): full int4 caches
+    # FAIL the 0.5-ppl gate (+1.45 — the senses are the bottleneck), so the
+    # candidate config is the KV-only hybrid (int8 senses + int4 GPT KV,
+    # ~29% of the stream) and the full-int4 number is recorded for the
+    # roofline story only.
+    int4_tps = kv4_tps = None
     if os.environ.get("BACKPACKS_BENCH_SKIP_INT4", "0") != "1":
+        kv4_tps = measure(cfg, qparams, jnp.int8, cache_bits=8, kv_bits=4)
         int4_tps = measure(cfg, qparams, jnp.int8, cache_bits=4)
 
     best_tps, label = int8_tps, "int8"
-    if int4_tps is not None and int4_tps > int8_tps:
-        best_tps, label = int4_tps, "int8 weights + int4 cache"
+    if kv4_tps is not None and kv4_tps > int8_tps:
+        best_tps, label = kv4_tps, "int8 + int4-KV-cache"
     print(json.dumps({
         "metric": f"backpack-small (170M) {label} decode throughput",
         "value": round(best_tps, 1),
@@ -114,6 +120,8 @@ def main():
         "vs_baseline": round(best_tps / bf16_tps, 3),
         "detail": {"bf16_tokens_per_s": round(bf16_tps, 1),
                    "int8_tokens_per_s": round(int8_tps, 1),
+                   "int4_kv_hybrid_tokens_per_s":
+                       round(kv4_tps, 1) if kv4_tps else None,
                    "int4_cache_tokens_per_s":
                        round(int4_tps, 1) if int4_tps else None,
                    "batch": BATCH, "steps": STEPS, "max_len": MAX_LEN,

@@ -42,7 +42,12 @@ except Exception as ex:
 PY
 tail -5 bench_results/flashbwd_2k_diag.log'
 
-# 2. int4 headline A/B (lane-fix in the kernel now)
+# 1b. gates rerun with the reverse-hybrid (int4-KV-only) arm
+run_step 6000 bash -c 'python -m backpacks_flash_attn_tpu.eval.quant_gates \
+    --workdir /tmp/runs/bp-mini-r5 --corpus /tmp/bigram6m.npy \
+    --model backpack-mini | tee bench_results/gates_mini_r5b.json'
+
+# 2. int4 headline A/B (lane-fix in the kernel now; int4-KV hybrid arm)
 run_step 6000 bash -c 'python bench.py | tee bench_results/headline_r5c.txt'
 
 # 3. kernel micro A/B at the combine shapes

@@ -117,8 +117,8 @@ def test_sense_weights_hook(setup):
     assert np.abs(np.asarray(base) - np.asarray(changed)).max() > 1e-4
 
 
-@pytest.mark.parametrize("cache_bits", [4, 8])
-@pytest.mark.parametrize("kv_bits", [None, 8])
+@pytest.mark.parametrize("cache_bits,kv_bits",
+                         [(4, None), (4, 8), (8, None), (8, 4)])
 def test_int4_cached_decode_tracks_full_forward(setup, cache_bits, kv_bits):
     """INT4 pair-packed caches (and the int4-senses/int8-KV hybrid) must stay
     within quantization-noise distance of the fp full forward, and the
