@@ -512,6 +512,11 @@ def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
     kv_bits = bits if kv_bits is None else kv_bits
     packed4 = dtype == jnp.int8 and bits == 4
     if packed4:
+        # MIXED mode (the gate-passing low-bit config): sense values pack
+        # int4 pairwise, contextualization keys stay INT8 in even/odd SPLIT
+        # layout (int4 keys alone measured +1.19 ppl on the trained mini —
+        # bench_results/gates_mini_r5.json + the ctx-K isolation run — for
+        # ~3% of the stream), GPT KV precision via kv_bits.
         assert stage == 0 and max_seqlen % 2 == 0, (stage, max_seqlen)
         len0 = jnp.zeros((batch,) if per_slot else (), jnp.int32)
         e = batch * cfg.num_senses
@@ -519,7 +524,8 @@ def init_backpack_cache(cfg: BackpackConfig, batch: int, max_seqlen: int,
         return BackpackCache(
             gpt=gpt_lib.init_kv_cache(cfg, batch, max_seqlen, jnp.int8,
                                       per_slot=per_slot, bits=kv_bits),
-            ctx_k=jnp.zeros((e, cfg.sense_head_dim_padded, S2), jnp.int8),
+            ctx_k=jnp.zeros((e, cfg.sense_head_dim_padded, 2, S2),
+                            jnp.int8),
             content=jnp.zeros((e, S2, cfg.n_embd), jnp.int8),
             length=len0,
             content_scale=jnp.ones((e, 2, S2), jnp.float32),
@@ -640,12 +646,12 @@ def backpack_forward_with_cache(
             k_flat = jnp.pad(k_flat, ((0, 0), (0, dnv_pad - dnv), (0, 0)))
         if q4:
             from ..ops import quant
-            k4q, ksc = quant.quantize_activations_int4(k_flat, axis=1)
+            k8q, ksc = quant.quantize_activations_int8(k_flat, axis=1)
             s4q, ssc = quant.quantize_activations_int4(senses_t, axis=2)
             if s == 1:
-                # nibble RMW of one packed byte column per cache
-                ctx_k = gpt_lib.rmw_nibble_axis_windowed(
-                    cache.ctx_k, k4q, row_off, axis=2, window=window)
+                # int8 split store (keys) + int4 nibble RMW (values)
+                ctx_k = gpt_lib.store_split8_step(cache.ctx_k, k8q,
+                                                  row_off, window=window)
                 content = gpt_lib.rmw_nibble_axis_windowed(
                     cache.content, s4q, row_off, axis=1, window=window)
                 ctx_k_scale = gpt_lib.update_pair_scale(
@@ -653,9 +659,19 @@ def backpack_forward_with_cache(
                 content_scale = gpt_lib.update_pair_scale(
                     content_scale, ssc[:, 0, 0], row_off, window=window)
             else:
-                # prefill at a scalar EVEN offset: pack pairs and write the
-                # block (odd s leaves a zero high nibble — masked by length
-                # and overwritten by the next step's RMW)
+                # prefill at a scalar EVEN offset: keys de-interleave into
+                # the split planes; values pack pairs (odd s leaves a zero
+                # high nibble — masked by length and overwritten by the
+                # next step's RMW)
+                def _split_write(buf, kq):
+                    if s % 2:
+                        kq = jnp.pad(kq, ((0, 0), (0, 0), (0, 1)))
+                    block = jnp.stack([kq[:, :, 0::2], kq[:, :, 1::2]],
+                                      axis=2)
+                    return jax.lax.dynamic_update_slice(
+                        buf, block.astype(buf.dtype),
+                        (0, 0, 0, offset // 2))
+
                 def _pack_write(buf, nib, axis):
                     if s % 2:
                         pad = [(0, 0)] * nib.ndim
@@ -675,7 +691,7 @@ def backpack_forward_with_cache(
                     return jax.lax.dynamic_update_slice(
                         buf, sc2.astype(buf.dtype), (0, 0, offset // 2))
 
-                ctx_k = _pack_write(cache.ctx_k, k4q, axis=2)
+                ctx_k = _split_write(cache.ctx_k, k8q)
                 content = _pack_write(cache.content, s4q, axis=1)
                 ctx_k_scale = _pack_scale_write(ctx_k_scale, ksc[:, 0, :])
                 content_scale = _pack_scale_write(content_scale, ssc[..., 0])
@@ -715,17 +731,18 @@ def backpack_forward_with_cache(
         return w.reshape(e, max_s)
 
     if s == 1 and q4:
-        # int4 decode: the same one-pass contraction over the PAIR-PACKED
-        # caches — half the HBM stream of the int8 path (the measured
-        # decode bottleneck; ops/decode_attention int4 block).
-        from ..ops.decode_attention import decode_attention_int4
+        # mixed low-bit decode: one pass over int8 SPLIT keys + int4
+        # PAIR-PACKED sense values — ~half the HBM stream of the int8 path
+        # (the measured decode bottleneck; ops/decode_attention mixed
+        # block).
+        from ..ops.decode_attention import decode_attention_mixed
         lens = jnp.repeat(new_len, nv) if vec else new_len
         ctx_k_r, content_r = ctx_k, content
         ks2_r, vs2_r = ctx_k_scale, content_scale
         w2 = None
         if window is not None and window < max_s:
             w2 = -(-window // 2)
-            ctx_k_r = ctx_k[:, :, :w2]
+            ctx_k_r = ctx_k[:, :, :, :w2]
             content_r = content[:, :w2]
             ks2_r = ks2_r[:, :, :w2]
             vs2_r = vs2_r[:, :, :w2]
@@ -738,8 +755,8 @@ def backpack_forward_with_cache(
                                                              ).reshape(e, dnv)
         if dnv_pad != dnv:
             q_flat = jnp.pad(q_flat, ((0, 0), (0, dnv_pad - dnv)))
-        out = decode_attention_int4(q_flat, ctx_k_r, ks2_r, content_r,
-                                    vs2_r, lens)
+        out = decode_attention_mixed(q_flat, ctx_k_r, ks2_r, content_r,
+                                     vs2_r, lens)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     elif s == 1:
@@ -823,17 +840,20 @@ def backpack_forward_with_cache(
             S = window
             if q4:
                 w2 = -(-S // 2)
-                ctx_k_r, content_r = ctx_k[:, :, :w2], content[:, :w2]
+                ctx_k_r, content_r = ctx_k[:, :, :, :w2], content[:, :w2]
                 cks_r, cs_r = cks_r[:, :, :w2], cs_r[:, :, :w2]
             else:
                 ctx_k_r, content_r = ctx_k[:, :, :S], content[:, :S]
                 cks_r = cks_r[:, :S] if cks_r is not None else None
                 cs_r = cs_r[:, :S] if cs_r is not None else None
         if q4:
-            # prefill is compute-bound: dequantize the packed prefix once
+            # prefill is compute-bound: dequantize the low-bit prefix once
+            # (keys re-interleave from the split planes; values unpack)
             from ..ops import quant
-            ctx_k_r = (quant.unpack_int4_pairs(ctx_k_r, axis=2
-                                               ).astype(jnp.float32)
+            S2v = ctx_k_r.shape[-1]
+            k_unp = ctx_k_r.transpose(0, 1, 3, 2).reshape(e, dnv_pad,
+                                                          2 * S2v)
+            ctx_k_r = (k_unp.astype(jnp.float32)
                        * quant.interleave_pair_scales(cks_r)[:, None, :]
                        ).astype(contextl.dtype)
             content_r = (quant.unpack_int4_pairs(content_r, axis=1

@@ -552,6 +552,32 @@ def rmw_nibble_axis_windowed(buf: jax.Array, nib: jax.Array, offsets,
     return jax.lax.dynamic_update_slice(buf, view, (0,) * buf.ndim)
 
 
+def store_split8_step(buf: jax.Array, val: jax.Array, offsets,
+                      window: Optional[int] = None) -> jax.Array:
+    """Write ONE position into an EVEN/ODD SPLIT int8 key cache:
+    buf (E, dk, 2, S/2) <- val (E, dk, 1) at (parity, packed col) =
+    (offset % 2, offset // 2). The split layout gives the int8
+    contextualization keys the same packed-column windowing as the int4
+    caches without nibble packing (int4 keys measured +1.19 ppl;
+    ops/decode_attention mixed block)."""
+    off = jnp.asarray(offsets)
+    if off.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype)[..., None],
+            (0, 0, off % 2, off // 2))
+    e, dk, _, S2 = buf.shape
+    w2 = S2 if window is None else min(-(-window // 2), S2)
+    view = (jax.lax.slice_in_dim(buf, 0, w2, axis=3) if w2 < S2 else buf)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 1, w2), 3)
+    par = jax.lax.broadcasted_iota(jnp.int32, (e, 1, 2, 1), 2)
+    hit = ((pos == (off // 2)[:, None, None, None])
+           & (par == (off % 2)[:, None, None, None]))
+    view = jnp.where(hit, val.astype(buf.dtype)[..., None], view)
+    if w2 == S2:
+        return view
+    return jax.lax.dynamic_update_slice(buf, view, (0, 0, 0, 0))
+
+
 def update_pair_scale(scale_buf: jax.Array, val: jax.Array, offsets,
                       window: Optional[int] = None) -> jax.Array:
     """scale_buf (E, 2, S/2) <- val (E,) written at (parity, packed column)

@@ -717,6 +717,186 @@ def decode_attention_int4(q, kt4, ks2, v4, vs2, length):
     return decode_attention_int4_blockdiag(q, kt4, ks2, v4, vs2, length)
 
 
+# ------------------------------------------------------------- mixed
+#
+# MIXED-precision cache attention: keys INT8 in EVEN/ODD SPLIT layout
+# (E, dk, 2, S/2), values INT4 pair-packed (E, S/2, dv). Motivation
+# (gates_mini_r5 + the ctx-K isolation run): the Backpack contextualization
+# keys are ~3% of the decode stream but int4 keys alone cost +1.19 ppl,
+# while int4 SENSE VALUES cost only +0.065 — so keys stay int8 (stored
+# split so the even/odd score algebra and the w/2 packed-column windowing
+# are identical to the int4 path) and only the fat value stream packs.
+
+def decode_attention_flat_mixed(q, k8, ks2, v4, vs2, length):
+    """XLA mixed-precision decode attention (oracle + CPU path).
+
+    q (E, dk) pre-scaled; k8 (E, dk, 2, S/2) int8 split; ks2 (E, 2, S/2);
+    v4 (E, S/2, dv) int4 pair-packed; vs2 (E, 2, S/2). Returns (E, dv)."""
+    from . import quant
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    E, dk = q.shape
+    S2 = v4.shape[1]
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                               (E,))
+    s_e = jnp.einsum("ed,eds->es", q.astype(compute),
+                     k8[:, :, 0, :].astype(compute),
+                     preferred_element_type=jnp.float32) * ks2[:, 0, :]
+    s_o = jnp.einsum("ed,eds->es", q.astype(compute),
+                     k8[:, :, 1, :].astype(compute),
+                     preferred_element_type=jnp.float32) * ks2[:, 1, :]
+    j = jnp.arange(S2)[None, :]
+    s_e = jnp.where(2 * j < lengths[:, None], s_e, NEG)
+    s_o = jnp.where(2 * j + 1 < lengths[:, None], s_o, NEG)
+    p = jax.nn.softmax(jnp.concatenate([s_e, s_o], axis=1), axis=-1)
+    p_e = p[:, :S2] * vs2[:, 0, :]
+    p_o = p[:, S2:] * vs2[:, 1, :]
+    v_lo, v_hi = quant.unpack_int4_pairs_split(v4)
+    out = jnp.einsum("es,esd->ed", p_e.astype(compute),
+                     v_lo.astype(compute),
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("es,esd->ed", p_o.astype(compute),
+                           v_hi.astype(compute),
+                           preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _blockdiag_mixed_kernel(lens_ref, q_ref, k8e_ref, k8o_ref, ks2_ref,
+                            v4_ref, vs2_ref, o_ref, acc_ref, m_ref, l_ref,
+                            *, rows: int, n_sb: int, force_f32: bool):
+    """_blockdiag_int4_kernel with the key unpack replaced by direct int8
+    reads of the even/odd split planes (passed as two views of the same
+    (E, dk, 2, S/2) array via per-parity index maps)."""
+    R = rows
+    ji = pl.program_id(1)
+    _, dk, _, bs2 = k8e_ref.shape
+    dv = v4_ref.shape[2]
+    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+           else jnp.bfloat16)
+    lens = lens_ref[:]                                    # (R, 1) int32
+
+    @pl.when(ji == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    k_lo = k8e_ref[:, :, 0, :].astype(cdt)                # (R, dk, bs2)
+    k_hi = k8o_ref[:, :, 0, :].astype(cdt)
+
+    q = q_ref[:].astype(cdt)                              # (R, dk)
+    q_tiled = jnp.concatenate([q] * R, axis=1)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0)
+    q_bd = jnp.where(seg == row, q_tiled, 0)
+    ks2 = ks2_ref[:]
+    s_e = jax.lax.dot_general(q_bd, k_lo.reshape(R * dk, bs2),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) * ks2[:, 0]
+    s_o = jax.lax.dot_general(q_bd, k_hi.reshape(R * dk, bs2),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) * ks2[:, 1]
+    j = ji * bs2 + jax.lax.broadcasted_iota(jnp.int32, (R, bs2), 1)
+    ok_e = 2 * j < lens
+    ok_o = 2 * j + 1 < lens
+    s_e = jnp.where(ok_e, s_e, NEG)
+    s_o = jnp.where(ok_o, s_o, NEG)
+    m_prev, l_prev = m_ref[:], l_ref[:]
+    m_new = jnp.maximum(m_prev,
+                        jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
+                                    jnp.max(s_o, axis=1, keepdims=True)))
+    corr = jnp.exp(m_prev - m_new)
+    p_e = jnp.where(ok_e, jnp.exp(s_e - m_new), 0.0)
+    p_o = jnp.where(ok_o, jnp.exp(s_o - m_new), 0.0)
+    l_ref[:] = (l_prev * corr + jnp.sum(p_e, axis=1, keepdims=True)
+                + jnp.sum(p_o, axis=1, keepdims=True))
+    m_ref[:] = m_new
+    vs2 = vs2_ref[:]
+    p_e = (p_e * vs2[:, 0]).astype(cdt)
+    p_o = (p_o * vs2[:, 1]).astype(cdt)
+
+    uv = v4_ref[:].astype(jnp.int32)
+    v_lo = jnp.right_shift(jnp.left_shift(uv, 28), 28).astype(cdt)
+    v_hi = jnp.right_shift(jnp.left_shift(uv, 24), 28).astype(cdt)
+    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 1) // bs2
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 0)
+    pe_bd = jnp.where(seg2 == row2, jnp.concatenate([p_e] * R, axis=1), 0)
+    po_bd = jnp.where(seg2 == row2, jnp.concatenate([p_o] * R, axis=1), 0)
+    pv = jax.lax.dot_general(pe_bd, v_lo.reshape(R * bs2, dv),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pv = pv + jax.lax.dot_general(po_bd, v_hi.reshape(R * bs2, dv),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * corr + pv
+
+    @pl.when(ji == n_sb - 1)
+    def _():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[:] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+
+
+def decode_attention_mixed_blockdiag(q, k8, ks2, v4, vs2, length, *,
+                                     rows_per_program: int = 8,
+                                     block_s2: Optional[int] = None
+                                     ) -> jax.Array:
+    """Pallas mixed-precision decode attention. Contract of
+    decode_attention_flat_mixed."""
+    e, dk = q.shape
+    _, S2, dv = v4.shape
+    assert k8.shape == (e, dk, 2, S2), (k8.shape, (e, dk, 2, S2))
+    assert ks2.shape == (e, 2, S2) and vs2.shape == (e, 2, S2)
+    rows = rows_per_program
+    while e % rows != 0 and rows > 1:
+        rows //= 2
+    if block_s2 is None:
+        target = max((6 << 20) // max(rows * dv * 9, 1), 128)
+        block_s2 = S2
+        while (block_s2 > target and block_s2 % 2 == 0
+               and block_s2 // 2 >= 128):
+            block_s2 //= 2
+    if block_s2 % 128 != 0 or S2 % block_s2 != 0:
+        block_s2 = S2
+    n_sb = S2 // block_s2
+    grid = (e // rows, n_sb)
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                            (e,))[:, None]
+    return pl.pallas_call(
+        functools.partial(_blockdiag_mixed_kernel, rows=rows, n_sb=n_sb,
+                          force_f32=_interpret()),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, 1), lambda i, j: (i, 0)),      # lengths
+            pl.BlockSpec((rows, dk), lambda i, j: (i, 0)),
+            pl.BlockSpec((rows, dk, 1, block_s2),
+                         lambda i, j: (i, 0, 0, j)),           # even keys
+            pl.BlockSpec((rows, dk, 1, block_s2),
+                         lambda i, j: (i, 0, 1, j)),           # odd keys
+            pl.BlockSpec((rows, 2, block_s2), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((rows, block_s2, dv), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((rows, 2, block_s2), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((rows, dv), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, dv), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lens, q, k8, k8, ks2, v4, vs2)
+
+
+def decode_attention_mixed(q, k8, ks2, v4, vs2, length):
+    """Dispatching entry point for mixed int8-split-key / int4-packed-value
+    cache attention (shapes: decode_attention_flat_mixed)."""
+    if _INT4_KERNEL == "xla" or _interpret():
+        return decode_attention_flat_mixed(q, k8, ks2, v4, vs2, length)
+    return decode_attention_mixed_blockdiag(q, k8, ks2, v4, vs2, length)
+
+
 def decode_attention_flat_multi(q, kt, ks, v, vs, length):
     """Flat-layout MULTI-query cache attention: q (E, t, dk) are t new rows
     per attention problem whose K/V were already written to the cache, with

@@ -885,21 +885,30 @@ def _flash_bwd(q, k, v, out, lse, g, seed, scale, causal, block_q, block_k,
                                             jnp.float32))
         dq_specs.append(pl.BlockSpec((1, 1, block_q, sk_pad),
                                      lambda bi, hi, i: (bi, hi, i, 0)))
-    if _FUSED_BWD and not has_bias:
+    # Footprint-aware head-group cap for the fused scratch backward: the
+    # static cap=4 was tuned at the backpack-small shape (d_pad=64, bf16) —
+    # at d_pad=128/f32 shapes (e.g. backpack-mini's dh=80 padded to 128 in
+    # f32) G=4 measured 17.8MB of scoped VMEM and failed to compile.
+    # Per-G bytes: scratch (sq_pad + 2*block_k rows of f32) +
+    # double-buffered in blocks (q, g, out + k, v) + out blocks
+    # (dq, dk, dv). The compiler's OBSERVED stack allocation runs ~2.4x
+    # this estimate (measured: 17.61M vs 7.3M estimated at s=2048 G=4 —
+    # bench_results/flashbwd_2k_diag.log; ~33M at G=12 s=512 in r4), so
+    # the budget applies that multiplier. When even G=1 cannot fit (the
+    # (G, sq_pad, d) dq scratch grows with sequence length; s >= ~32k at
+    # d=64 bf16), fall back to the split two-kernel backward below, whose
+    # per-program state is block/stream-sized.
+    isz = q.dtype.itemsize
+    per_g = ((sq_pad + 2 * block_k) * d_pad * 4
+             + 2 * isz * (3 * block_q + 2 * block_k) * d_pad
+             + 2 * isz * (block_q + 2 * block_k) * d_pad)
+    bwd_cap = int((15 << 20) / (per_g * 2.4))
+    scratch_ok = bwd_cap >= 1
+    if (_FUSED_BWD and not has_bias
+            and (scratch_ok or not _BWD_SCRATCH)):
         # single-pass fused backward: one (s, mask, hash, exp) recompute per
         # tile instead of two, 5 MXU dots instead of 7.
-        # Footprint-aware G cap: the static cap=4 was tuned at the
-        # backpack-small shape (d_pad=64, bf16) — at d_pad=128/f32 shapes
-        # (e.g. backpack-mini's dh=80 padded to 128 in f32) G=4 measured
-        # 17.8MB of scoped VMEM and failed to compile. Per-G bytes:
-        # scratch (sq_pad + 2*block_k rows of f32) + double-buffered in
-        # blocks (q, g, out + k, v) + out blocks (dq, dk, dv).
-        isz = q.dtype.itemsize
-        per_g = ((sq_pad + 2 * block_k) * d_pad * 4
-                 + 2 * isz * (3 * block_q + 2 * block_k) * d_pad
-                 + 2 * isz * (block_q + 2 * block_k) * d_pad)
-        bwd_cap = max(1, (15 << 20) // max(per_g, 1))
-        G = _head_group(h, not _BWD_SCRATCH, cap=min(4, bwd_cap))
+        G = _head_group(h, not _BWD_SCRATCH, cap=min(4, max(bwd_cap, 1)))
         grid4 = (b, h // G, n_kb, n_qb)
         q4 = pl.BlockSpec((1, G, block_q, d_pad),
                           lambda bi, hi, kj, qi: (bi, hi, qi, 0))

@@ -152,3 +152,63 @@ def test_update_pair_scale_vec_matches_scalar():
                                               offsets[i]))
     np.testing.assert_allclose(np.asarray(out_vec),
                                np.asarray(jnp.concatenate(rows, 0)))
+
+
+# ------------------------------------------------------------- mixed
+
+def _make_mixed_problem(e, s, dk, dv, seed=0):
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_ref)
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(e, dk)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(e, dk, s)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(e, s, dv)), jnp.float32)
+    k8, ks = quant.quantize_activations_int8(k, axis=1)
+    vq, vs = quant.quantize_activations_int4(v, axis=2)
+    # even/odd split int8 keys: (E, dk, 2, S/2)
+    k8s = jnp.stack([k8[:, :, 0::2], k8[:, :, 1::2]], axis=2)
+    v4 = quant.pack_int4_pairs(vq, axis=1)
+    ks2 = ks[:, 0, :].reshape(e, s // 2, 2).swapaxes(1, 2)
+    vs2 = vs[:, :, 0].reshape(e, s // 2, 2).swapaxes(1, 2)
+    length = jnp.asarray(rng.integers(1, s + 1, (e,)), jnp.int32)
+    kd = k8.astype(jnp.float32) * ks
+    vd = vq.astype(jnp.float32) * vs
+    ref = decode_attention_ref(q, kd, None, vd, None, length)
+    return q, k8s, ks2, v4, vs2, length, ref
+
+
+@pytest.mark.parametrize("e,s,dk,dv", [(8, 24, 16, 32), (8, 64, 64, 256)])
+def test_flat_mixed_matches_dequant_oracle(e, s, dk, dv):
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_flat_mixed)
+    q, k8s, ks2, v4, vs2, length, ref = _make_mixed_problem(e, s, dk, dv)
+    out = decode_attention_flat_mixed(q, k8s, ks2, v4, vs2, length)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("e,s,dk,dv", [(8, 64, 16, 32), (16, 128, 64, 64)])
+def test_blockdiag_mixed_matches_flat(e, s, dk, dv):
+    from backpacks_flash_attn_tpu.ops.decode_attention import (
+        decode_attention_flat_mixed, decode_attention_mixed_blockdiag)
+    q, k8s, ks2, v4, vs2, length, _ = _make_mixed_problem(e, s, dk, dv,
+                                                          seed=5)
+    out_x = decode_attention_flat_mixed(q, k8s, ks2, v4, vs2, length)
+    out_p = decode_attention_mixed_blockdiag(q, k8s, ks2, v4, vs2, length)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_store_split8_step_vec_matches_scalar():
+    rng = np.random.default_rng(10)
+    e, dk, S2 = 6, 8, 16
+    buf = jnp.asarray(rng.integers(-128, 128, (e, dk, 2, S2)), jnp.int8)
+    val = jnp.asarray(rng.integers(-128, 128, (e, dk, 1)), jnp.int8)
+    offsets = jnp.asarray(rng.integers(0, 2 * S2, (e,)), jnp.int32)
+    out_vec = gpt_lib.store_split8_step(buf, val, offsets)
+    rows = []
+    for i in range(e):
+        rows.append(gpt_lib.store_split8_step(buf[i:i + 1], val[i:i + 1],
+                                              offsets[i]))
+    np.testing.assert_array_equal(np.asarray(out_vec),
+                                  np.asarray(jnp.concatenate(rows, 0)))
