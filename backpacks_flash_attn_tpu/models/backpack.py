@@ -733,30 +733,29 @@ def backpack_forward_with_cache(
     if s == 1 and q4:
         # mixed low-bit decode: one pass over int8 SPLIT keys + int4
         # PAIR-PACKED sense values — ~half the HBM stream of the int8 path
-        # (the measured decode bottleneck; ops/decode_attention mixed
-        # block).
-        from ..ops.decode_attention import decode_attention_mixed
+        # (the measured decode bottleneck). The STACKED entry point takes
+        # the full-width buffers (leading L=1 axis is a bitcast) and trims
+        # the sequence GRID by the static window — slicing a pallas
+        # operand materializes a cache copy per step
+        # (bench_results/headline_r5d.txt: 4x slower than int8).
+        from ..ops.decode_attention import decode_attention_mixed_stacked
         lens = jnp.repeat(new_len, nv) if vec else new_len
-        ctx_k_r, content_r = ctx_k, content
-        ks2_r, vs2_r = ctx_k_scale, content_scale
         w2 = None
         if window is not None and window < max_s:
             w2 = -(-window // 2)
-            ctx_k_r = ctx_k[:, :, :, :w2]
-            content_r = content[:, :w2]
-            ks2_r = ks2_r[:, :, :w2]
-            vs2_r = vs2_r[:, :, :w2]
+        vs2_r = content_scale
         w = _weights_es()
         if w is not None:
             # (E, S) per-position weights -> the (E, 2, S/2) parity layout
             wp = w.reshape(e, -1, 2).swapaxes(1, 2)
-            vs2_r = vs2_r * (wp if w2 is None else wp[:, :, :w2])
+            vs2_r = vs2_r * wp
         q_flat = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype
                                                              ).reshape(e, dnv)
         if dnv_pad != dnv:
             q_flat = jnp.pad(q_flat, ((0, 0), (0, dnv_pad - dnv)))
-        out = decode_attention_mixed(q_flat, ctx_k_r, ks2_r, content_r,
-                                     vs2_r, lens)
+        out = decode_attention_mixed_stacked(
+            0, q_flat, ctx_k[None], ctx_k_scale[None], content[None],
+            vs2_r[None], lens, window_cols=w2)
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     elif s == 1:

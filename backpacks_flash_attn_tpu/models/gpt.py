@@ -831,13 +831,20 @@ def gpt_forward_with_cache(
             else:
                 k_all = _store(k_all, li, kt_new, axis=2)
                 v_all = _store(v_all, li, v_new, axis=1)
-        kt_cache = _layer(k_all, li, win_axis=3, win=win4)  # (E, dk, S|win)
-        v_cache = _layer(v_all, li, win_axis=2, win=win4)   # (E, S|win, dv)
-        k_sc = (_layer(ks_all, li, win_axis=3 if q4 else 2, win=win4)
-                if quantized else None)
-        v_sc = (_layer(vs_all, li, win_axis=3 if q4 else 2, win=win4)
-                if quantized else None)
-        S = kt_cache.shape[-1]
+        if not (q4 and s == 1):
+            # per-layer windowed views for the XLA branches (fused into the
+            # contractions). The q4 s==1 branch instead hands the FULL
+            # stacked buffers to the stacked Pallas kernel — a pallas
+            # operand cannot fuse these slices and would materialize a
+            # cache copy per step (measured 4x the int8 path,
+            # bench_results/headline_r5d.txt).
+            kt_cache = _layer(k_all, li, win_axis=3, win=win4)
+            v_cache = _layer(v_all, li, win_axis=2, win=win4)
+            k_sc = (_layer(ks_all, li, win_axis=3 if q4 else 2, win=win4)
+                    if quantized else None)
+            v_sc = (_layer(vs_all, li, win_axis=3 if q4 else 2, win=win4)
+                    if quantized else None)
+            S = kt_cache.shape[-1]
         if staged:
             from ..ops.decode_attention import (
                 decode_attention_flat_multi_staged,
@@ -867,9 +874,11 @@ def gpt_forward_with_cache(
             q_flat = (q[:, 0].astype(jnp.float32) * scale).astype(
                 q.dtype).reshape(e, dk)
             if q4:
-                from ..ops.decode_attention import decode_attention_int4
-                ctx = decode_attention_int4(q_flat, kt_cache, k_sc,
-                                            v_cache, v_sc, lens)
+                from ..ops.decode_attention import \
+                    decode_attention_int4_stacked
+                ctx = decode_attention_int4_stacked(
+                    li, q_flat, k_all, ks_all, v_all, vs_all, lens,
+                    window_cols=win4)
             else:
                 ctx = decode_attention(q_flat, kt_cache, k_sc, v_cache,
                                        v_sc, lens)

@@ -474,9 +474,11 @@ def decode_attention_blockdiag(q: jax.Array, kt: jax.Array,
     assert kt.shape == (e, dk, s_len)
     if rows_per_program is None:
         # V block (rows*S, dv) is the VMEM budget driver; target <= ~2MB.
-        # Floor 8: Mosaic's sublane minimum for the (rows, 1) lens block
-        # (big-dv shapes may then exceed VMEM — callers catch and fall back)
-        rows_per_program = max(8, min(32, (2 << 20) // max(s_len * dv, 1)))
+        # Floor 8 (Mosaic's sublane minimum for the (rows, 1) lens block)
+        # and power-of-two (the E-divisibility halving below must not drop
+        # under 8); big-dv shapes may then exceed VMEM — callers catch.
+        cand = max(8, min(32, (2 << 20) // max(s_len * dv, 1)))
+        rows_per_program = 1 << (cand.bit_length() - 1)
     rows = rows_per_program
     while e % rows != 0:
         rows //= 2
@@ -760,15 +762,16 @@ def decode_attention_flat_mixed(q, k8, ks2, v4, vs2, length):
     return out.astype(q.dtype)
 
 
-def _blockdiag_mixed_kernel(lens_ref, q_ref, k8e_ref, k8o_ref, ks2_ref,
+def _blockdiag_mixed_kernel(lens_ref, q_ref, k8_ref, ks2_ref,
                             v4_ref, vs2_ref, o_ref, acc_ref, m_ref, l_ref,
                             *, rows: int, n_sb: int, force_f32: bool):
     """_blockdiag_int4_kernel with the key unpack replaced by direct int8
-    reads of the even/odd split planes (passed as two views of the same
-    (E, dk, 2, S/2) array via per-parity index maps)."""
+    reads of the even/odd split planes (the parity axis rides whole in the
+    block — Mosaic's second-minor dim must be 8-divisible or full — and is
+    sliced in-kernel on the small key tile)."""
     R = rows
     ji = pl.program_id(1)
-    _, dk, _, bs2 = k8e_ref.shape
+    _, dk, _, bs2 = k8_ref.shape
     dv = v4_ref.shape[2]
     cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
            else jnp.bfloat16)
@@ -780,8 +783,9 @@ def _blockdiag_mixed_kernel(lens_ref, q_ref, k8e_ref, k8o_ref, ks2_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    k_lo = k8e_ref[:, :, 0, :].astype(cdt)                # (R, dk, bs2)
-    k_hi = k8o_ref[:, :, 0, :].astype(cdt)
+    k8 = k8_ref[:]                                        # (R, dk, 2, bs2)
+    k_lo = k8[:, :, 0, :].astype(cdt)                     # (R, dk, bs2)
+    k_hi = k8[:, :, 1, :].astype(cdt)
 
     q = q_ref[:].astype(cdt)                              # (R, dk)
     q_tiled = jnp.concatenate([q] * R, axis=1)
@@ -868,10 +872,8 @@ def decode_attention_mixed_blockdiag(q, k8, ks2, v4, vs2, length, *,
         in_specs=[
             pl.BlockSpec((rows, 1), lambda i, j: (i, 0)),      # lengths
             pl.BlockSpec((rows, dk), lambda i, j: (i, 0)),
-            pl.BlockSpec((rows, dk, 1, block_s2),
-                         lambda i, j: (i, 0, 0, j)),           # even keys
-            pl.BlockSpec((rows, dk, 1, block_s2),
-                         lambda i, j: (i, 0, 1, j)),           # odd keys
+            pl.BlockSpec((rows, dk, 2, block_s2),
+                         lambda i, j: (i, 0, 0, j)),           # split keys
             pl.BlockSpec((rows, 2, block_s2), lambda i, j: (i, 0, j)),
             pl.BlockSpec((rows, block_s2, dv), lambda i, j: (i, j, 0)),
             pl.BlockSpec((rows, 2, block_s2), lambda i, j: (i, 0, j)),
@@ -886,7 +888,7 @@ def decode_attention_mixed_blockdiag(q, k8, ks2, v4, vs2, length, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(lens, q, k8, k8, ks2, v4, vs2)
+    )(lens, q, k8, ks2, v4, vs2)
 
 
 def decode_attention_mixed(q, k8, ks2, v4, vs2, length):
@@ -895,6 +897,144 @@ def decode_attention_mixed(q, k8, ks2, v4, vs2, length):
     if _INT4_KERNEL == "xla" or _interpret():
         return decode_attention_flat_mixed(q, k8, ks2, v4, vs2, length)
     return decode_attention_mixed_blockdiag(q, k8, ks2, v4, vs2, length)
+
+
+# ----------------------------------------------------------- stacked
+#
+# STACKED-cache kernel entry points: a pallas_call operand cannot fuse a
+# dynamic_slice or windowed prefix slice the way an XLA contraction does —
+# feeding the per-layer / per-window VIEW of a scan-carried cache into the
+# kernels above materializes a full copy of the slice every decode step,
+# which measured 4x SLOWER end-to-end than the int8 XLA path despite the
+# kernels themselves winning (headline_r5d vs int4_kernels_r5b). These
+# variants instead take the FULL layer-stacked buffers; the layer index
+# rides as a scalar-prefetch operand into the blockspec index maps and the
+# STATIC window trims the sequence grid, so the kernel's DMAs only ever
+# touch the blocks it actually reads — no copies, no slice, traffic equals
+# the valid prefix of one layer.
+
+def _pick_block_s2(S2, rows, dv):
+    target = max((6 << 20) // max(rows * dv * 9, 1), 128)
+    block_s2 = S2
+    while (block_s2 > target and block_s2 % 2 == 0
+           and block_s2 // 2 >= 128):
+        block_s2 //= 2
+    if block_s2 % 128 != 0 or S2 % block_s2 != 0:
+        block_s2 = S2
+    return block_s2
+
+
+def _stacked_int4_kernel(li_ref, lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
+                         vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                         rows: int, n_sb: int, force_f32: bool):
+    _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref.at[0], ks2_ref.at[0],
+                           v4_ref.at[0], vs2_ref.at[0], o_ref, acc_ref,
+                           m_ref, l_ref, rows=rows, n_sb=n_sb,
+                           force_f32=force_f32)
+
+
+def _stacked_mixed_kernel(li_ref, lens_ref, q_ref, k8_ref, ks2_ref, v4_ref,
+                          vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                          rows: int, n_sb: int, force_f32: bool):
+    _blockdiag_mixed_kernel(lens_ref, q_ref, k8_ref.at[0], ks2_ref.at[0],
+                            v4_ref.at[0], vs2_ref.at[0], o_ref, acc_ref,
+                            m_ref, l_ref, rows=rows, n_sb=n_sb,
+                            force_f32=force_f32)
+
+
+def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
+                  *, window_cols, k_block_extra, rows_per_program=8):
+    """Shared pallas_call builder for the stacked int4/mixed kernels.
+    k_block_extra: () for packed int4 keys, (2,) for split int8 keys."""
+    L = k_all.shape[0]
+    e, dk = q.shape
+    S2t, dv = v_all.shape[2], v_all.shape[3]
+    w2 = S2t if window_cols is None else min(window_cols, S2t)
+    rows = rows_per_program
+    while e % rows != 0 and rows > 1:
+        rows //= 2
+    block_s2 = _pick_block_s2(w2, rows, dv)
+    n_sb = w2 // block_s2
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
+                            (e,))[:, None]
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    kb = (1, rows, dk) + k_block_extra + (block_s2,)
+
+    def kmap(i, j, li):
+        return ((li[0], i, 0, 0, j) if k_block_extra
+                else (li[0], i, 0, j))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e // rows, n_sb),
+        in_specs=[
+            pl.BlockSpec((rows, 1), lambda i, j, li: (i, 0)),    # lengths
+            pl.BlockSpec((rows, dk), lambda i, j, li: (i, 0)),
+            pl.BlockSpec(kb, kmap),
+            pl.BlockSpec((1, rows, 2, block_s2),
+                         lambda i, j, li: (li[0], i, 0, j)),
+            pl.BlockSpec((1, rows, block_s2, dv),
+                         lambda i, j, li: (li[0], i, j, 0)),
+            pl.BlockSpec((1, rows, 2, block_s2),
+                         lambda i, j, li: (li[0], i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((rows, dv), lambda i, j, li: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, dv), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, rows=rows, n_sb=n_sb,
+                          force_f32=_interpret()),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(li, lens, q, k_all, ks_all, v_all, vs_all)
+
+
+def decode_attention_int4_stacked(layer, q, k_all, ks_all, v_all, vs_all,
+                                  length, *, window_cols=None):
+    """Single-step int4 attention over layer li of STACKED full-width packed
+    caches: k_all (L, E, dk, S2), ks_all (L, E, 2, S2), v_all
+    (L, E, S2, dv), vs_all (L, E, 2, S2); window_cols = static packed-column
+    bucket (reads only the first window_cols columns). Off-TPU falls back
+    to the flat XLA form on (traced) layer slices."""
+    if _INT4_KERNEL == "xla" or _interpret():
+        li = jnp.asarray(layer, jnp.int32)
+        sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
+        k, ks, v, vs = sl(k_all), sl(ks_all), sl(v_all), sl(vs_all)
+        if window_cols is not None and window_cols < v.shape[1]:
+            w2 = window_cols
+            k, ks = k[:, :, :w2], ks[:, :, :w2]
+            v, vs = v[:, :w2], vs[:, :, :w2]
+        return decode_attention_flat_int4(q, k, ks, v, vs, length)
+    return _stacked_call(_stacked_int4_kernel, layer, q, k_all, ks_all,
+                         v_all, vs_all, length, window_cols=window_cols,
+                         k_block_extra=())
+
+
+def decode_attention_mixed_stacked(layer, q, k_all, ks_all, v_all, vs_all,
+                                   length, *, window_cols=None):
+    """Mixed variant of decode_attention_int4_stacked: k_all is the split
+    int8 key cache (L, E, dk, 2, S2). The Backpack combine (no layer axis)
+    calls this with L=1 via a leading-axis reshape (a bitcast, not a
+    copy)."""
+    if _INT4_KERNEL == "xla" or _interpret():
+        li = jnp.asarray(layer, jnp.int32)
+        sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
+        k, ks, v, vs = sl(k_all), sl(ks_all), sl(v_all), sl(vs_all)
+        if window_cols is not None and window_cols < v.shape[1]:
+            w2 = window_cols
+            k, ks = k[:, :, :, :w2], ks[:, :, :w2]
+            v, vs = v[:, :w2], vs[:, :, :w2]
+        return decode_attention_flat_mixed(q, k, ks, v, vs, length)
+    return _stacked_call(_stacked_mixed_kernel, layer, q, k_all, ks_all,
+                         v_all, vs_all, length, window_cols=window_cols,
+                         k_block_extra=(2,))
 
 
 def decode_attention_flat_multi(q, kt, ks, v, vs, length):

@@ -93,7 +93,7 @@ class ServingEngine:
                  negative_quantile: float = 0.02,
                  negative_anneal: bool = False,
                  negative_annealing_scale: float = 0.34,
-                 spec_tokens: int = 4, spec_ngram: int = 3,
+                 spec_tokens: int = 0, spec_ngram: int = 3,
                  spec_min_acceptance: float = 0.05,
                  spec_cooldown: int = 16,
                  prefill_chunk: int = 0,
@@ -115,13 +115,18 @@ class ServingEngine:
         per-position bottom-quantile cache is allocated lazily on the first
         negative admission (it costs O(slots * S * nv * quantile * V)).
 
-        spec_tokens > 0 enables prompt-lookup speculative decoding — ON by
-        default since the v5e measurement (bench_results/spec_r3d.json): a
-        (1+4)-row verification costs only 1.048x a plain step (the decode is
-        cache-stream-bound; extra query rows reuse the same read), so
-        break-even acceptance is 1.2% and the adaptive cooldown below makes
-        speculation a strict win. (The reference has nothing comparable;
-        cf. vLLM's ngram speculator.) Each
+        spec_tokens > 0 enables prompt-lookup speculative decoding — OFF by
+        default: the (1+4)-row verification costs only 1.048x a plain step
+        (bench_results/spec_r3d.json; break-even acceptance 1.2%), but
+        every measured corpus lands below or near break-even — prompt-
+        lookup 0.4-0.6% and even a trained nano model-draft only 2.3%
+        (projected on-chip speedup 1.03x, bench_results/spec_engine_r5.json)
+        on the synthetic corpus, whose near-tied successor distributions
+        make greedy argmax agreement intrinsically low. Turn it on (with
+        the adaptive cooldown bounding the downside) for self-repetitive
+        real text — RUNBOOK.md §2 re-measures acceptance per corpus.
+        (The reference has nothing comparable; cf. vLLM's ngram
+        speculator.) Each
         step the host proposes spec_tokens draft tokens per slot from the
         newest spec_ngram-gram's previous occurrence in that slot's own
         history, and ONE multi-token verification forward (the chunked-

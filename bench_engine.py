@@ -118,13 +118,11 @@ def main():
         return jax.jit(seg, donate_argnums=(2,))
 
     # segment plan: same growth pattern as bench.py from the current
-    # max length to max_seqlen (margin for the in-flight stage block)
+    # max length (pos = next write position) to max_seqlen
     segs, pos, gran = [], max_len, 128
-    while pos < a.max_seqlen - 1:
+    while pos < a.max_seqlen:
         win = min(-(-(pos + 1) // gran) * gran, a.max_seqlen)
-        n = min(win - 1 - pos, a.max_seqlen - 1 - pos)
-        if n <= 0:
-            break
+        n = win - pos
         segs.append((n, win))
         pos += n
     steps = sum(n for n, _ in segs)

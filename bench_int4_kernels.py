@@ -47,11 +47,15 @@ def make_problem(rng, e, dk, dv, s):
     v4p = quant.pack_int4_pairs(v4, axis=1)
     ks2 = ks4[:, 0, :].reshape(e, s // 2, 2).swapaxes(1, 2)
     vs2 = vs4[:, :, 0].reshape(e, s // 2, 2).swapaxes(1, 2)
+    # mixed: int8 split keys + int4 packed values (the gate-passing config)
+    k8s = jnp.stack([k8[:, :, 0::2], k8[:, :, 1::2]], axis=2)
+    ks2b = ks8[:, 0, :].reshape(e, s // 2, 2).swapaxes(1, 2)
     length = jnp.full((e,), s, jnp.int32)
     return {
         "q": q, "length": length,
         "int8": (k8, ks8[:, 0, :], v8, vs8[:, :, 0]),
         "int4": (kt4, ks2, v4p, vs2),
+        "mixed": (k8s, ks2b, v4p, vs2),
     }
 
 
@@ -104,6 +108,10 @@ def main():
                  (kt4, ks2, v4p, vs2)),
                 ("int4_blockdiag_us", da.decode_attention_int4_blockdiag,
                  (kt4, ks2, v4p, vs2)),
+                ("mixed_xla_us", da.decode_attention_flat_mixed,
+                 p["mixed"]),
+                ("mixed_blockdiag_us", da.decode_attention_mixed_blockdiag,
+                 p["mixed"]),
             ]
             for vname, fn, ops in variants:
                 try:

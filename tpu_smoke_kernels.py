@@ -147,5 +147,71 @@ gbs = jax.jit(jax.grad(loss_bs, (0, 1, 2)))(qa, ka, va)
 for name, a, bb in zip(("dq", "dk", "dv"), gbs, gref):
     check(name, a, bb)
 
+# --- int4 / mixed decode-attention kernels (round-5) ----------------------
+# Mosaic tiling rules (lane 128-mult, sublane 8-mult) don't apply in
+# interpret mode; every round-5 lane/sublane violation was caught only on
+# hardware. Compile + numerics at BOTH model shape classes (GPT KV dv=64,
+# Backpack combine dv=768) and both window classes (S2=64 full-axis block,
+# S2=256 blocked).
+from backpacks_flash_attn_tpu.ops import quant
+from backpacks_flash_attn_tpu.ops import decode_attention as da
+
+rng5 = np.random.default_rng(5)
+for dv in (64, 768):
+    for s in (128, 512):
+        e, dk = 64, 64
+        q5 = jnp.asarray(rng5.normal(size=(e, dk)), jnp.bfloat16) * 0.3
+        k5 = jnp.asarray(rng5.normal(size=(e, dk, s)), jnp.float32)
+        v5 = jnp.asarray(rng5.normal(size=(e, s, dv)), jnp.float32)
+        ln = jnp.asarray(rng5.integers(1, s + 1, (e,)), jnp.int32)
+        k4q, ks4 = quant.quantize_activations_int4(k5, axis=1)
+        v4q, vs4 = quant.quantize_activations_int4(v5, axis=2)
+        kt4 = quant.pack_int4_pairs(k4q, axis=2)
+        v4p = quant.pack_int4_pairs(v4q, axis=1)
+        ks2 = ks4[:, 0].reshape(e, s // 2, 2).swapaxes(1, 2)
+        vs2 = vs4[:, :, 0].reshape(e, s // 2, 2).swapaxes(1, 2)
+        want = da.decode_attention_flat_int4(q5, kt4, ks2, v4p, vs2, ln)
+        got = da.decode_attention_int4_blockdiag(q5, kt4, ks2, v4p, vs2, ln)
+        check(f"int4_blockdiag dv={dv} s={s}", got, want, tol=1.5e-2)
+
+        k8q, ks8 = quant.quantize_activations_int8(k5, axis=1)
+        k8s = jnp.stack([k8q[:, :, 0::2], k8q[:, :, 1::2]], axis=2)
+        ks2b = ks8[:, 0].reshape(e, s // 2, 2).swapaxes(1, 2)
+        want_m = da.decode_attention_flat_mixed(q5, k8s, ks2b, v4p, vs2, ln)
+        got_m = da.decode_attention_mixed_blockdiag(q5, k8s, ks2b, v4p,
+                                                    vs2, ln)
+        check(f"mixed_blockdiag dv={dv} s={s}", got_m, want_m, tol=1.5e-2)
+
+# stacked entry points (full buffers + scalar-prefetch layer index + static
+# window grid trim — the production decode path)
+for dv in (64, 768):
+    e, dk, s, L = 64, 64, 512, 2
+    k5 = jnp.asarray(rng5.normal(size=(L, e, dk, s)), jnp.float32)
+    v5 = jnp.asarray(rng5.normal(size=(L, e, s, dv)), jnp.float32)
+    ln = jnp.asarray(rng5.integers(1, 257, (e,)), jnp.int32)
+    q5 = jnp.asarray(rng5.normal(size=(e, dk)), jnp.bfloat16) * 0.3
+    k4q, ks4 = quant.quantize_activations_int4(k5, axis=2)
+    v4q, vs4 = quant.quantize_activations_int4(v5, axis=3)
+    kt4 = quant.pack_int4_pairs(k4q, axis=3)
+    v4p = quant.pack_int4_pairs(v4q, axis=2)
+    ks2 = ks4[:, :, 0].reshape(L, e, s // 2, 2).swapaxes(2, 3)
+    vs2 = vs4[..., 0].reshape(L, e, s // 2, 2).swapaxes(2, 3)
+    for li in (0, 1):
+        want = da.decode_attention_flat_int4(
+            q5, kt4[li][:, :, :128], ks2[li][:, :, :128],
+            v4p[li][:, :128], vs2[li][:, :, :128], ln)
+        got = da.decode_attention_int4_stacked(
+            jnp.int32(li), q5, kt4, ks2, v4p, vs2, ln, window_cols=128)
+        check(f"int4_stacked dv={dv} li={li} w=256", got, want, tol=1.5e-2)
+    k8q, ks8 = quant.quantize_activations_int8(k5, axis=2)
+    k8s = jnp.stack([k8q[:, :, :, 0::2], k8q[:, :, :, 1::2]], axis=3)
+    ks2b = ks8[:, :, 0].reshape(L, e, s // 2, 2).swapaxes(2, 3)
+    want_m = da.decode_attention_flat_mixed(
+        q5, k8s[0][:, :, :, :128], ks2b[0][:, :, :128],
+        v4p[0][:, :128], vs2[0][:, :, :128], ln)
+    got_m = da.decode_attention_mixed_stacked(
+        jnp.int32(0), q5, k8s, ks2b, v4p, vs2, ln, window_cols=128)
+    check(f"mixed_stacked dv={dv} w=256", got_m, want_m, tol=1.5e-2)
+
 print("SMOKE", "PASS" if ok else "FAIL")
 raise SystemExit(0 if ok else 1)
