@@ -564,27 +564,24 @@ def decode_attention_flat_int4(q, kt4, ks2, v4, vs2, length):
     return out.astype(q.dtype)
 
 
-def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
-                           vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                           rows: int, n_sb: int, force_f32: bool):
-    """Block-diagonal-matmul int4 decode attention, sequence-blocked.
+def _lowbit_decode_body(lens, q, keys, ks2, v4, vs2, o_ref, acc_ref,
+                        m_ref, l_ref, *, split_keys: bool, rows: int,
+                        n_sb: int, force_f32: bool):
+    """Shared math of the int4/mixed decode kernels on LOADED values.
 
-    Formulation of _blockdiag_kernel (scores + PV as block-diagonal MXU
-    matmuls) on the PAIR-PACKED caches: the packed bytes stream from HBM at
-    0.5 byte/value and the nibble unpack (int32 shift pair) happens on VMEM
-    tiles only — XLA cannot express that without materializing the shifted
-    tensors in HBM. The even and odd position halves get separate score
-    vectors merged by ONE online softmax; grid dim 1 walks bs2-column
-    blocks of the packed caches with flash-style (m, l, acc) scratch state,
-    so rows stays >= 8 (Mosaic sublane minimum) at any dv without blowing
-    the 16MB VMEM budget on the unpacked bf16 value halves."""
+    Block-diagonal MXU matmuls for scores and PV; even/odd position halves
+    merged by ONE online softmax; the caller's grid dim 1 walks bs2-column
+    blocks with flash-style (m, l, acc) scratch. keys: (R, dk, bs2)
+    PAIR-PACKED int4 bytes (split_keys=False — the nibble unpack happens
+    here on VMEM tiles, which XLA cannot express without materializing the
+    shifted tensors) or (R, dk, 2, bs2) SPLIT int8 (split_keys=True).
+    v4: (R, bs2, dv) pair-packed int4; scales (R, 2, bs2)."""
     R = rows
     ji = pl.program_id(1)
-    _, dk, bs2 = kt4_ref.shape
-    dv = v4_ref.shape[2]
-    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
+    bs2, dv = v4.shape[1], v4.shape[2]
+    dk = q.shape[1]
+    cdt = (jnp.float32 if force_f32 or q.dtype == jnp.float32
            else jnp.bfloat16)
-    lens = lens_ref[:]                                    # (R, 1) int32
 
     @pl.when(ji == 0)
     def _():
@@ -592,16 +589,19 @@ def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    u = kt4_ref[:].astype(jnp.int32)                      # (R, dk, bs2)
-    k_lo = jnp.right_shift(jnp.left_shift(u, 28), 28).astype(cdt)
-    k_hi = jnp.right_shift(jnp.left_shift(u, 24), 28).astype(cdt)
+    if split_keys:
+        k_lo = keys[:, :, 0, :].astype(cdt)               # (R, dk, bs2)
+        k_hi = keys[:, :, 1, :].astype(cdt)
+    else:
+        u = keys.astype(jnp.int32)
+        k_lo = jnp.right_shift(jnp.left_shift(u, 28), 28).astype(cdt)
+        k_hi = jnp.right_shift(jnp.left_shift(u, 24), 28).astype(cdt)
 
-    q = q_ref[:].astype(cdt)                              # (R, dk)
+    q = q.astype(cdt)                                     # (R, dk)
     q_tiled = jnp.concatenate([q] * R, axis=1)            # (R, R*dk)
     seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
     row = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0)
     q_bd = jnp.where(seg == row, q_tiled, 0)
-    ks2 = ks2_ref[:]                                      # (R, 2, bs2)
     s_e = jax.lax.dot_general(q_bd, k_lo.reshape(R * dk, bs2),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) * ks2[:, 0]
@@ -613,7 +613,7 @@ def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
     ok_o = 2 * j + 1 < lens
     s_e = jnp.where(ok_e, s_e, NEG)
     s_o = jnp.where(ok_o, s_o, NEG)
-    m_prev, l_prev = m_ref[:], l_ref[:]                   # (R, 1)
+    m_prev, l_prev = m_ref[:], l_ref[:]
     m_new = jnp.maximum(m_prev,
                         jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
                                     jnp.max(s_o, axis=1, keepdims=True)))
@@ -624,11 +624,10 @@ def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
     l_ref[:] = (l_prev * corr + jnp.sum(p_e, axis=1, keepdims=True)
                 + jnp.sum(p_o, axis=1, keepdims=True))
     m_ref[:] = m_new
-    vs2 = vs2_ref[:]
     p_e = (p_e * vs2[:, 0]).astype(cdt)
     p_o = (p_o * vs2[:, 1]).astype(cdt)
 
-    uv = v4_ref[:].astype(jnp.int32)                      # (R, bs2, dv)
+    uv = v4.astype(jnp.int32)                             # (R, bs2, dv)
     v_lo = jnp.right_shift(jnp.left_shift(uv, 28), 28).astype(cdt)
     v_hi = jnp.right_shift(jnp.left_shift(uv, 24), 28).astype(cdt)
     seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 1) // bs2
@@ -648,6 +647,15 @@ def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
         l = l_ref[:, 0]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[:] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+
+
+def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
+                           vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                           rows: int, n_sb: int, force_f32: bool):
+    _lowbit_decode_body(lens_ref[:], q_ref[:], kt4_ref[:], ks2_ref[:],
+                        v4_ref[:], vs2_ref[:], o_ref, acc_ref, m_ref, l_ref,
+                        split_keys=False, rows=rows, n_sb=n_sb,
+                        force_f32=force_f32)
 
 
 def decode_attention_int4_blockdiag(q: jax.Array, kt4: jax.Array,
@@ -765,79 +773,13 @@ def decode_attention_flat_mixed(q, k8, ks2, v4, vs2, length):
 def _blockdiag_mixed_kernel(lens_ref, q_ref, k8_ref, ks2_ref,
                             v4_ref, vs2_ref, o_ref, acc_ref, m_ref, l_ref,
                             *, rows: int, n_sb: int, force_f32: bool):
-    """_blockdiag_int4_kernel with the key unpack replaced by direct int8
-    reads of the even/odd split planes (the parity axis rides whole in the
-    block — Mosaic's second-minor dim must be 8-divisible or full — and is
-    sliced in-kernel on the small key tile)."""
-    R = rows
-    ji = pl.program_id(1)
-    _, dk, _, bs2 = k8_ref.shape
-    dv = v4_ref.shape[2]
-    cdt = (jnp.float32 if force_f32 or q_ref.dtype == jnp.float32
-           else jnp.bfloat16)
-    lens = lens_ref[:]                                    # (R, 1) int32
-
-    @pl.when(ji == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    k8 = k8_ref[:]                                        # (R, dk, 2, bs2)
-    k_lo = k8[:, :, 0, :].astype(cdt)                     # (R, dk, bs2)
-    k_hi = k8[:, :, 1, :].astype(cdt)
-
-    q = q_ref[:].astype(cdt)                              # (R, dk)
-    q_tiled = jnp.concatenate([q] * R, axis=1)
-    seg = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 1) // dk
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, R * dk), 0)
-    q_bd = jnp.where(seg == row, q_tiled, 0)
-    ks2 = ks2_ref[:]
-    s_e = jax.lax.dot_general(q_bd, k_lo.reshape(R * dk, bs2),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32) * ks2[:, 0]
-    s_o = jax.lax.dot_general(q_bd, k_hi.reshape(R * dk, bs2),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32) * ks2[:, 1]
-    j = ji * bs2 + jax.lax.broadcasted_iota(jnp.int32, (R, bs2), 1)
-    ok_e = 2 * j < lens
-    ok_o = 2 * j + 1 < lens
-    s_e = jnp.where(ok_e, s_e, NEG)
-    s_o = jnp.where(ok_o, s_o, NEG)
-    m_prev, l_prev = m_ref[:], l_ref[:]
-    m_new = jnp.maximum(m_prev,
-                        jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
-                                    jnp.max(s_o, axis=1, keepdims=True)))
-    corr = jnp.exp(m_prev - m_new)
-    p_e = jnp.where(ok_e, jnp.exp(s_e - m_new), 0.0)
-    p_o = jnp.where(ok_o, jnp.exp(s_o - m_new), 0.0)
-    l_ref[:] = (l_prev * corr + jnp.sum(p_e, axis=1, keepdims=True)
-                + jnp.sum(p_o, axis=1, keepdims=True))
-    m_ref[:] = m_new
-    vs2 = vs2_ref[:]
-    p_e = (p_e * vs2[:, 0]).astype(cdt)
-    p_o = (p_o * vs2[:, 1]).astype(cdt)
-
-    uv = v4_ref[:].astype(jnp.int32)
-    v_lo = jnp.right_shift(jnp.left_shift(uv, 28), 28).astype(cdt)
-    v_hi = jnp.right_shift(jnp.left_shift(uv, 24), 28).astype(cdt)
-    seg2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 1) // bs2
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (R, R * bs2), 0)
-    pe_bd = jnp.where(seg2 == row2, jnp.concatenate([p_e] * R, axis=1), 0)
-    po_bd = jnp.where(seg2 == row2, jnp.concatenate([p_o] * R, axis=1), 0)
-    pv = jax.lax.dot_general(pe_bd, v_lo.reshape(R * bs2, dv),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    pv = pv + jax.lax.dot_general(po_bd, v_hi.reshape(R * bs2, dv),
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * corr + pv
-
-    @pl.when(ji == n_sb - 1)
-    def _():
-        l = l_ref[:, 0]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[:] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+    """_lowbit_decode_body with SPLIT int8 keys (the parity axis rides
+    whole in the block — Mosaic's second-minor dim must be 8-divisible or
+    full — and is sliced on the loaded value)."""
+    _lowbit_decode_body(lens_ref[:], q_ref[:], k8_ref[:], ks2_ref[:],
+                        v4_ref[:], vs2_ref[:], o_ref, acc_ref, m_ref, l_ref,
+                        split_keys=True, rows=rows, n_sb=n_sb,
+                        force_f32=force_f32)
 
 
 def decode_attention_mixed_blockdiag(q, k8, ks2, v4, vs2, length, *,
@@ -927,19 +869,22 @@ def _pick_block_s2(S2, rows, dv):
 def _stacked_int4_kernel(li_ref, lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
                          vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
                          rows: int, n_sb: int, force_f32: bool):
-    _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref.at[0], ks2_ref.at[0],
-                           v4_ref.at[0], vs2_ref.at[0], o_ref, acc_ref,
-                           m_ref, l_ref, rows=rows, n_sb=n_sb,
-                           force_f32=force_f32)
+    # blocks carry a leading singleton layer dim, consumed at LOAD time —
+    # an .at[0] sub-ref lowers to a tiling-unaligned memref_slice on
+    # hardware (smoke_r5e)
+    _lowbit_decode_body(lens_ref[:], q_ref[:], kt4_ref[0], ks2_ref[0],
+                        v4_ref[0], vs2_ref[0], o_ref, acc_ref, m_ref, l_ref,
+                        split_keys=False, rows=rows, n_sb=n_sb,
+                        force_f32=force_f32)
 
 
 def _stacked_mixed_kernel(li_ref, lens_ref, q_ref, k8_ref, ks2_ref, v4_ref,
                           vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
                           rows: int, n_sb: int, force_f32: bool):
-    _blockdiag_mixed_kernel(lens_ref, q_ref, k8_ref.at[0], ks2_ref.at[0],
-                            v4_ref.at[0], vs2_ref.at[0], o_ref, acc_ref,
-                            m_ref, l_ref, rows=rows, n_sb=n_sb,
-                            force_f32=force_f32)
+    _lowbit_decode_body(lens_ref[:], q_ref[:], k8_ref[0], ks2_ref[0],
+                        v4_ref[0], vs2_ref[0], o_ref, acc_ref, m_ref, l_ref,
+                        split_keys=True, rows=rows, n_sb=n_sb,
+                        force_f32=force_f32)
 
 
 def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
