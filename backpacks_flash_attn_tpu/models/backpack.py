@@ -753,9 +753,15 @@ def backpack_forward_with_cache(
                                                              ).reshape(e, dnv)
         if dnv_pad != dnv:
             q_flat = jnp.pad(q_flat, ((0, 0), (0, dnv_pad - dnv)))
-        out = decode_attention_mixed_stacked(
+        out, ck1, cks1, ct1, vs1 = decode_attention_mixed_stacked(
             0, q_flat, ctx_k[None], ctx_k_scale[None], content[None],
             vs2_r[None], lens, window_cols=w2)
+        # rebind the donated-through buffers into the carry; when sense
+        # weights were applied, vs2_r was a weighted TEMP — the original
+        # content_scale was only read to build it and stays the carry
+        ctx_k, ctx_k_scale, content = ck1[0], cks1[0], ct1[0]
+        if w is None:
+            content_scale = vs1[0]
         outputs = out.reshape(b, nv, d).sum(axis=1, keepdims=True
                                             ).astype(contextl.dtype)
     elif s == 1:

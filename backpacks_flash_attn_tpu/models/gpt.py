@@ -876,9 +876,13 @@ def gpt_forward_with_cache(
             if q4:
                 from ..ops.decode_attention import \
                     decode_attention_int4_stacked
-                ctx = decode_attention_int4_stacked(
-                    li, q_flat, k_all, ks_all, v_all, vs_all, lens,
-                    window_cols=win4)
+                # the cache buffers are donated through the kernel and the
+                # RETURNED aliases must become the carry (see the stacked
+                # entry's contract)
+                ctx, k_all, ks_all, v_all, vs_all = \
+                    decode_attention_int4_stacked(
+                        li, q_flat, k_all, ks_all, v_all, vs_all, lens,
+                        window_cols=win4)
             else:
                 ctx = decode_attention(q_flat, kt_cache, k_sc, v_cache,
                                        v_sc, lens)

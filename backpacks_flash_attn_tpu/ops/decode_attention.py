@@ -715,8 +715,25 @@ def decode_attention_int4_blockdiag(q: jax.Array, kt4: jax.Array,
     )(lens, q, kt4, ks2, v4, vs2)
 
 
-# BACKPACKS_INT4_KERNEL: 'blockdiag' (default on TPU) | 'xla'
-_INT4_KERNEL = os.environ.get("BACKPACKS_INT4_KERNEL", "blockdiag")
+# BACKPACKS_INT4_KERNEL: 'xla' (default) | 'blockdiag' (Pallas).
+#
+# Default XLA after the r5 measurement ladder (probe_alias.py +
+# decode_profile_r5*_kv4.json): the Pallas kernels win their microbench,
+# but inside the decode scan ANY consumer relationship between the carried
+# cache and a custom call costs full-buffer copies — slicing the operand
+# materializes the slice (4x int8), passing the full buffer without
+# aliasing copies it per layer (38 ms/step), and with pass-through
+# input-output aliasing the READS go copy-free but every
+# dynamic-update-slice WRITE to the alias-flowing buffer then loses
+# in-place-ness (~0.35 ms full copy per write, 4 writes/layer). The XLA
+# even/odd contractions fuse the cache slices (in-place writes keep
+# working) and measure 3.6-3.7 ms/step vs int8's 2.96 — the nibble-shift
+# operands still materialize, so low-bit does not yet BEAT int8
+# end-to-end. The design that closes this is staging (decode appends ride
+# a small separate block the kernel reads as a third softmax segment, so
+# the main cache is read-only inside a scan segment and flushes
+# amortized) — the int8 serving path already works exactly this way.
+_INT4_KERNEL = os.environ.get("BACKPACKS_INT4_KERNEL", "xla")
 
 
 def decode_attention_int4(q, kt4, ks2, v4, vs2, length):
@@ -867,11 +884,18 @@ def _pick_block_s2(S2, rows, dv):
 
 
 def _stacked_int4_kernel(li_ref, lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
-                         vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                         vs2_ref, o_ref, ko_ref, kso_ref, vo_ref, vso_ref,
+                         acc_ref, m_ref, l_ref, *,
                          rows: int, n_sb: int, force_f32: bool):
     # blocks carry a leading singleton layer dim, consumed at LOAD time —
     # an .at[0] sub-ref lowers to a tiling-unaligned memref_slice on
-    # hardware (smoke_r5e)
+    # hardware (smoke_r5e). ko/kso/vo/vso are the PASS-THROUGH aliased
+    # cache outputs (never touched): the cache buffers flow through the
+    # kernel so XLA's carry-aliasing holds — a full-buffer custom-call
+    # operand that is also dus-updated in the same scan body otherwise
+    # forces a defensive copy of the whole stacked cache EVERY LAYER
+    # (measured 38ms/step, decode_profile_r5_kv4.json).
+    del ko_ref, kso_ref, vo_ref, vso_ref
     _lowbit_decode_body(lens_ref[:], q_ref[:], kt4_ref[0], ks2_ref[0],
                         v4_ref[0], vs2_ref[0], o_ref, acc_ref, m_ref, l_ref,
                         split_keys=False, rows=rows, n_sb=n_sb,
@@ -879,8 +903,10 @@ def _stacked_int4_kernel(li_ref, lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
 
 
 def _stacked_mixed_kernel(li_ref, lens_ref, q_ref, k8_ref, ks2_ref, v4_ref,
-                          vs2_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                          vs2_ref, o_ref, ko_ref, kso_ref, vo_ref, vso_ref,
+                          acc_ref, m_ref, l_ref, *,
                           rows: int, n_sb: int, force_f32: bool):
+    del ko_ref, kso_ref, vo_ref, vso_ref
     _lowbit_decode_body(lens_ref[:], q_ref[:], k8_ref[0], ks2_ref[0],
                         v4_ref[0], vs2_ref[0], o_ref, acc_ref, m_ref, l_ref,
                         split_keys=True, rows=rows, n_sb=n_sb,
@@ -898,8 +924,12 @@ def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
     rows = rows_per_program
     while e % rows != 0 and rows > 1:
         rows //= 2
-    block_s2 = _pick_block_s2(w2, rows, dv)
-    n_sb = w2 // block_s2
+    # the packed-column axis of the FULL-width array can only be blocked in
+    # 128-lane multiples (no "equals the sliced axis" escape here): 128
+    # keeps the finest window granularity; windows below 256 positions
+    # over-read up to one block (masked by length — correct, just traffic)
+    block_s2 = S2t if (S2t <= 128 or S2t % 128) else 128
+    n_sb = max(1, min(-(-w2 // block_s2), S2t // block_s2))
     lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1),
                             (e,))[:, None]
     li = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -923,7 +953,16 @@ def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
             pl.BlockSpec((1, rows, 2, block_s2),
                          lambda i, j, li: (li[0], i, 0, j)),
         ],
-        out_specs=pl.BlockSpec((rows, dv), lambda i, j, li: (i, 0)),
+        out_specs=[
+            pl.BlockSpec((rows, dv), lambda i, j, li: (i, 0)),
+            # pass-through cache outputs: ANY memory space, never written —
+            # the aliased output IS the input buffer, so the cache threads
+            # through the kernel with no copy and no writeback
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         scratch_shapes=[
             pltpu.VMEM((rows, dv), jnp.float32),
             pltpu.VMEM((rows, 1), jnp.float32),
@@ -934,7 +973,16 @@ def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
         functools.partial(kernel, rows=rows, n_sb=n_sb,
                           force_f32=_interpret()),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((e, dv), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((e, dv), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+            jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
+        ],
+        # flat input numbering includes the scalar-prefetch leaf (li=0):
+        # lens=1, q=2, k=3, ks=4, v=5, vs=6
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
@@ -946,8 +994,12 @@ def decode_attention_int4_stacked(layer, q, k_all, ks_all, v_all, vs_all,
     """Single-step int4 attention over layer li of STACKED full-width packed
     caches: k_all (L, E, dk, S2), ks_all (L, E, 2, S2), v_all
     (L, E, S2, dv), vs_all (L, E, 2, S2); window_cols = static packed-column
-    bucket (reads only the first window_cols columns). Off-TPU falls back
-    to the flat XLA form on (traced) layer slices."""
+    bucket (reads only the first window_cols columns, rounded up to a
+    128-column block). Returns (out, k_all, ks_all, v_all, vs_all): the
+    cache buffers are DONATED and flow through the kernel (input-output
+    aliasing) — the caller must thread the returned buffers into its carry
+    or XLA re-copies the cache defensively. Off-TPU falls back to the flat
+    XLA form on (traced) layer slices."""
     if _INT4_KERNEL == "xla" or _interpret():
         li = jnp.asarray(layer, jnp.int32)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
@@ -956,7 +1008,8 @@ def decode_attention_int4_stacked(layer, q, k_all, ks_all, v_all, vs_all,
             w2 = window_cols
             k, ks = k[:, :, :w2], ks[:, :, :w2]
             v, vs = v[:, :w2], vs[:, :, :w2]
-        return decode_attention_flat_int4(q, k, ks, v, vs, length)
+        out = decode_attention_flat_int4(q, k, ks, v, vs, length)
+        return out, k_all, ks_all, v_all, vs_all
     return _stacked_call(_stacked_int4_kernel, layer, q, k_all, ks_all,
                          v_all, vs_all, length, window_cols=window_cols,
                          k_block_extra=())
@@ -964,10 +1017,10 @@ def decode_attention_int4_stacked(layer, q, k_all, ks_all, v_all, vs_all,
 
 def decode_attention_mixed_stacked(layer, q, k_all, ks_all, v_all, vs_all,
                                    length, *, window_cols=None):
-    """Mixed variant of decode_attention_int4_stacked: k_all is the split
-    int8 key cache (L, E, dk, 2, S2). The Backpack combine (no layer axis)
-    calls this with L=1 via a leading-axis reshape (a bitcast, not a
-    copy)."""
+    """Mixed variant of decode_attention_int4_stacked (same donated
+    pass-through contract): k_all is the split int8 key cache
+    (L, E, dk, 2, S2). The Backpack combine (no layer axis) calls this with
+    L=1 via a leading-axis reshape (a bitcast, not a copy)."""
     if _INT4_KERNEL == "xla" or _interpret():
         li = jnp.asarray(layer, jnp.int32)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
@@ -976,7 +1029,8 @@ def decode_attention_mixed_stacked(layer, q, k_all, ks_all, v_all, vs_all,
             w2 = window_cols
             k, ks = k[:, :, :, :w2], ks[:, :, :w2]
             v, vs = v[:, :w2], vs[:, :, :w2]
-        return decode_attention_flat_mixed(q, k, ks, v, vs, length)
+        out = decode_attention_flat_mixed(q, k, ks, v, vs, length)
+        return out, k_all, ks_all, v_all, vs_all
     return _stacked_call(_stacked_mixed_kernel, layer, q, k_all, ks_all,
                          v_all, vs_all, length, window_cols=window_cols,
                          k_block_extra=(2,))
