@@ -1004,8 +1004,13 @@ def decode_attention_int4_stacked(layer, q, k_all, ks_all, v_all, vs_all,
         li = jnp.asarray(layer, jnp.int32)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
         k, ks, v, vs = sl(k_all), sl(ks_all), sl(v_all), sl(vs_all)
-        if window_cols is not None and window_cols < v.shape[1]:
-            w2 = window_cols
+        # floor the packed-column slice at one full 128-lane tile: a
+        # sub-tile lane slice (e.g. 64 cols at window 128) forces XLA into
+        # per-layer relayout copies of the cache (measured 44 ms/step at
+        # w=128 vs 3.7 at w=256); over-reading up to one tile is masked by
+        # `length` and costs only traffic
+        w2 = max(window_cols, 128) if window_cols is not None else None
+        if w2 is not None and w2 < v.shape[1]:
             k, ks = k[:, :, :w2], ks[:, :, :w2]
             v, vs = v[:, :w2], vs[:, :, :w2]
         out = decode_attention_flat_int4(q, k, ks, v, vs, length)
@@ -1025,8 +1030,9 @@ def decode_attention_mixed_stacked(layer, q, k_all, ks_all, v_all, vs_all,
         li = jnp.asarray(layer, jnp.int32)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
         k, ks, v, vs = sl(k_all), sl(ks_all), sl(v_all), sl(vs_all)
-        if window_cols is not None and window_cols < v.shape[1]:
-            w2 = window_cols
+        # same 128-lane floor as the int4 fallback above
+        w2 = max(window_cols, 128) if window_cols is not None else None
+        if w2 is not None and w2 < v.shape[1]:
             k, ks = k[:, :, :, :w2], ks[:, :, :w2]
             v, vs = v[:, :w2], vs[:, :, :w2]
         out = decode_attention_flat_mixed(q, k, ks, v, vs, length)

@@ -6,6 +6,9 @@ from backpacks_flash_attn_tpu.models import backpack as bp
 from backpacks_flash_attn_tpu.models import quantized as qz
 
 BATCH, WINDOW, STEPS, PREFILL = 128, 256, 64, 160
+import os
+WINDOW = int(os.environ.get("PROBE_WINDOW", WINDOW))
+PREFILL = min(WINDOW - STEPS - 2, 160) if WINDOW - STEPS - 2 > 0 else 32
 cfg = backpack_small(vocab_size=50257)
 params = bp.init_backpack(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 qparams = qz.quantize_backpack_params(params, cfg, bits=8)
