@@ -104,16 +104,18 @@ def main():
 
     if "engine" in configs:
         # engine device step (staged cache + sampler) under the same window
+        # (64 slots: the 128-slot engine + profiling overhead OOMs HBM)
         from backpacks_flash_attn_tpu.serving.engine import ServingEngine
-        eng = ServingEngine(qparams, cfg, max_slots=BATCH, max_seqlen=512,
+        ESLOTS = 64
+        eng = ServingEngine(qparams, cfg, max_slots=ESLOTS, max_seqlen=512,
                             cache_dtype=jnp.int8, eos_id=-1, spec_tokens=0)
         rng = np.random.default_rng(1)
-        for _ in range(BATCH):
+        for _ in range(ESLOTS):
             eng.submit(rng.integers(0, cfg.vocab_size,
                                     PREFILL - 1).tolist(),
                        max_new_tokens=512)
         eng.step()
-        assert eng.sched.num_active == BATCH
+        assert eng.sched.num_active == ESLOTS
         fn = eng._step_fn(False, WINDOW)
         fixed = (jnp.asarray(eng.temps), jnp.asarray(eng.top_ps),
                  jnp.asarray(eng.top_ks),
