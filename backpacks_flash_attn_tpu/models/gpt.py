@@ -170,14 +170,32 @@ def init_kv_cache(cfg: GPTConfig, batch: int, max_seqlen: int,
     k_scale = v_scale = None
     packed4 = dtype == jnp.int8 and bits == 4
     if packed4:
-        assert S % 2 == 0 and stage == 0, (S, stage)
+        assert S % 2 == 0, S
+        # stage > 0: STAGED low-bit decode — appends ride the int8 staging
+        # block (small in-place writes, never a kernel operand), the packed
+        # main cache stays read-only within a scan segment so the
+        # pass-through Pallas kernel reads it copy-free, and flush packs
+        # stage -> main (see NOTES round-5 copy-semantics ladder)
+        stage_kw = {}
+        if stage > 0:
+            assert per_slot, "staging is a serving-slot (per_slot) feature"
+            L, C = cfg.n_layer, stage
+            stage_kw = dict(
+                k_stage=jnp.zeros((L, e, C, dh), jnp.int8),
+                v_stage=jnp.zeros((L, e, C, dh), jnp.int8),
+                ks_stage=jnp.ones((L, e, C), jnp.float32),
+                vs_stage=jnp.ones((L, e, C), jnp.float32),
+                stage_pos=jnp.full((batch, C), -1, jnp.int32),
+                stage_ptr=jnp.zeros((), jnp.int32),
+                base_len=jnp.zeros((batch,), jnp.int32),
+            )
         k_scale = jnp.ones((cfg.n_layer, e, 2, S // 2), jnp.float32)
         v_scale = jnp.ones((cfg.n_layer, e, 2, S // 2), jnp.float32)
         return KVCache(
             k=jnp.zeros((cfg.n_layer, e, dh, S // 2), jnp.int8),
             v=jnp.zeros((cfg.n_layer, e, S // 2, dh), jnp.int8),
             length=jnp.zeros((batch,) if per_slot else (), jnp.int32),
-            k_scale=k_scale, v_scale=v_scale)
+            k_scale=k_scale, v_scale=v_scale, **stage_kw)
     if dtype == jnp.int8:
         # two separate allocations: a single shared array would put the SAME
         # buffer behind both fields, and any donating jit over the cache
@@ -217,6 +235,8 @@ def flush_kv_cache(cache: KVCache, window: Optional[int] = None) -> KVCache:
     window bounds the streamed prefix exactly like the bucketed reads."""
     if not cache.staged:
         return cache
+    if cache.bits == 4:
+        return _flush_kv_cache_packed(cache, window)
     b, C = cache.stage_pos.shape
     e = cache.k.shape[1]
     h = e // b
@@ -255,6 +275,71 @@ def flush_kv_cache(cache: KVCache, window: Optional[int] = None) -> KVCache:
                  if cache.k_scale is not None else None),
         v_scale=(merge(cache.v_scale, cache.vs_stage, "sc")
                  if cache.v_scale is not None else None),
+        stage_pos=jnp.full_like(cache.stage_pos, -1),
+        stage_ptr=jnp.zeros_like(cache.stage_ptr),
+        base_len=jnp.broadcast_to(cache.length, cache.base_len.shape))
+
+
+def _flush_kv_cache_packed(cache: KVCache,
+                           window: Optional[int] = None) -> KVCache:
+    """flush_kv_cache for the PACKED int4 main cache: dequantize the staged
+    int8 columns, re-quantize per position to int4, and splice the nibbles
+    into the packed window (unpack -> masked update -> repack of the first
+    ceil(window/2) columns — one amortized pass per ~stage-cap steps)."""
+    from ..ops import quant
+    b, C = cache.stage_pos.shape
+    L, e = cache.k.shape[0], cache.k.shape[1]
+    h = e // b
+    S2 = cache.k.shape[-1]
+    w2 = min(-(-window // 2), S2) if window is not None else S2
+    valid = (cache.stage_pos >= 0) & (cache.stage_pos
+                                      < cache.length[:, None])
+    st_pos_e = jnp.repeat(cache.stage_pos, h, axis=0)        # (E, C)
+    valid_e = jnp.repeat(valid, h, axis=0)
+    kf = cache.k_stage.astype(jnp.float32) * cache.ks_stage[..., None]
+    vf = cache.v_stage.astype(jnp.float32) * cache.vs_stage[..., None]
+    cols = jnp.arange(w2, dtype=jnp.int32)
+
+    def scatter(parity, stf):
+        hit = ((st_pos_e[:, None, :] == 2 * cols[None, :, None] + parity)
+               & valid_e[:, None, :])                        # (E, w2, C)
+        delta = jnp.einsum("ewc,lecd->lewd", hit.astype(jnp.float32), stf)
+        return delta, hit.any(axis=2)                        # .., (E, w2)
+
+    def merge_nib(buf, scale_buf, stf, kt_layout):
+        view = (jax.lax.slice_in_dim(buf, 0, w2, axis=3) if kt_layout
+                else jax.lax.slice_in_dim(buf, 0, w2, axis=2))
+        lo, hi = quant.unpack_int4_pairs_split(view)
+        new_scale = scale_buf
+        for parity in (0, 1):
+            delta, wrote = scatter(parity, stf)              # (L,E,w2,d)
+            absmax = jnp.max(jnp.abs(delta), axis=-1, keepdims=True)
+            sc = jnp.maximum(absmax / 7.0, 1e-10)
+            nib = jnp.clip(jnp.round(delta / sc), -7, 7).astype(jnp.int8)
+            if kt_layout:
+                nib = jnp.swapaxes(nib, 2, 3)                # (L,E,d,w2)
+                m = wrote[None, :, None, :]
+            else:
+                m = wrote[None, :, :, None]
+            if parity == 0:
+                lo = jnp.where(m, nib, lo)
+            else:
+                hi = jnp.where(m, nib, hi)
+            scv = jax.lax.slice_in_dim(
+                new_scale[:, :, parity], 0, w2, axis=2)      # (L, E, w2)
+            scv = jnp.where(wrote[None], sc[..., 0], scv)
+            new_scale = new_scale.at[:, :, parity, :w2].set(scv)
+        packed = ((lo.astype(jnp.int32) & 0xF)
+                  | ((hi.astype(jnp.int32) & 0xF) << 4))
+        packed = jnp.where(packed >= 128, packed - 256,
+                           packed).astype(jnp.int8)
+        starts = (0,) * buf.ndim
+        return jax.lax.dynamic_update_slice(buf, packed, starts), new_scale
+
+    k_new, ks_new = merge_nib(cache.k, cache.k_scale, kf, True)
+    v_new, vs_new = merge_nib(cache.v, cache.v_scale, vf, False)
+    return cache._replace(
+        k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new,
         stage_pos=jnp.full_like(cache.stage_pos, -1),
         stage_ptr=jnp.zeros_like(cache.stage_ptr),
         base_len=jnp.broadcast_to(cache.length, cache.base_len.shape))
@@ -641,9 +726,11 @@ def gpt_forward_with_cache(
     quantized = cache.quantized
     q4 = cache.bits == 4
     if q4:
-        assert not cache.staged, "int4 caches do not stage"
-        assert s == 1 or not vec, \
+        assert s == 1 or not (vec and not cache.staged), \
             "int4 caches: multi-token writes need a uniform (scalar) offset"
+        assert not (cache.staged and s > 1), \
+            "staged int4 caches: single-token decode only (flush + use the" \
+            " unstaged path for prefill/verification)"
     # packed-axis window: w positions = ceil(w/2) packed byte columns
     win4 = (-(-window // 2)) if (q4 and window is not None) else None
 
@@ -845,7 +932,31 @@ def gpt_forward_with_cache(
             v_sc = (_layer(vs_all, li, win_axis=3 if q4 else 2, win=win4)
                     if quantized else None)
             S = kt_cache.shape[-1]
-        if staged:
+        if staged and q4:
+            # staged low-bit decode: Pallas main segment over the READ-ONLY
+            # packed cache (pass-through aliasing, valid to base_len) +
+            # XLA stage segment, merged flash-style
+            from ..ops.decode_attention import (
+                decode_attention_int4_staged_ml, merge_softmax_segments,
+                stage_segment_attention)
+            base_e = jnp.repeat(cache.base_len, h)
+            lens_e = jnp.repeat(new_len, h)
+            pos_e = jnp.repeat(new_stage_pos, h, axis=0)
+            qf = (q[:, 0].astype(jnp.float32) * scale).astype(
+                q.dtype).reshape(e, dk)
+            (o_m, m_m, l_m, k_all, ks_all, v_all, vs_all) = \
+                decode_attention_int4_staged_ml(
+                    li, qf, k_all, ks_all, v_all, vs_all, base_e,
+                    window_cols=win4)
+            k_st = _layer(kst_all, li)
+            v_st = _layer(vst_all, li)
+            ks_st = _layer(kss_all, li)
+            vs_st = _layer(vss_all, li)
+            o_s, m_s, l_s = stage_segment_attention(qf, k_st, ks_st, v_st,
+                                                    vs_st, pos_e, lens_e)
+            ctx = merge_softmax_segments(o_m, m_m, l_m, o_s, m_s, l_s)
+            ctx = ctx.reshape(b, 1, h, dk)
+        elif staged:
             from ..ops.decode_attention import (
                 decode_attention_flat_multi_staged,
                 decode_attention_flat_staged)

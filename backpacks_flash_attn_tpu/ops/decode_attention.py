@@ -566,7 +566,8 @@ def decode_attention_flat_int4(q, kt4, ks2, v4, vs2, length):
 
 def _lowbit_decode_body(lens, q, keys, ks2, v4, vs2, o_ref, acc_ref,
                         m_ref, l_ref, *, split_keys: bool, rows: int,
-                        n_sb: int, force_f32: bool):
+                        n_sb: int, force_f32: bool,
+                        mo_ref=None, lo_ref=None):
     """Shared math of the int4/mixed decode kernels on LOADED values.
 
     Block-diagonal MXU matmuls for scores and PV; even/odd position halves
@@ -647,6 +648,11 @@ def _lowbit_decode_body(lens, q, keys, ks2, v4, vs2, o_ref, acc_ref,
         l = l_ref[:, 0]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[:] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+        if mo_ref is not None:
+            # emit the segment's softmax state for flash-style combination
+            # with an XLA-computed STAGE segment (staged low-bit decode)
+            mo_ref[:] = m_ref[:]
+            lo_ref[:] = l_ref[:]
 
 
 def _blockdiag_int4_kernel(lens_ref, q_ref, kt4_ref, ks2_ref, v4_ref,
@@ -913,8 +919,20 @@ def _stacked_mixed_kernel(li_ref, lens_ref, q_ref, k8_ref, ks2_ref, v4_ref,
                         force_f32=force_f32)
 
 
+def _stacked_int4_ml_kernel(li_ref, lens_ref, q_ref, kt4_ref, ks2_ref,
+                            v4_ref, vs2_ref, o_ref, mo_ref, lo_ref, ko_ref,
+                            kso_ref, vo_ref, vso_ref, acc_ref, m_ref, l_ref,
+                            *, rows: int, n_sb: int, force_f32: bool):
+    del ko_ref, kso_ref, vo_ref, vso_ref
+    _lowbit_decode_body(lens_ref[:], q_ref[:], kt4_ref[0], ks2_ref[0],
+                        v4_ref[0], vs2_ref[0], o_ref, acc_ref, m_ref, l_ref,
+                        split_keys=False, rows=rows, n_sb=n_sb,
+                        force_f32=force_f32, mo_ref=mo_ref, lo_ref=lo_ref)
+
+
 def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
-                  *, window_cols, k_block_extra, rows_per_program=8):
+                  *, window_cols, k_block_extra, rows_per_program=8,
+                  return_ml=False):
     """Shared pallas_call builder for the stacked int4/mixed kernels.
     k_block_extra: () for packed int4 keys, (2,) for split int8 keys."""
     L = k_all.shape[0]
@@ -953,36 +971,36 @@ def _stacked_call(kernel, layer, q, k_all, ks_all, v_all, vs_all, length,
             pl.BlockSpec((1, rows, 2, block_s2),
                          lambda i, j, li: (li[0], i, 0, j)),
         ],
-        out_specs=[
-            pl.BlockSpec((rows, dv), lambda i, j, li: (i, 0)),
-            # pass-through cache outputs: ANY memory space, never written —
-            # the aliased output IS the input buffer, so the cache threads
-            # through the kernel with no copy and no writeback
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        out_specs=([pl.BlockSpec((rows, dv), lambda i, j, li: (i, 0))]
+                   + ([pl.BlockSpec((rows, 1), lambda i, j, li: (i, 0)),
+                       pl.BlockSpec((rows, 1), lambda i, j, li: (i, 0))]
+                      if return_ml else [])
+                   # pass-through cache outputs: ANY memory space, never
+                   # written — the aliased output IS the input buffer, so
+                   # the cache threads through the kernel with no copy and
+                   # no writeback
+                   + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4),
         scratch_shapes=[
             pltpu.VMEM((rows, dv), jnp.float32),
             pltpu.VMEM((rows, 1), jnp.float32),
             pltpu.VMEM((rows, 1), jnp.float32),
         ],
     )
+    n_ml = 2 if return_ml else 0
     return pl.pallas_call(
         functools.partial(kernel, rows=rows, n_sb=n_sb,
                           force_f32=_interpret()),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((e, dv), q.dtype),
-            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
-            jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
-            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
-            jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
-        ],
+        out_shape=([jax.ShapeDtypeStruct((e, dv), q.dtype)]
+                   + ([jax.ShapeDtypeStruct((e, 1), jnp.float32)] * n_ml)
+                   + [jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                      jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+                      jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+                      jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype)]),
         # flat input numbering includes the scalar-prefetch leaf (li=0):
         # lens=1, q=2, k=3, ks=4, v=5, vs=6
-        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        input_output_aliases={3: 1 + n_ml, 4: 2 + n_ml, 5: 3 + n_ml,
+                              6: 4 + n_ml},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
@@ -1167,3 +1185,92 @@ def decode_attention_flat_multi_staged(q, kt, ks, v, vs, base_len,
                            v_st.astype(compute),
                            preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+# ------------------------------------------------------- staged low-bit
+#
+# STAGED low-bit decode: the copy-semantics ladder (NOTES.md round-5)
+# showed that a scan-carried cache can be read copy-free by a pass-through
+# aliased kernel ONLY if nothing writes it inside the scan. So decode
+# appends ride the existing int8 STAGING block (small buffers, cheap
+# in-place dus, never a kernel operand), the packed MAIN cache stays
+# read-only within a scan segment (clean aliasing), and every step merges
+# two online-softmax segments flash-style: the kernel's (out, m, l) over
+# the main prefix + an XLA-computed segment over the staged columns. A
+# flush every ~stage-cap steps packs the staged int8 values into the int4
+# main cache (flush_kv_cache's packed path).
+
+def decode_attention_int4_staged_ml(layer, q, k_all, ks_all, v_all, vs_all,
+                                    base_len, *, window_cols=None):
+    """Main-segment attention over the READ-ONLY packed caches of layer li:
+    returns (out, m, l, k_all, ks_all, v_all, vs_all) — normalized output
+    plus its softmax state, caches donated through. Valid horizon is
+    base_len (the length at the last flush)."""
+    if _INT4_KERNEL == "xla" or _interpret():
+        out, k_all, ks_all, v_all, vs_all = decode_attention_int4_stacked(
+            layer, q, k_all, ks_all, v_all, vs_all, base_len,
+            window_cols=window_cols)
+        # recover (m, l) via the XLA score pass (oracle path; off-TPU only)
+        li = jnp.asarray(layer, jnp.int32)
+        k = jax.lax.dynamic_index_in_dim(k_all, li, 0, False)
+        ks = jax.lax.dynamic_index_in_dim(ks_all, li, 0, False)
+        from . import quant
+        k_lo, k_hi = quant.unpack_int4_pairs_split(k)
+        compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+        s_e = jnp.einsum("ed,eds->es", q.astype(compute),
+                         k_lo.astype(compute),
+                         preferred_element_type=jnp.float32) * ks[:, 0, :]
+        s_o = jnp.einsum("ed,eds->es", q.astype(compute),
+                         k_hi.astype(compute),
+                         preferred_element_type=jnp.float32) * ks[:, 1, :]
+        lens = jnp.broadcast_to(
+            jnp.asarray(base_len, jnp.int32).reshape(-1), (q.shape[0],))
+        j = jnp.arange(s_e.shape[1])[None, :]
+        s_e = jnp.where(2 * j < lens[:, None], s_e, NEG)
+        s_o = jnp.where(2 * j + 1 < lens[:, None], s_o, NEG)
+        m = jnp.maximum(jnp.max(s_e, axis=1, keepdims=True),
+                        jnp.max(s_o, axis=1, keepdims=True))
+        l = (jnp.sum(jnp.where(s_e > NEG / 2, jnp.exp(s_e - m), 0.0),
+                     axis=1, keepdims=True)
+             + jnp.sum(jnp.where(s_o > NEG / 2, jnp.exp(s_o - m), 0.0),
+                       axis=1, keepdims=True))
+        return out, m, l, k_all, ks_all, v_all, vs_all
+    return _stacked_call(_stacked_int4_ml_kernel, layer, q, k_all, ks_all,
+                         v_all, vs_all, base_len, window_cols=window_cols,
+                         k_block_extra=(), return_ml=True)
+
+
+def stage_segment_attention(q, k_st, ks_st, v_st, vs_st, st_pos, length):
+    """(out, m, l) of the STAGE segment: k_st/v_st (E, C, d) int8 staged
+    columns with (E, C) scales; st_pos (E, C) logical positions (-1 free,
+    valid < length). Normalized out; all-masked rows return (0, NEG, 0) so
+    merge_softmax_segments weighs them out."""
+    compute = jnp.bfloat16 if q.dtype != jnp.float32 else jnp.float32
+    E = q.shape[0]
+    lens = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (E,))
+    s = jnp.einsum("ed,ecd->ec", q.astype(compute), k_st.astype(compute),
+                   preferred_element_type=jnp.float32)
+    if ks_st is not None:
+        s = s * ks_st
+    ok = (st_pos >= 0) & (st_pos < lens[:, None])
+    s = jnp.where(ok, s, NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.where(ok, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if vs_st is not None:
+        p = p * vs_st
+    o = jnp.einsum("ec,ecd->ed", p.astype(compute), v_st.astype(compute),
+                   preferred_element_type=jnp.float32)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    return (o / l_safe).astype(q.dtype), m, l
+
+
+def merge_softmax_segments(o1, m1, l1, o2, m2, l2, dtype=None):
+    """Flash-style combination of two normalized softmax segments."""
+    dtype = dtype or o1.dtype
+    m = jnp.maximum(m1, m2)
+    w1 = l1 * jnp.exp(m1 - m)
+    w2 = l2 * jnp.exp(m2 - m)
+    tot = jnp.maximum(w1 + w2, 1e-30)
+    out = (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2) / tot
+    return out.astype(dtype)

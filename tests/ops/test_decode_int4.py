@@ -212,3 +212,85 @@ def test_store_split8_step_vec_matches_scalar():
                                               offsets[i]))
     np.testing.assert_array_equal(np.asarray(out_vec),
                                   np.asarray(jnp.concatenate(rows, 0)))
+
+
+# ------------------------------------------------------- staged low-bit
+
+def test_staged_q4_gpt_decode_tracks_unstaged():
+    """STAGED packed-int4 GPT decode (Pallas-main + XLA-stage merge +
+    packed flush) must track the unstaged int4 decode within the
+    stage-requantization drift (the stage holds int8 until flush re-packs
+    to int4)."""
+    from backpacks_flash_attn_tpu.config import gpt2_test
+    cfg = gpt2_test()
+    params = gpt_lib.init_gpt(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0,
+                             cfg.vocab_size)
+    c_ref = gpt_lib.init_kv_cache(cfg, 2, 32, jnp.int8, bits=4)
+    h_ref, c_ref = gpt_lib.gpt_forward_with_cache(params, cfg, ids[:, :8],
+                                                  c_ref, use_flash=False)
+    outs_ref = [np.asarray(h_ref[:, -1], np.float32)]
+    for t in range(8, 20):
+        h, c_ref = gpt_lib.gpt_forward_with_cache(
+            params, cfg, ids[:, t:t + 1], c_ref, use_flash=False)
+        outs_ref.append(np.asarray(h[:, -1], np.float32))
+
+    c0 = gpt_lib.init_kv_cache(cfg, 2, 32, jnp.int8, bits=4)
+    h0, c0 = gpt_lib.gpt_forward_with_cache(params, cfg, ids[:, :8], c0,
+                                            use_flash=False)
+    cs = gpt_lib.init_kv_cache(cfg, 2, 32, jnp.int8, bits=4,
+                               per_slot=True, stage=8)
+    cs = cs._replace(k=c0.k, v=c0.v, k_scale=c0.k_scale,
+                     v_scale=c0.v_scale,
+                     length=jnp.full((2,), 8, jnp.int32),
+                     base_len=jnp.full((2,), 8, jnp.int32))
+    outs = [np.asarray(h0[:, -1], np.float32)]
+    for n, t in enumerate(range(8, 20)):
+        h, cs = gpt_lib.gpt_forward_with_cache(params, cfg,
+                                               ids[:, t:t + 1], cs,
+                                               use_flash=False)
+        outs.append(np.asarray(h[:, -1], np.float32))
+        if (n + 1) % 6 == 0:
+            cs = gpt_lib.flush_kv_cache(cs)
+    ref = np.stack(outs_ref, 1)
+    got = np.stack(outs, 1)
+    d = np.abs(got - ref).max()
+    assert d < 0.05 * np.abs(ref).max(), d
+
+
+def test_packed_flush_roundtrip():
+    """flush_kv_cache on a packed cache must place the staged values at
+    their logical positions (within int8->int4 requantization error) and
+    reset the stage."""
+    from backpacks_flash_attn_tpu.config import gpt2_test
+    cfg = gpt2_test()
+    rng = np.random.default_rng(0)
+    cs = gpt_lib.init_kv_cache(cfg, 2, 32, jnp.int8, bits=4,
+                               per_slot=True, stage=8)
+    L, e, dk, S2 = cs.k.shape
+    C = 4
+    kvals = rng.normal(size=(L, e, C, dk)).astype(np.float32)
+    k8, ks = [], []
+    from backpacks_flash_attn_tpu.ops import quant
+    k8, ksc = quant.quantize_activations_int8(jnp.asarray(kvals), axis=3)
+    v8, vsc = quant.quantize_activations_int8(jnp.asarray(kvals), axis=3)
+    st_pos = jnp.asarray([[4, 5, 6, 7, -1, -1, -1, -1]] * 2, jnp.int32)
+    cs = cs._replace(
+        k_stage=cs.k_stage.at[:, :, :C].set(k8),
+        v_stage=cs.v_stage.at[:, :, :C].set(v8),
+        ks_stage=cs.ks_stage.at[:, :, :C].set(ksc[..., 0]),
+        vs_stage=cs.vs_stage.at[:, :, :C].set(vsc[..., 0]),
+        stage_pos=st_pos, stage_ptr=jnp.asarray(C, jnp.int32),
+        length=jnp.full((2,), 8, jnp.int32))
+    out = gpt_lib.flush_kv_cache(cs)
+    assert int(out.stage_ptr) == 0
+    assert (np.asarray(out.stage_pos) == -1).all()
+    assert (np.asarray(out.base_len) == 8).all()
+    # dequantize the flushed window and compare position 5 against the
+    # staged value it came from
+    lo, hi = quant.unpack_int4_pairs_split(out.v)   # (L, e, S2, dk) halves
+    sc_odd = np.asarray(out.v_scale)[:, :, 1, :]    # odd positions
+    got = np.asarray(hi, np.float32)[:, :, 2] * sc_odd[:, :, 2:3]  # pos 5
+    want = np.asarray(k8, np.float32)[:, :, 1] * np.asarray(
+        ksc)[:, :, 1]                                # staged col 1 -> pos 5
+    np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 0.15)
