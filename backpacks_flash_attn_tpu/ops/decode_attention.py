@@ -1022,12 +1022,13 @@ def decode_attention_int4_stacked(layer, q, k_all, ks_all, v_all, vs_all,
         li = jnp.asarray(layer, jnp.int32)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
         k, ks, v, vs = sl(k_all), sl(ks_all), sl(v_all), sl(vs_all)
-        # floor the packed-column slice at one full 128-lane tile: a
-        # sub-tile lane slice (e.g. 64 cols at window 128) forces XLA into
-        # per-layer relayout copies of the cache (measured 44 ms/step at
-        # w=128 vs 3.7 at w=256); over-reading up to one tile is masked by
-        # `length` and costs only traffic
-        w2 = max(window_cols, 128) if window_cols is not None else None
+        # round the packed-column slice UP to a 128-lane multiple: any
+        # non-multiple lane slice (64 cols at window 128, 192 at window
+        # 384) forces XLA into per-layer relayout copies of the cache
+        # (measured 44 ms/step at w=128 vs 3.7 at w=256); the over-read is
+        # masked by `length` and costs only traffic
+        w2 = (-(-window_cols // 128) * 128 if window_cols is not None
+              else None)
         if w2 is not None and w2 < v.shape[1]:
             k, ks = k[:, :, :w2], ks[:, :, :w2]
             v, vs = v[:, :w2], vs[:, :, :w2]
@@ -1048,8 +1049,9 @@ def decode_attention_mixed_stacked(layer, q, k_all, ks_all, v_all, vs_all,
         li = jnp.asarray(layer, jnp.int32)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, False)
         k, ks, v, vs = sl(k_all), sl(ks_all), sl(v_all), sl(vs_all)
-        # same 128-lane floor as the int4 fallback above
-        w2 = max(window_cols, 128) if window_cols is not None else None
+        # same 128-lane rounding as the int4 fallback above
+        w2 = (-(-window_cols // 128) * 128 if window_cols is not None
+              else None)
         if w2 is not None and w2 < v.shape[1]:
             k, ks = k[:, :, :, :w2], ks[:, :, :w2]
             v, vs = v[:, :w2], vs[:, :, :w2]
