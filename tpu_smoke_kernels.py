@@ -201,7 +201,7 @@ for dv in (64, 768):
             q5, kt4[li][:, :, :128], ks2[li][:, :, :128],
             v4p[li][:, :128], vs2[li][:, :, :128], ln)
         got = da.decode_attention_int4_stacked(
-            jnp.int32(li), q5, kt4, ks2, v4p, vs2, ln, window_cols=128)
+            jnp.int32(li), q5, kt4, ks2, v4p, vs2, ln, window_cols=128)[0]
         check(f"int4_stacked dv={dv} li={li} w=256", got, want, tol=1.5e-2)
     k8q, ks8 = quant.quantize_activations_int8(k5, axis=2)
     k8s = jnp.stack([k8q[:, :, :, 0::2], k8q[:, :, :, 1::2]], axis=3)
@@ -210,8 +210,49 @@ for dv in (64, 768):
         q5, k8s[0][:, :, :, :128], ks2b[0][:, :, :128],
         v4p[0][:, :128], vs2[0][:, :, :128], ln)
     got_m = da.decode_attention_mixed_stacked(
-        jnp.int32(0), q5, k8s, ks2b, v4p, vs2, ln, window_cols=128)
+        jnp.int32(0), q5, k8s, ks2b, v4p, vs2, ln, window_cols=128)[0]
     check(f"mixed_stacked dv={dv} w=256", got_m, want_m, tol=1.5e-2)
+
+# staged-ml entry: main-segment (out, m, l) + stage-segment merge must
+# equal the one-shot attention over the concatenation (fresh dv=64 shapes;
+# the loop above leaves dv=768 operands bound)
+e, dk, s, dv = 64, 64, 512, 64
+q5 = jnp.asarray(rng5.normal(size=(e, dk)), jnp.bfloat16) * 0.3
+k5 = jnp.asarray(rng5.normal(size=(2, e, dk, s)), jnp.float32)
+v5 = jnp.asarray(rng5.normal(size=(2, e, s, dv)), jnp.float32)
+k4q, ks4 = quant.quantize_activations_int4(k5, axis=2)
+v4q, vs4 = quant.quantize_activations_int4(v5, axis=3)
+kt4 = quant.pack_int4_pairs(k4q, axis=3)
+v4p = quant.pack_int4_pairs(v4q, axis=2)
+ks2 = ks4[:, :, 0].reshape(2, e, s // 2, 2).swapaxes(2, 3)
+vs2 = vs4[..., 0].reshape(2, e, s // 2, 2).swapaxes(2, 3)
+ln_base = jnp.full((64,), 300, jnp.int32)
+out_ml = da.decode_attention_int4_staged_ml(
+    jnp.int32(0), q5, kt4, ks2, v4p, vs2, ln_base, window_cols=256)
+o_m, m_m, l_m = out_ml[0], out_ml[1], out_ml[2]
+kst = jnp.asarray(rng5.integers(-127, 128, (64, 8, 64)), jnp.int8)
+ksst = jnp.ones((64, 8), jnp.float32) * 0.01
+vst = jnp.asarray(rng5.integers(-127, 128, (64, 8, 64)), jnp.int8)
+vsst = jnp.ones((64, 8), jnp.float32) * 0.01
+stp = jnp.broadcast_to(300 + jnp.arange(8)[None], (64, 8)).astype(jnp.int32)
+o_s, m_s, l_s = da.stage_segment_attention(q5, kst, ksst, vst, vsst, stp,
+                                           jnp.full((64,), 308, jnp.int32))
+merged = da.merge_softmax_segments(o_m, m_m, l_m, o_s, m_s, l_s)
+# oracle: dequantize everything, one softmax over [main 0..300) + staged
+from backpacks_flash_attn_tpu.ops.decode_attention import decode_attention_ref
+k_un = quant.unpack_int4_pairs(kt4[0], axis=2).astype(jnp.float32)
+ks_full = quant.interleave_pair_scales(ks2[0])
+kd = k_un * ks_full[:, None, :]
+v_un = quant.unpack_int4_pairs(v4p[0], axis=1).astype(jnp.float32)
+vd = v_un * quant.interleave_pair_scales(vs2[0])[..., None]
+kd2 = jnp.concatenate([kd[:, :, :300],
+                       (kst.astype(jnp.float32) * ksst[..., None]
+                        ).transpose(0, 2, 1)], axis=2)
+vd2 = jnp.concatenate([vd[:, :300],
+                       vst.astype(jnp.float32) * vsst[..., None]], axis=1)
+want_merged = decode_attention_ref(q5, kd2, None, vd2, None,
+                                   jnp.full((64,), 308, jnp.int32))
+check("staged_ml merge (main+stage)", merged, want_merged, tol=1.5e-2)
 
 print("SMOKE", "PASS" if ok else "FAIL")
 raise SystemExit(0 if ok else 1)
